@@ -1,38 +1,87 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship dataflow on /root/testdata/sf0.001.
+queries()      — every implemented operator id (SURVEY.md §2 + the
+                 training-data north-star ops), (spark, sf_dir) -> DataFrame.
+oracle_sql()   — matching DuckDB SQL for the differential gate.
+
+The implementations live in wsprnet_scraper_spark/ (plans/ holds the
+judged surface, operators/ and functions/ the engine pieces).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+_TUNED = False
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    """Apply the engine's session discipline to a driver-owned session.
+
+    Everything here is runtime-settable SQL conf: UTC (the reference
+    runs TZ=UTC, wsprnet-scraper.sh:17), permissive arithmetic (ANSI
+    off — div/0 -> NULL like the reference and DuckDB), nanos-as-long
+    (Spark's parquet reader rejects the events table's
+    TIMESTAMP(NANOS) otherwise), AQE + broadcast threshold for the
+    join-heavy queries.
+    """
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session build; engine defaults apply
+    return spark
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 27-column enrichment of a synthetic spot batch
+    (the reference's whole pipeline), then revenue-of-the-airwaves
+    style rollup — spots per band with distance stats."""
+    from pyspark.sql import functions as F
+
+    from wsprnet_scraper_spark import pipeline
+    from wsprnet_scraper_spark.plans.synth import synth_spots
+
+    _tune(spark)
+    sf_dir = "/root/testdata/sf0.001"
+    spots = pipeline.with_wd_time(synth_spots(spark, sf_dir))
+    enriched = pipeline.enrich(spots)
+    return (
+        enriched.groupBy("wd_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_spots"),
+            F.sum("distance").alias("total_distance_km"),
+            F.max("wd_rx_az").alias("max_rx_az"),
+        )
+        .orderBy("wd_band")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wsprnet_scraper_spark.plans import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        name: (lambda spark, sf_dir, _fn=fn: _fn(_tune(spark), sf_dir))
+        for name, fn in QUERIES.items()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wsprnet_scraper_spark.plans import ORACLE
+
+    return dict(ORACLE)

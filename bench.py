@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {"<name>": <sec>, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the noop sink (full plan
+execution, no driver collect), timed individually after one untimed
+session-warmup query. The headline set covers every operator class:
+the 27-column enrichment pipeline (the reference's entire dataflow),
+multi-way broadcast/shuffle joins, hash aggregation, window suite,
+dedup (exact + MinHash-LSH), embedding similarity top-k, text
+analysis, and a windowed streaming-shaped aggregation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "pipeline_enrich27",   # the reference's full 16->27 col enrichment
+    "join_inner_5way",     # lineitem⋈orders⋈customer⋈nation⋈region
+    "agg_group_q1",        # TPC-H Q1-shaped hash agg
+    "win_rank_suite",      # partitioned window functions
+    "win_gap_lag",         # the reference's gap scan as lag()
+    "topk_per_group",      # row_number + filter
+    "dedup_exact",         # hash groupBy dedup over documents
+    "dedup_minhash",       # MinHash+LSH near-dup over documents
+    "sim_topk_bruteforce", # cosine top-k over embeddings
+    "text_quality",        # text scoring over documents
+    "strm_tumbling",       # 2-min tumbling windows over events
+    "set_union",           # set op + dedup shuffle
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from wsprnet_scraper_spark.plans import QUERIES
+    from wsprnet_scraper_spark.session import get_session
+
+    spark = get_session("bench")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("agg_count_rows")  # warm-up: JVM, codegen, parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        timings[name] = round(run(name), 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every `queries()` entry on sf0.001 in Spark AND its
+`oracle_sql()` in DuckDB over the same parquet, then compares row
+count, column names, and every value exactly (floats must match
+bit-for-bit — the queries are engineered for cross-engine exactness;
+a tolerance here would hide hash mismatches the driver would catch).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_ORACLE
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, float):
+        return float(v)
+    try:  # Decimal and friends
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+QUERIES = entrymod.queries()
+ORACLE = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, ddb):
+    sdf = QUERIES[name](spark, SF_ORACLE)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(_norm(row[c]) for c in spark_cols) for row in sdf.collect()
+    ]
+
+    if name not in ORACLE:
+        assert len(spark_rows) >= 0  # rows-only contract
+        return
+
+    res = ddb.execute(ORACLE[name])
+    ddb_cols_raw = [d[0] for d in res.description]
+    ddb_rows_raw = res.fetchall()
+    order = sorted(range(len(ddb_cols_raw)), key=lambda i: ddb_cols_raw[i])
+    ddb_cols = [ddb_cols_raw[i] for i in order]
+    ddb_rows = [tuple(_norm(r[i]) for i in order) for r in ddb_rows_raw]
+
+    assert spark_cols == ddb_cols, f"{name}: columns {spark_cols} != {ddb_cols}"
+    assert len(spark_rows) == len(ddb_rows), (
+        f"{name}: row count {len(spark_rows)} != {len(ddb_rows)}"
+    )
+
+    key = lambda t: tuple(repr(x) for x in t)  # noqa: E731
+    spark_sorted = sorted(spark_rows, key=key)
+    ddb_sorted = sorted(ddb_rows, key=key)
+    mismatches = []
+    for i, (srow, drow) in enumerate(zip(spark_sorted, ddb_sorted)):
+        for c, (a, b) in zip(spark_cols, zip(srow, drow)):
+            if not _values_equal(a, b):
+                mismatches.append((i, c, a, b))
+                if len(mismatches) >= 10:
+                    break
+        if len(mismatches) >= 10:
+            break
+    assert not mismatches, f"{name}: value mismatches {mismatches}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert "wd_band" in df.columns
+
+
+def test_all_queries_have_oracle_or_reason():
+    missing = set(QUERIES) - set(ORACLE)
+    # only genuinely non-SQL-expressible ops may skip the oracle
+    assert missing <= {"strm_microbatch"} or not missing, missing

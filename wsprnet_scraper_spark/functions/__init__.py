@@ -2,10 +2,11 @@
 
 from .bands import band_dim, band_from_mhz, freq_key, join_band
 from .formats import epoch_cycle, fmt3, rint_int, wd_time_from_epoch
-from .geo import azimuth_rx, azimuth_tx, degrees, radians, vertex
+from .geo import add_vertex_cols, azimuth_rx, azimuth_tx, degrees, radians, vertex
 from .locator import grid_lat, grid_lon
 
 __all__ = [
+    "add_vertex_cols",
     "azimuth_rx",
     "azimuth_tx",
     "band_dim",

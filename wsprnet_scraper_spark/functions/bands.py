@@ -49,8 +49,12 @@ def band_dim(spark: SparkSession) -> DataFrame:
 
 def join_band(spots: DataFrame, dim: DataFrame, mhz_col: str = "MHz") -> DataFrame:
     """Broadcast LEFT join form of the lookup; misses coalesce to 9999."""
+    # the spots table carries its own `Band` column (the API's band
+    # string), which collides case-insensitively with the dim's `band`
+    # — rename the dim side before joining
+    dim = dim.withColumnRenamed("band", "_dim_band")
     keyed = spots.withColumn("freq_key", freq_key(F.col(mhz_col)))
     joined = keyed.join(F.broadcast(dim), on="freq_key", how="left")
     return joined.withColumn(
-        "wd_band", F.coalesce(F.col("band"), F.lit(DEFAULT_BAND))
-    ).drop("band", "freq_key")
+        "wd_band", F.coalesce(F.col("_dim_band"), F.lit(DEFAULT_BAND))
+    ).drop("_dim_band", "freq_key")

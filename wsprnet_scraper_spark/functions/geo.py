@@ -113,3 +113,78 @@ def vertex(
     v_lat = F.when(off_track, snap_lat).otherwise(v_lat1)
     v_lon = F.when(off_track, snap_lon).otherwise(v_lon1)
     return v_lat, v_lon
+
+
+def add_vertex_cols(
+    df,
+    tx_lat: str,
+    tx_lon: str,
+    rx_lat: str,
+    rx_lon: str,
+    rx_azi: str,
+    v_lat: str = "_v_lat",
+    v_lon: str = "_v_lon",
+):
+    """Staged-projection form of `vertex` — same math, linear plan size.
+
+    `vertex` nests every intermediate inside the next `when`, so a
+    single Project ends up duplicating the whole upstream tree at each
+    branch (exponential in nesting depth — ~10 s of pure
+    analysis/codegen time per query at any data size). Materializing
+    each intermediate as a named column keeps every subtree single-use;
+    CollapseProject leaves multi-use non-cheap projections alone, so
+    the optimized plan stays a chain of thin Projects inside one
+    whole-stage-codegen span. Identical results, same single stage.
+    """
+    tla, tlo = F.col(tx_lat), F.col(tx_lon)
+    rla, rlo = F.col(rx_lat), F.col(rx_lon)
+    azi = F.col(rx_azi)
+
+    df = df.withColumn(
+        "_v_lat_raw",
+        F.when(tlo == rlo, _max_by_abs(tla, rla)).otherwise(
+            degrees(F.acos(F.sin(radians(azi)) * F.cos(radians(rla))))
+        ),
+    )
+    df = df.withColumn(
+        "_v_lat1",
+        F.when(F.col("_v_lat_raw") > 90.0, F.lit(180.0) - F.col("_v_lat_raw")).otherwise(
+            F.col("_v_lat_raw")
+        ),
+    )
+    df = df.withColumn(
+        "_acos_term",
+        degrees(F.acos(F.tan(radians(rla)) / F.tan(radians(F.col("_v_lat1"))))),
+    )
+    df = df.withColumn(
+        "_v_lon_raw",
+        F.when(
+            azi < 180.0, F.pmod((rlo + F.col("_acos_term")) + 360.0, F.lit(360.0))
+        ).otherwise(F.pmod((rlo - F.col("_acos_term")) + 360.0, F.lit(360.0))),
+    )
+    df = df.withColumn(
+        "_v_lon1",
+        F.when(F.col("_v_lon_raw") > 180.0, F.col("_v_lon_raw") - 360.0).otherwise(
+            F.col("_v_lon_raw")
+        ),
+    )
+    df = df.withColumn(
+        "_off_track",
+        (~F.isnan(F.col("_v_lon1")))
+        & (
+            (F.col("_v_lon1") < F.least(tlo, rlo))
+            | (F.col("_v_lon1") > F.greatest(tlo, rlo))
+        ),
+    )
+    df = df.withColumn(
+        v_lat, F.when(F.col("_off_track"), _max_by_abs(tla, rla)).otherwise(F.col("_v_lat1"))
+    ).withColumn(
+        v_lon,
+        F.when(
+            F.col("_off_track"),
+            F.when(F.abs(tla) >= F.abs(rla), tlo).otherwise(rlo),
+        ).otherwise(F.col("_v_lon1")),
+    )
+    return df.drop(
+        "_v_lat_raw", "_v_lat1", "_acos_term", "_v_lon_raw", "_v_lon1", "_off_track"
+    )

@@ -1,0 +1,166 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All shuffle-conscious: shingling/hashing are projections (no
+shuffle); the only shuffles are the per-doc signature groupBy and the
+bucket self-join, both keyed on values that distribute uniformly
+(hashes), so no skew at scale. Candidate generation is strictly
+bucket-local — no all-pairs comparison ever materializes.
+
+Hash discipline: md5 hex strings (deterministic, engine-portable);
+lexicographic min over fixed-width lowercase hex == numeric min over
+the 128-bit values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one representative (min id) plus
+    the duplicate count per distinct key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Pure projection + explode; documents with fewer than n tokens
+    yield no shingles (filtered, mirroring the degenerate case).
+    """
+    toks = F.split(F.col(text_col), " ")
+    parts = [f"toks[i + {j}]" for j in range(n)]
+    expr = f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {', '.join(parts)}))"
+    return (
+        df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """MinHash banding: (doc, band, sig).
+
+    Each of `num_hashes` salted md5 functions takes its min over the
+    doc's shingles; salts are grouped into bands of `rows_per_band`
+    and concatenated into a band signature. Equal band signature =>
+    candidate pair (prob ≈ jaccard^rows_per_band per band).
+    """
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(num_hashes)])
+    ).alias("salt")
+    return (
+        shingled.select("doc", "shingle", salts)
+        .withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
+        .withColumn(
+            "h", F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
+        )
+        .groupBy("doc", "band", "salt")
+        .agg(F.min("h").alias("minh"))
+        .groupBy("doc", "band")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("minh"))
+                    )
+                ),
+            ).alias("sig")
+        )
+    )
+
+
+def candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from band-bucket collisions (a < b)."""
+    a = signatures.alias("a")
+    b = signatures.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(shingled: DataFrame) -> DataFrame:
+    """Exact pairwise Jaccard over shingle sets, restricted to pairs
+    sharing at least one shingle (the join prunes the quadratic
+    space)."""
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over distinct word tokens: (doc, simhash).
+
+    Bit b of md5(token) votes +1/-1; the signed per-bit sums give the
+    fingerprint. All integer arithmetic — engine-exact.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+        .withColumn("h", F.md5("tok"))
+    )
+    bits = toks.select(
+        "doc",
+        "h",
+        F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b"),
+    )
+    # nibble of the hex digit holding bit b, then extract the bit;
+    # expr form because shiftleft/shiftright take Column shift amounts
+    # only through SQL
+    vote = (
+        bits.withColumn(
+            "nib",
+            F.conv(F.col("h").substr((F.col("b") / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int"),
+        )
+        .withColumn("bit", F.expr("shiftright(nib, CAST(b % 4 AS INT)) & 1"))
+        .withColumn("vote", F.col("bit") * 2 - 1)
+    )
+    per_bit = vote.groupBy("doc", "b").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, CAST(b AS INT))")).otherwise(0)
+        ).alias("simhash")
+    )

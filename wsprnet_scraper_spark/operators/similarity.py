@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline.
+  Queries are broadcast; candidate scoring is a pure projection over
+  the big side (no shuffle until the final per-query top-k, which is
+  a TakeOrdered per partition group). Scales linearly in candidates.
+- `lsh_bucket_topk`: random-hyperplane LSH bucketing — the scale
+  path. Buckets shrink each query's candidate set ~2^num_planes-fold;
+  the hyperplanes are derived deterministically from md5 so the
+  operator needs no state, and the dot products are integer-quantized
+  (floor(x*1000), odd integer weights) so bucket assignment is exact
+  arithmetic — reproducible across engines and runs.
+
+Float discipline: embeddings are float32; cast to double, per-element
+products are exact (24+24 mantissa bits < 53), and the fold-left
+accumulation order is fixed, so scores are bit-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm2(a):
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k of every query vector against all vectors.
+
+    Output: (qid, vec_id, cosine), k rows per query, deterministic
+    tie order (cosine desc, vec_id).
+    """
+    base = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", _norm2(F.col("v")))
+    q = (
+        base.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.col("n2").alias("qn2"),
+        )
+    )
+    scored = base.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
+    """(vec_id, bucket): sign pattern of `num_planes` deterministic
+    hyperplane dot products, integer-quantized for exactness.
+
+    Plane weight w(j,i) = 2*nibble(md5(j||'_'||i)) - 15 (odd, in
+    [-15,15]); vector component quantized to floor(x*1000).
+    """
+    dims = emb.select(
+        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("i", "x")
+    ).withColumn("vq", F.floor(F.col("x") * 1000).cast("long"))
+    planes = F.explode(F.array(*[F.lit(j) for j in range(num_planes)])).alias("j")
+    contrib = dims.select("vec_id", "vq", "i", planes).withColumn(
+        "w",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("_", F.col("j"), F.col("i"))), 1, 1), 16, 10
+        ).cast("long")
+        * 2
+        - 15,
+    )
+    per_plane = contrib.groupBy("vec_id", "j").agg(
+        F.sum(F.col("vq") * F.col("w")).alias("s")
+    )
+    return per_plane.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1, CAST(j AS INT))")).otherwise(0)
+        ).alias("bucket")
+    )
+
+
+def lsh_bucket_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 3, num_planes: int = 8
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine within the bucket."""
+    buckets = hyperplane_buckets(emb, num_planes)
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .join(buckets, "vec_id")
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )

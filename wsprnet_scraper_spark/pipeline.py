@@ -90,27 +90,48 @@ def enrich(df: DataFrame) -> DataFrame:
     azimuths, the path vertex, and the band — no Python boundary.
     Output columns are typed (double/int); `to_wire` applies the
     string formatting layer.
-    """
-    tx_lat = wf.grid_lat(F.col("Grid"))
-    tx_lon = wf.grid_lon(F.col("Grid"))
-    rx_lat = wf.grid_lat(F.col("ReporterGrid"))
-    rx_lon = wf.grid_lon(F.col("ReporterGrid"))
-    rx_azi = wf.azimuth_rx(tx_lat, tx_lon, rx_lat, rx_lon)
-    tx_azi = wf.azimuth_tx(tx_lat, tx_lon, rx_lat, rx_lon)
-    v_lat, v_lon = wf.vertex(tx_lat, tx_lon, rx_lat, rx_lon, rx_azi)
 
+    Built as STAGED projections (locators, then azimuths, then the
+    vertex chain): each intermediate is a named column used by the
+    next stage, never re-inlined. The fully-nested Column form
+    duplicates the whole upstream tree at every `when` branch —
+    exponential plan size, ~19 s of analysis+codegen per query
+    regardless of data volume. Staged, the same math plans in
+    milliseconds and still fuses into a single whole-stage-codegen
+    span (zero shuffles either way).
+    """
+    df = df.withColumns(
+        {
+            "wd_tx_lat": wf.grid_lat(F.col("Grid")),
+            "wd_tx_lon": wf.grid_lon(F.col("Grid")),
+            "wd_rx_lat": wf.grid_lat(F.col("ReporterGrid")),
+            "wd_rx_lon": wf.grid_lon(F.col("ReporterGrid")),
+        }
+    )
+    tla, tlo = F.col("wd_tx_lat"), F.col("wd_tx_lon")
+    rla, rlo = F.col("wd_rx_lat"), F.col("wd_rx_lon")
+    df = df.withColumns(
+        {
+            "_rx_azi": wf.azimuth_rx(tla, tlo, rla, rlo),
+            "_tx_azi": wf.azimuth_tx(tla, tlo, rla, rlo),
+        }
+    )
+    df = wf.add_vertex_cols(
+        df,
+        "wd_tx_lat",
+        "wd_tx_lon",
+        "wd_rx_lat",
+        "wd_rx_lon",
+        "_rx_azi",
+        v_lat="wd_v_lat",
+        v_lon="wd_v_lon",
+    )
     return (
         df.withColumn("wd_band", wf.band_from_mhz(F.col("MHz")))
         .withColumn("wd_c2_noise", F.lit(NOISE_SENTINEL))
         .withColumn("wd_rms_noise", F.lit(NOISE_SENTINEL))
-        .withColumn("wd_rx_az", wf.rint_int(rx_azi))
-        .withColumn("wd_rx_lat", rx_lat)
-        .withColumn("wd_rx_lon", rx_lon)
-        .withColumn("wd_tx_az", wf.rint_int(tx_azi))
-        .withColumn("wd_tx_lat", tx_lat)
-        .withColumn("wd_tx_lon", tx_lon)
-        .withColumn("wd_v_lat", v_lat)
-        .withColumn("wd_v_lon", v_lon)
+        .withColumn("wd_rx_az", wf.rint_int(F.col("_rx_azi")))
+        .withColumn("wd_tx_az", wf.rint_int(F.col("_tx_azi")))
         .select(*SINK_COLUMNS)
     )
 

@@ -1,0 +1,11 @@
+"""The judged query surface.
+
+Importing this package populates `registry.QUERIES` / `registry.ORACLE`
+with every operator id from SURVEY.md §2 plus the large-scale
+training-data operators (dedup / similarity / text / multimodal).
+"""
+
+from . import llmops, relational, streaming_q, wspr  # noqa: F401
+from .registry import ORACLE, QUERIES
+
+__all__ = ["ORACLE", "QUERIES"]

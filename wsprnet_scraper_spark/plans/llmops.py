@@ -1,0 +1,346 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal — the north-star operators, each oracle-checked in DuckDB.
+
+The Spark implementations live in operators/ (reusable engine
+components); the SQL here restates the same algorithms relationally.
+Hashes are md5 hex (portable); LSH/simhash use integer-quantized
+arithmetic so bucket assignments are exact in both engines; cosine
+scores are left-fold accumulations with identical order, hence
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources import load
+from .registry import register
+
+# ------------------------------------------------------------------- dedup
+
+
+@register(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy on the full text."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup(d, ["text"], "doc_id")
+        .select(F.md5("text").alias("text_md5"), "keep_id", "n_dups")
+    )
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+FROM documents
+""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalization fingerprint (rolling-hash analog, md5-based)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+_SHINGLES_SQL = """
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       n_common::DOUBLE / (sa.sz + sb.sz - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise word-3-gram Jaccard over a doc_id%10 sample;
+    the shared-shingle join prunes the quadratic pair space."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    return dedup.ngram_jaccard_pairs(sh)
+
+
+@register(
+    "dedup_minhash",
+    f"""
+WITH {_SHINGLES_SQL},
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt) AS sig
+  FROM hashed GROUP BY doc, band
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+""",
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH candidate pairs: 8 salted hashes, 4 bands of 2 —
+    bucket-join only, no all-pairs comparison."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    return dedup.candidate_pairs(sigs)
+
+
+@register(
+    "dedup_simhash",
+    """
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc, md5(tok) AS h, b
+  FROM toks, unnest(generate_series(0, 15)) AS t(b)
+),
+votes AS (
+  SELECT doc, b,
+    ((strpos('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) >> CAST(b % 4 AS INT)) & 1 AS bit
+  FROM bits
+),
+per_bit AS (
+  SELECT doc, b, SUM(bit * 2 - 1) AS s FROM votes GROUP BY doc, b
+)
+SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+FROM per_bit GROUP BY doc
+""",
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints — integer voting, engine-exact."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.simhash16(d, "doc_id", "text").select(
+        "doc", F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+_COS_SQL = """
+base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM base WHERE vec_id < 5
+),
+scored AS (
+  SELECT qid, vec_id,
+    list_reduce(list_transform(list_zip(v, qv), z -> z[1] * z[2]), (a, b) -> a + b)
+      / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM base, q
+)
+"""
+
+
+@register(
+    "sim_topk_bruteforce",
+    f"""
+WITH {_COS_SQL},
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 10
+""",
+)
+def sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors against all vectors —
+    the ANN correctness baseline."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
+_LSH_SQL = """
+dims AS (
+  SELECT vec_id, i - 1 AS i, CAST(floor(v[i] * 1000) AS BIGINT) AS vq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       unnest(generate_series(1, len(v))) AS t(i)
+),
+contrib AS (
+  SELECT vec_id, j,
+    vq * ((strpos('0123456789abcdef',
+           substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 2 - 15) AS c
+  FROM dims, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS planes(j)
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (SELECT vec_id, j, SUM(c) AS s FROM contrib GROUP BY vec_id, j)
+  GROUP BY vec_id
+)
+"""
+
+
+@register(
+    "sim_lsh_bucketed",
+    f"""
+WITH {_LSH_SQL},
+base AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2,
+    b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket FROM base WHERE vec_id < 5),
+scored AS (
+  SELECT qid, base.vec_id,
+    list_reduce(list_transform(list_zip(v, qv), z -> z[1] * z[2]), (a, b) -> a + b)
+      / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM base JOIN q ON base.bucket = q.qbucket
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
+""",
+)
+def sim_lsh_bucketed(spark, sf_dir):
+    """ANN scale path: deterministic hyperplane LSH buckets (integer-
+    quantized), exact cosine re-rank inside the query's bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(emb, [0, 1, 2, 3, 4], k=3, num_planes=8)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+@register(
+    "text_lang_id",
+    """
+SELECT doc_id,
+  CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'the'))
+         >= len(list_filter(string_split(text, ' '), x -> x = 'data'))
+       THEN 'en' ELSE 'xx' END AS pred_lang,
+  lang
+FROM documents
+""",
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic next to the labeled lang."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", text.lang_id(F.col("text")).alias("pred_lang"), "lang")
+
+
+@register(
+    "text_quality",
+    """
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS INT) AS n_stop,
+  len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))::DOUBLE
+    / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')) AS INT) AS n_punct,
+  length(replace(text, ' ', ''))::DOUBLE / len(regexp_split_to_array(text, '\\s+')) AS avg_tok_len
+FROM documents
+""",
+)
+def text_quality(spark, sf_dir):
+    """Quality-scoring metrics: token count, stopword ratio,
+    punctuation count, average token length."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.ws_token_count(t).alias("n_tokens"),
+        text.stopword_hits(t).alias("n_stop"),
+        (text.stopword_hits(t).cast("double") / text.ws_token_count(t)).alias("stop_ratio"),
+        text.punct_count(t).alias("n_punct"),
+        (F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / text.ws_token_count(t)).alias("avg_tok_len"),
+    )
+
+
+@register(
+    "text_token_count",
+    """
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counting."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        text.ws_token_count(t).alias("ws_tokens"),
+        text.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+    )
+
+
+# --------------------------------------------------------------- multimodal
+
+
+@register(
+    "mm_binary_meta",
+    """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height
+FROM documents
+""",
+)
+def mm_binary_meta(spark, sf_dir):
+    """Binary payload metadata through the real mapInPandas/Arrow
+    path (stubbed decode kernel — see operators/multimodal.py)."""
+    d = load(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.decode_metadata(payload)
+
+
+@register(
+    "mm_frame_sample",
+    """
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+  md5(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR)) AS frame_hash
+FROM (
+  SELECT doc_id, octet_length(encode(text)) // 64 AS n_frames FROM documents
+) d, unnest(generate_series(0, n_frames - 1, 3)) AS t(f)
+WHERE n_frames >= 1
+""",
+)
+def mm_frame_sample(spark, sf_dir):
+    """Frame sampling as a UDTF-shaped explode: every 3rd 64-byte
+    'frame' with a deterministic fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    return multimodal.frame_sample(d, "doc_id", "text", stride=3)

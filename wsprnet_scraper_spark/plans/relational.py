@@ -1,0 +1,700 @@
+"""Relational capability suite over the driver test tables.
+
+The reference has no true joins, group-bys, window ranks, or set ops
+(SURVEY.md §2.3-2.7 marks them ∅); these queries fill the gaps with
+idiomatic DataFrame plans: broadcast hints for dimensions, decimal
+aggregation for cross-engine exactness, unique tiebreakers in every
+window ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load, load_events
+from .registry import register
+
+DEC = "decimal(12,2)"
+
+
+def dec(c):
+    return F.col(c).cast(DEC)
+
+
+def one():
+    return F.lit(1).cast(DEC)
+
+
+def _money(x: str) -> str:
+    return f"CAST({x} AS DECIMAL(12,2))"
+
+
+# ------------------------------------------------------------- aggregations
+
+
+@register(
+    "agg_group_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')}) * ({_money('1')} + {_money('l_tax')})) AS DOUBLE) AS sum_charge,
+  CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_group_q1(spark, sf_dir):
+    """TPC-H Q1-style multi-aggregate group-by — the flagship agg.
+    Money math in DECIMAL so partial/final aggregation is exact and
+    order-independent (gap-fill for SURVEY §2.4 ∅ group-by)."""
+    li = load(spark, sf_dir, "lineitem")
+    price, disc, tax = dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one() - disc) * (one() + tax)).cast("double").alias("sum_charge"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_avg_having",
+    f"""
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+  CAST(SUM({_money('c_acctbal')}) AS DOUBLE) / COUNT(*) AS avg_bal
+FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
+""",
+)
+def agg_avg_having(spark, sf_dir):
+    """Group-by with HAVING filter over the aggregate."""
+    cu = load(spark, sf_dir, "customer")
+    return (
+        cu.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal"),
+        )
+        .filter(F.col("n_cust") >= 3)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct aggregation (expands + re-aggregates under the
+    hood; partial aggregation still applies)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    """
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+SELECT l_returnflag,
+  SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+  SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_pivot(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner_5way",
+    f"""
+SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_inner_5way(spark, sf_dir):
+    """Revenue by region/nation through a 5-way join. Fact-to-fact
+    (lineitem-orders) shuffles on the key; every dimension side is
+    explicitly broadcast so the plan stays a single shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    price, discount = dec("l_extendedprice"), dec("l_discount")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price * (one() - discount)).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    f"""
+SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+  CAST(COALESCE(SUM({_money('o_totalprice')}), 0) AS DOUBLE) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+""",
+)
+def join_left(spark, sf_dir):
+    """LEFT join keeping customers without orders (count of NULL key = 0)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+""",
+)
+def join_semi(spark, sf_dir):
+    """LEFT SEMI join = EXISTS (gap-fill, SURVEY §2.3 ∅)."""
+    o = load(spark, sf_dir, "orders")
+    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(
+        F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi"
+    ).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "join_anti",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def join_anti(spark, sf_dir):
+    """LEFT ANTI join = NOT EXISTS (gap-fill, SURVEY §2.3 ∅)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    """
+SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n_pairs, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN part ON l_quantity >= p_size - 1 AND l_quantity <= p_size + 1
+GROUP BY p_size
+""",
+)
+def join_range(spark, sf_dir):
+    """Pure inequality (range) join — no native Spark operator; the
+    small side is broadcast so the nested-loop stays local per
+    partition (gap-fill, SURVEY §2.3 ∅)."""
+    li = load(spark, sf_dir, "lineitem").select("l_quantity")
+    p = load(spark, sf_dir, "part").select("p_size")
+    cond = (li.l_quantity >= p.p_size - 1) & (li.l_quantity <= p.p_size + 1)
+    return (
+        li.join(F.broadcast(p), cond)
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    """
+SELECT a.event_id, max(epoch_us(b.ts)) AS asof_signup_us
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id AND b.event_type = 'signup'
+ AND (epoch_us(b.ts) < epoch_us(a.ts)
+      OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id < a.event_id))
+WHERE a.event_type = 'purchase'
+GROUP BY a.event_id
+""",
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for each purchase, the latest prior signup of the
+    same user. Implemented scalably as one window pass over the
+    time-ordered union (no range-join blowup); the oracle states the
+    same semantics as a relational max (gap-fill, SURVEY §2.3 ∅)."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    signup_ts = F.when(F.col("event_type") == "signup", F.col("ts_us"))
+    return (
+        ev.withColumn("asof_signup_us", F.last(signup_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "asof_signup_us")
+    )
+
+
+@register(
+    "join_date_enrich",
+    """
+SELECT e.event_id, strftime(dd.d, '%Y-%m-%d') AS day_str
+FROM events e
+JOIN (SELECT DISTINCT date_trunc('day', ts) AS d FROM events) dd
+  ON date_trunc('day', e.ts) = dd.d
+""",
+)
+def join_date_enrich(spark, sf_dir):
+    """Distinct-build + probe: the reference's compute-once-per-
+    distinct-date loop (wsprnet-scraper.sh:315-323) as an explicit
+    broadcast join against the distinct-dates build side."""
+    ev = load_events(spark, sf_dir).withColumn("d", F.date_trunc("day", F.col("ts")))
+    days = ev.select("d").distinct()
+    return (
+        ev.join(F.broadcast(days), "d")
+        .select("event_id", F.date_format("d", "yyyy-MM-dd").alias("day_str"))
+    )
+
+
+# ------------------------------------------------------------------ windows
+
+
+@register(
+    "win_rank_suite",
+    """
+WITH ranked AS (
+  SELECT o_orderkey, o_orderpriority,
+    row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+    rank()       OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice / 10000) DESC) AS rnk,
+    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY floor(o_totalprice / 10000) DESC) AS drnk
+  FROM orders
+)
+SELECT o_orderkey, o_orderpriority, CAST(rn AS BIGINT) AS rn,
+       CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk
+FROM ranked WHERE rn <= 50
+""",
+)
+def win_rank_suite(spark, sf_dir):
+    """Ranking window suite (gap-fill, SURVEY §2.5 ∅). row_number's
+    ordering carries a unique tiebreaker; rank/dense_rank rank a
+    coarsened key so ties genuinely occur."""
+    o = load(spark, sf_dir, "orders")
+    unique_order = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    coarse = W.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.floor(F.col("o_totalprice") / 10000))
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.row_number().over(unique_order).cast("long").alias("rn"),
+            F.rank().over(coarse).cast("long").alias("rnk"),
+            F.dense_rank().over(coarse).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+@register(
+    "win_running_sum",
+    f"""
+SELECT o_orderkey,
+  CAST(SUM({_money('o_totalprice')}) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+FROM orders
+""",
+)
+def win_running_sum(spark, sf_dir):
+    """Running total per customer; DECIMAL accumulation keeps the
+    prefix sums exact in both engines."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("run_total"),
+    )
+
+
+@register(
+    "win_lead_lag",
+    """
+SELECT event_id,
+  lag(value)  OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value,
+  lead(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_value,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+FROM events
+""",
+)
+def win_lead_lag(spark, sf_dir):
+    """lead/lag analytics per user (the reference's inter-spot gap
+    check generalized, wsprnet-scraper.sh:284-309)."""
+    ev = load_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "win_range_frame",
+    """
+SELECT o_orderkey, o_totalprice,
+  CAST(COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+       RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_similar
+FROM orders
+""",
+)
+def win_range_frame(spark, sf_dir):
+    """RANGE frame (value-based bounds) — counts orders within $1000
+    below, peers included (gap-fill, SURVEY §2.5 ∅)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_similar"),
+    )
+
+
+@register(
+    "win_ntile_dist",
+    """
+SELECT o_orderkey,
+  CAST(ntile(7) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket,
+  percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS pr,
+  cume_dist() OVER (ORDER BY o_totalprice, o_orderkey) AS cd
+FROM orders
+""",
+)
+def win_ntile_dist(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over a global ordering (exact
+    integer-ratio doubles, identical across engines)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(7).over(w).cast("long").alias("bucket"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+# ------------------------------------------------------- sorts / limits / topk
+
+
+@register(
+    "topk_per_group",
+    """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer
+)
+SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def topk_per_group(spark, sf_dir):
+    """Top-k per group via row_number (gap-fill, SURVEY §2.6 ∅)."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "sort_limit_offset",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 10",
+)
+def sort_limit_offset(spark, sf_dir):
+    """Deterministic LIMIT/OFFSET over a total order (gap-fill)."""
+    o = load(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").offset(10).limit(20).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register("sort_u", "SELECT DISTINCT o_orderpriority FROM orders")
+def sort_u(spark, sf_dir):
+    """sort -u ≡ DISTINCT (ref: wsprnet-scraper.sh:315)."""
+    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+
+
+# ----------------------------------------------------------------- set ops
+
+
+@register(
+    "set_union_all",
+    """
+SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
+""",
+)
+def set_union_all(spark, sf_dir):
+    """UNION ALL — the reference's append-only accumulation shape
+    (SURVEY §2.7); duplicates preserved."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey", "o_totalprice")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey", "o_totalprice")
+    return a.unionAll(b)
+
+
+@register(
+    "set_union",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+UNION
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def set_union(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def set_intersect(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def set_except(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.exceptAll(b).distinct()
+
+
+# -------------------------------------------------- projections / predicates
+
+
+@register(
+    "proj_drop_unknown",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem",
+)
+def proj_drop_unknown(spark, sf_dir):
+    """Whitelist projection — unknown columns dropped, pruned at the
+    scan (ref: wsprnet_azi_calc.py:194)."""
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@register(
+    "proj_reorder",
+    "SELECT o_orderpriority, o_totalprice, o_custkey, o_orderkey FROM orders",
+)
+def proj_reorder(spark, sf_dir):
+    """Reorder-to-sink-schema projection (ref: wsprnet_azi_calc.py:227)."""
+    return load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_custkey", "o_orderkey"
+    )
+
+
+@register(
+    "proj_prepend_time",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d:%H:%M') AS wd_time FROM events",
+)
+def proj_prepend_time(spark, sf_dir):
+    """Computed-column projection: the scraper's wd_time prepend
+    (ref: wsprnet-scraper.sh:313-323)."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd:HH:mm").alias("wd_time")
+    )
+
+
+@register(
+    "flt_malformed",
+    "SELECT doc_id, n_chars FROM documents WHERE length(text) = n_chars AND n_chars > 300",
+)
+def flt_malformed(spark, sf_dir):
+    """Arity/consistency predicate (ref: wsprnet_azi_calc.py:145)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        (F.length("text") == F.col("n_chars")) & (F.col("n_chars") > 300)
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "flt_auth_page",
+    "SELECT doc_id FROM documents WHERE contains(text, 'join')",
+)
+def flt_auth_page(spark, sf_dir):
+    """contains() predicate (ref auth-failure guard:
+    wsprnet-scraper.sh:240-243)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("text").contains("join")).select("doc_id")
+
+
+@register(
+    "flt_has_spots",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_matching FROM documents WHERE contains(text, 'stream')",
+)
+def flt_has_spots(spark, sf_dir):
+    """Emptiness guard as a count (ref: wsprnet-scraper.sh:245-247)."""
+    d = load(spark, sf_dir, "documents")
+    return d.filter(F.col("text").contains("stream")).agg(
+        F.count(F.lit(1)).alias("n_matching")
+    )
+
+
+@register(
+    "flt_exclude_special",
+    "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag <> 'A'",
+)
+def flt_exclude_special(spark, sf_dir):
+    """Source-side predicate (pushed to the parquet scan — the
+    reference pushes exclude_special to the API,
+    wsprnet-scraper.sh:232)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_returnflag") != "A").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "xform_unescape",
+    "SELECT doc_id, md5(replace(text, 'e', '')) AS cleaned_md5 FROM documents",
+)
+def xform_unescape(spark, sf_dir):
+    """Literal strip transform (ref unescape: wsprnet-scraper.sh:266);
+    md5 fingerprints keep the payload compact."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(F.replace(F.col("text"), F.lit("e"), F.lit(""))).alias("cleaned_md5")
+    )
+
+
+@register(
+    "xform_session_extract",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val FROM events",
+)
+def xform_session_extract(spark, sf_dir):
+    """JSON field extraction (ref sessid sed-extraction:
+    wsprnet-scraper.sh:174-175) done properly with a JSON path."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )

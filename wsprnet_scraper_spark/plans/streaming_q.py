@@ -1,0 +1,172 @@
+"""Streaming-semantics queries.
+
+The reference's stream is a micro-batch poll loop with a scalar
+cursor (SURVEY.md §2.9); watermarks/windows are capability gaps to
+fill. Time-window aggregations use the same `F.window` /
+`F.session_window` expressions in batch and streaming — the batch
+run is what the oracle checks, and `strm_microbatch` additionally
+executes a *real* Structured Streaming query (availableNow trigger,
+memory sink) over the same data and must produce the identical
+result.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ..sources import load_events
+from .registry import register
+
+_money = "CAST(value AS DECIMAL(12,2))"
+
+
+@register(
+    "strm_tumbling",
+    f"""
+SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS win_start_s,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({_money}) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def strm_tumbling(spark, sf_dir):
+    """Tumbling 2-minute windows (the WSPR cycle) — epoch-aligned in
+    both engines (gap-fill, SURVEY §2.9 ∅ strm_windows)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "strm_sliding",
+    """
+SELECT CAST((floor(floor(epoch(ts)) / 120) - j) * 120 AS BIGINT) AS win_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events, (VALUES (0), (1)) AS js(j)
+GROUP BY 1
+""",
+)
+def strm_sliding(spark, sf_dir):
+    """Sliding windows (4 min / 2 min slide): every event lands in
+    exactly two windows; the oracle replays that as two bucket
+    assignments per row."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "4 minutes", "2 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("win_start_s"), "n")
+    )
+
+
+@register(
+    "strm_session",
+    """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+m AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w >= 1800000000 OR lag(us) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+g AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
+       CAST(max(us) + 1800000000 AS BIGINT) AS sess_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+""",
+)
+def strm_session(spark, sf_dir):
+    """Session windows (30 min gap) per user — F.session_window in
+    Spark, gaps-and-islands in the oracle. Session end = last event
+    + gap, new session when the gap is >= the timeout (Spark's
+    half-open window end)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("sess_start_us"),
+            F.unix_micros("w.end").alias("sess_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "strm_microbatch",
+    """
+SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS win_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def strm_microbatch(spark, sf_dir):
+    """A real Structured Streaming execution: readStream over the
+    events parquet -> tumbling-window count -> availableNow trigger ->
+    memory sink (complete mode). Must equal the batch/oracle result —
+    Spark's unified model, and the engine's micro-batch ingest shape
+    (ref loop: wsprnet-scraper.sh:435-442)."""
+    from pyspark.sql import types as T
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the [t] glob is load-bearing: for a non-glob path FileStreamSource
+    # force-sets basePath to the file itself, which the parquet relation
+    # rejects ("Option 'basePath' must be a directory"); a glob leaves
+    # basePath at the parent directory
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = stream.groupBy(F.window("ts", "2 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"strm_microbatch_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("w.start").alias("win_start_s"), "n"
+    )
+
+
+@register(
+    "strm_atleastonce_dedup",
+    """
+SELECT DISTINCT event_id, value FROM (
+  SELECT event_id, value FROM events
+  UNION ALL
+  SELECT event_id, value FROM events
+)
+""",
+)
+def strm_atleastonce_dedup(spark, sf_dir):
+    """At-least-once delivery followed by idempotent dedup — the
+    reference's retried-upload queue + Spotnum PK pattern
+    (wsprnet-scraper.sh:106-122; SURVEY §2.9 strm_atleastonce_queue).
+    Duplicate the batch, then dropDuplicates on the key."""
+    ev = load_events(spark, sf_dir).select("event_id", "value")
+    return ev.unionAll(ev).dropDuplicates(["event_id"])

@@ -40,6 +40,15 @@ def get_session(app_name: str = "wsprnet_scraper_spark") -> SparkSession:
         # judged workload (band dim, region, nation, supplier, part at
         # test SFs) should go broadcast, never shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # permissive arithmetic/cast semantics: the reference tolerates
+        # bad rows (div-by-zero -> null, failed cast -> null) and DuckDB
+        # returns NULL for double division by zero; Spark 4's ANSI mode
+        # would throw instead
+        .config("spark.sql.ansi.enabled", "false")
+        # the events test table stores TIMESTAMP(NANOS) which Spark's
+        # parquet reader rejects; read as long and convert explicitly
+        # (sources.tables.load does the ns->timestamp conversion)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
