@@ -73,6 +73,43 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.9, num_planes: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale.
+
+    Candidates are restricted to same-LSH-bucket pairs (the all-pairs
+    cross join never materializes), then exact cosine filters at
+    `threshold`. Output (id_a, id_b, cosine), id_a < id_b. The bucket
+    self-join is the only shuffle beyond the bucket computation; with
+    B ≈ 2^num_planes buckets the pair space shrinks ~B-fold, and
+    num_planes is the recall/cost dial.
+    """
+    buckets = hyperplane_buckets(emb, num_planes)
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .join(buckets, "vec_id")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            (
+                _dot(F.col("a.v"), F.col("b.v"))
+                / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2")))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
     """(vec_id, bucket): sign pattern of `num_planes` deterministic
     hyperplane dot products, integer-quantized for exactness.

@@ -238,6 +238,34 @@ def sim_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucket_topk(emb, [0, 1, 2, 3, 4], k=3, num_planes=8)
 
 
+@register(
+    "dedup_embedding",
+    f"""
+WITH {_LSH_SQL},
+base AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2,
+    b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+""",
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: LSH bucket candidates + exact
+    cosine filter — the semantic-dedup primitive for corpus curation.
+    Threshold 0.2 because the synthetic embeddings are near-orthogonal
+    (within-bucket max cosine ≈ 0.38); a real corpus would use ~0.9."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.2, num_planes=8)
+
+
 # ------------------------------------------------------------ text analysis
 
 

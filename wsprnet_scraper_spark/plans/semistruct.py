@@ -1,0 +1,178 @@
+"""Semi-structured & extensibility queries: JSON/array/map scalar
+functions over `events.props`, table-function (explode) shapes, the
+pandas-UDAF surface, and grouping sets.
+
+Fills SURVEY.md §2.8's ∅ array/map/json row and §2.10's ∅ UDAF/UDTF
+rows. The reference has no array/map/JSON columns at all (its one
+JSON touchpoint is shredded with sed, wsprnet-scraper.sh:265); the
+driver `events.props` column (a JSON object string) is the substrate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from ..sources import load, load_events
+from .registry import register
+
+# --------------------------------------------------------- JSON scalar ops
+
+
+@register(
+    "json_get_props",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+       CAST(json_extract(props, '$.missing') AS INT) AS missing
+FROM events
+""",
+)
+def json_get_props(spark, sf_dir):
+    """get_json_object over the props JSON string; absent path -> null
+    (the by-name-with-unknown-drop semantics of wsprnet_azi_calc.py:194
+    generalized to real JSON ops)."""
+    ev = load_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing"),
+    )
+
+
+@register(
+    "map_from_json",
+    """
+SELECT event_id,
+  CAST(len(json_keys(props)) AS INT) AS n_keys,
+  CAST(json_extract(props, '$.k') AS INT) AS k_val
+FROM events
+""",
+)
+def map_from_json(spark, sf_dir):
+    """from_json into a typed map<string,int>, then map functions
+    (size, element_at) — the schema-on-read path for semi-structured
+    columns."""
+    ev = load_events(spark, sf_dir)
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )
+
+
+# ------------------------------------------------------------ array ops
+
+
+@register(
+    "arr_token_stats",
+    """
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3,
+  CAST(list_contains(string_split(text, ' '), 'data') AS BOOLEAN) AS has_data
+FROM documents
+""",
+)
+def arr_token_stats(spark, sf_dir):
+    """split -> array ops (size, array_distinct, sort, slice,
+    array_contains) with scalar outputs so the cross-engine hash is
+    stable."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    dist = F.array_distinct(toks)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(dist).alias("n_distinct"),
+        F.concat_ws(",", F.slice(F.array_sort(dist), 1, 3)).alias("first3"),
+        F.array_contains(toks, "data").alias("has_data"),
+    )
+
+
+@register(
+    "udtf_explode_tokens",
+    """
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+def udtf_explode_tokens(spark, sf_dir):
+    """Table-function shape: one row in -> many rows out via explode
+    (the JVM-native UDTF; a Python `@udtf` variant lives in
+    operators/udf_variants.py for the API surface)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------- UDAF
+
+
+@register(
+    "udaf_grouped_range",
+    """
+SELECT l_returnflag, CAST(max(l_quantity) - min(l_quantity) AS DOUBLE) AS qty_range,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def udaf_grouped_range(spark, sf_dir):
+    """Custom aggregate via an Arrow-vectorized pandas GROUPED_AGG UDF
+    (max-min: order-independent, exact in doubles — deliberately so
+    the differential hash is stable). Fills SURVEY §2.10 ∅ UDAF."""
+
+    @F.pandas_udf(DoubleType())
+    def qty_range(v: pd.Series) -> float:
+        return float(v.max() - v.min())
+
+    @F.pandas_udf(LongType())
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas grouped-agg with built-in
+        # aggregates in one agg(), so the count is a pandas UDF too
+        return len(v)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        qty_range("l_quantity").alias("qty_range"),
+        n_rows("l_quantity").alias("n"),
+    )
+
+
+# ---------------------------------------------------------- grouping sets
+
+
+@register(
+    "agg_grouping_sets",
+    """
+SELECT l_returnflag, l_linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+  SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() disambiguation of the
+    generated nulls (complements the cube/rollup entries)."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+          SUM(l_quantity) AS sum_qty, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

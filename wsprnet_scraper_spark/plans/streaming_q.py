@@ -154,6 +154,90 @@ def strm_microbatch(spark, sf_dir):
 
 
 @register(
+    "strm_watermark",
+    """
+WITH agg AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS win_start_s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+wm AS (SELECT epoch(max(ts)) - 600 AS w FROM events)
+SELECT win_start_s, n FROM agg, wm WHERE win_start_s + 120 <= w
+""",
+)
+def strm_watermark(spark, sf_dir):
+    """Late-data semantics (gap-fill, SURVEY §2.9 ∅ strm_watermark):
+    10-minute watermark + tumbling windows in APPEND mode — only
+    windows finalized by the watermark (win_end <= max(ts) - 10 min)
+    are emitted. The oracle restates exactly that closure condition."""
+    from pyspark.sql import types as T
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"strm_watermark_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_timestamp("w.start").alias("win_start_s"), "n"
+    )
+
+
+def _ingest_oracle() -> str:
+    # the batch-enrichment CTE chain from the wspr oracle: the streamed,
+    # duplicated, deduped sink must equal one clean batch pass
+    from .wspr import _WDTIME, _sql_rint_int, ENRICH_SQL_CTES
+
+    return f"""
+WITH {ENRICH_SQL_CTES}
+SELECT "Spotnum", {_WDTIME} AS wd_time, wd_band,
+       {_sql_rint_int("rx_azi")} AS wd_rx_az,
+       {_sql_rint_int("tx_azi")} AS wd_tx_az
+FROM enr
+"""
+
+
+@register("strm_ingest_e2e", _ingest_oracle())
+def strm_ingest_e2e(spark, sf_dir):
+    """The full ingest subsystem as a judged query: synth spots landed
+    as NDJSON (twice — duplicate-batch injection), streamed through
+    the landing-dir source, enriched, idempotently sunk to parquet
+    with checkpointing, then read back. Must equal a straight batch
+    enrichment of the same spots with duplicates collapsed — the
+    at-least-once + PK-dedup contract (wsprnet-scraper.sh:106-122,
+    SURVEY §2.9)."""
+    import tempfile
+
+    from ..streaming import start_ingest
+    from .synth import synth_spots
+
+    work = tempfile.mkdtemp(prefix="wspr_ingest_q_")
+    landing, sink, ckpt = f"{work}/landing", f"{work}/sink", f"{work}/ckpt"
+    spots = synth_spots(spark, sf_dir)
+    # two identical landings = a replayed upload; NDJSON via the JSON
+    # writer (numbers round-trip: shortest-repr doubles reparse exactly)
+    spots.coalesce(4).write.mode("append").json(landing)
+    spots.coalesce(4).write.mode("append").json(landing)
+    q = start_ingest(spark, landing, sink, ckpt, available_now=True)
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "Spotnum", "wd_time", "wd_band", "wd_rx_az", "wd_tx_az"
+    )
+
+
+@register(
     "strm_atleastonce_dedup",
     """
 SELECT DISTINCT event_id, value FROM (

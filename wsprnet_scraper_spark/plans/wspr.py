@@ -447,3 +447,41 @@ def udf_enrich_pandas(spark, sf_dir):
         grid_lat_pdf(F.col("Grid")).alias("tx_lat"),
         grid_lon_pdf(F.col("Grid")).alias("tx_lon"),
     )
+
+
+@register(
+    "win_batch_boundary_gap",
+    f"""
+WITH spots AS ({SYNTH_SPOTS_SQL}),
+batches AS (
+  SELECT "Date" AS batch_epoch,
+         min("Spotnum") AS first_spot, max("Spotnum") AS last_spot,
+         CAST(COUNT(*) AS BIGINT) AS n_spots
+  FROM spots GROUP BY "Date"
+)
+SELECT batch_epoch, first_spot, last_spot, n_spots,
+       first_spot - lag(last_spot) OVER (ORDER BY batch_epoch) - 1 AS boundary_gap
+FROM batches
+""",
+)
+def win_batch_boundary_gap(spark, sf_dir):
+    """Inter-batch continuity check (ref: wsprnet-scraper.sh:335-339)
+    as a relational plan: each 2-minute WSPR cycle is one scrape
+    batch; lag(last_spot) across batch order exposes the boundary
+    gaps. The live-stream form of the same check (driver-state lag in
+    foreachBatch) runs in streaming.ingest.GapMonitor."""
+    b = (
+        synth_spots(spark, sf_dir)
+        .groupBy(F.col("Date").alias("batch_epoch"))
+        .agg(
+            F.min("Spotnum").alias("first_spot"),
+            F.max("Spotnum").alias("last_spot"),
+            F.count(F.lit(1)).alias("n_spots"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch_epoch")
+    return b.withColumn(
+        "boundary_gap", F.col("first_spot") - F.lag("last_spot", 1).over(w) - 1
+    )

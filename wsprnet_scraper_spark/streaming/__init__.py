@@ -1,0 +1,27 @@
+"""Streaming ingest: the reference daemon as Structured Streaming.
+
+fetcher — driver-side poll loop (cursor, cycle-aligned scheduling,
+          atomic NDJSON landing writes); the piece that replaces
+          wsprnet-scraper.sh's curl/sed orchestration.
+ingest  — the Spark side: landing-dir file source -> parse -> enrich
+          -> foreachBatch idempotent sink with gap telemetry.
+"""
+
+from .fetcher import (
+    Cursor,
+    fetch_once,
+    land_batch,
+    recover_cursor_from_sink,
+    seconds_until_next_offset,
+)
+from .ingest import read_spot_stream, start_ingest
+
+__all__ = [
+    "Cursor",
+    "fetch_once",
+    "land_batch",
+    "read_spot_stream",
+    "recover_cursor_from_sink",
+    "seconds_until_next_offset",
+    "start_ingest",
+]

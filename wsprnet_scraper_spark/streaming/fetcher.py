@@ -1,0 +1,168 @@
+"""Driver-side fetch loop: REST poll -> landing dir, with a durable cursor.
+
+This is the replacement for the reference's bash orchestration
+(/root/reference/wsprnet-scraper.sh): login + poll the wsprnet REST
+API from `spotnum_start`, land each batch as a file, advance the
+cursor only on success. Spark never sees HTTP — it reads the landing
+directory as a streaming file source (ingest.py), which makes the
+whole pipeline checkpointable and replayable (the reference's v0.9
+"backfill from archived files" mode falls out for free:
+wsprnet-scraper.sh:10).
+
+Design decisions mapped from the reference:
+
+- cursor = scalar spotnum offset held durably (ref keeps it in shell
+  memory, wsprnet-scraper.sh:191, advanced at :341); here it is an
+  atomically-rewritten JSON file, and `recover_cursor_from_sink`
+  reproduces the cold-start "seed from the sink's max(Spotnum)"
+  (:211-229).
+- failure => cursor NOT advanced => the next tick refetches the same
+  range (ref behavior: api_scrape_once returns non-zero and the
+  cursor update at :341 is skipped). Combined with the idempotent
+  sink (ingest.py) this is effective exactly-once.
+- landing files are written tmp-then-rename so the streaming source
+  never lists a half-written file.
+- scheduling is phase-locked to the 120 s WSPR cycle at offsets
+  {55, 85, 115} s (:344-376) — `seconds_until_next_offset` is the
+  pure function the daemon loop sleeps on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from pathlib import Path
+
+
+class Cursor:
+    """Durable scalar stream offset (last ingested Spotnum)."""
+
+    def __init__(self, path: str | os.PathLike):
+        self.path = Path(path)
+
+    def read(self) -> int:
+        """Last spotnum, or 0 when no cursor exists yet."""
+        try:
+            return int(json.loads(self.path.read_text())["last_spotnum"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return 0
+
+    def advance(self, spotnum: int) -> None:
+        """Atomically persist a new high-water mark."""
+        tmp = self.path.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps({"last_spotnum": int(spotnum)}))
+        tmp.replace(self.path)
+
+
+def recover_cursor_from_sink(spark, sink_path: str) -> int | None:
+    """Cold-start cursor recovery: max(Spotnum) already in the sink.
+
+    The "sink as source of truth" pattern (wsprnet-scraper.sh:211-229
+    does it with psql over the TimescaleDB table; with a JDBC sink use
+    spark.read.jdbc on the same one-row aggregate). Returns None when
+    the sink is empty or absent — the reference treats that as fatal
+    (exit 1, :228); the caller decides.
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        row = spark.read.parquet(sink_path).agg(F.max("Spotnum")).first()
+    except Exception:
+        return None
+    return None if row is None or row[0] is None else int(row[0])
+
+
+def seconds_until_next_offset(
+    now_epoch: float, first: int = 55, gap: int = 30, cycle: int = 120
+) -> float:
+    """Seconds to sleep until the next in-cycle fire offset.
+
+    The reference fires at offsets {55, 85, 115} s of each 120 s WSPR
+    cycle (WSPRNET_OFFSET_FIRST_SEC=55, gap 30; wsprnet-scraper.sh:
+    344-376). Pure function of the clock so it is testable; the daemon
+    loop is `sleep(seconds_until_next_offset(time.time()))`.
+    """
+    offsets = sorted(range(first, cycle, gap))
+    pos = now_epoch % cycle
+    for off in offsets:
+        if pos < off:
+            return off - pos
+    return (cycle - pos) + offsets[0]
+
+
+def land_batch(spots: list[dict], landing_dir: str | os.PathLike, batch_tag: str) -> Path:
+    """Write one fetched batch as an NDJSON landing file, atomically.
+
+    NDJSON (one spot object per line) rather than a JSON array because
+    the streaming file source splits by line; tmp-then-rename so a
+    concurrent streaming query never lists a partial file. The unique
+    tag subsumes the reference's collision-sleep-restamp loop
+    (wsprnet-scraper.sh:126-141).
+    """
+    landing = Path(landing_dir)
+    landing.mkdir(parents=True, exist_ok=True)
+    final = landing / f"spots-{batch_tag}-{uuid.uuid4().hex[:8]}.json"
+    tmp = final.with_suffix(".tmp")
+    with tmp.open("w") as f:
+        for s in spots:
+            f.write(json.dumps(s) + "\n")
+    tmp.replace(final)
+    return final
+
+
+def fetch_once(fetch_fn, cursor: Cursor, landing_dir: str | os.PathLike) -> int:
+    """One poll tick: fetch spots after the cursor, land them, advance.
+
+    `fetch_fn(spotnum_start) -> list[dict]` is injected — the real one
+    POSTs to the wsprnet REST API (http_fetch_spots below); tests and
+    backfill replay inject synthetic/archived generators. Returns the
+    number of spots landed. Any exception propagates with the cursor
+    untouched — the next tick retries the same range (ref error path:
+    wsprnet-scraper.sh:417-419).
+    """
+    start = cursor.read()
+    spots = fetch_fn(start)
+    if not spots:
+        return 0
+    land_batch(spots, landing_dir, batch_tag=str(start))
+    cursor.advance(max(int(s["Spotnum"]) for s in spots))
+    return len(spots)
+
+
+def http_fetch_spots(
+    api_url: str,
+    session_cookie: str,
+    spotnum_start: int,
+    band: str = "All",
+    exclude_special: int = 1,
+    timeout: int = 120,
+) -> list[dict]:
+    """POST /drupal/wsprnet/spots/json with the session cookie.
+
+    Mirror of the curl call at wsprnet-scraper.sh:230-233 (including
+    the 120 s timeout and the exclude_special server-side predicate
+    pushdown). Gated behind an import-try: the runtime environment has
+    no network/`requests`; inject a different fetch_fn there.
+    """
+    try:
+        import requests  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover - env without requests
+        raise NotImplementedError(
+            "http_fetch_spots needs the `requests` package; inject a "
+            "custom fetch_fn into fetch_once instead"
+        ) from e
+    resp = requests.post(  # pragma: no cover - needs network
+        api_url,
+        json={
+            "spotnum_start": spotnum_start,
+            "band": band,
+            "callsign": "",
+            "reporter": "",
+            "exclude_special": exclude_special,
+        },
+        headers={"Cookie": session_cookie},
+        timeout=timeout,
+    )
+    resp.raise_for_status()  # pragma: no cover
+    return resp.json()  # pragma: no cover
