@@ -53,30 +53,34 @@ def minhash_signatures(
     doc's shingles; salts are grouped into bands of `rows_per_band`
     and concatenated into a band signature. Equal band signature =>
     candidate pair (prob ≈ jaccard^rows_per_band per band).
+
+    Column-per-hash layout: all `num_hashes` mins are computed in ONE
+    groupBy (num_hashes MIN aggregates with map-side partial combine)
+    instead of exploding a salt column and aggregating twice — the
+    explode form costs an extra num_hashes× shuffle volume plus two
+    exchanges. Band rows are then a shuffle-free posexplode of the
+    already-reduced per-doc row.
     """
-    salts = F.explode(
-        F.array(*[F.lit(i) for i in range(num_hashes)])
-    ).alias("salt")
-    return (
-        shingled.select("doc", "shingle", salts)
-        .withColumn("band", (F.col("salt") / rows_per_band).cast("int"))
-        .withColumn(
-            "h", F.md5(F.concat(F.col("salt").cast("string"), F.lit("|"), F.col("shingle")))
-        )
-        .groupBy("doc", "band", "salt")
-        .agg(F.min("h").alias("minh"))
-        .groupBy("doc", "band")
-        .agg(
-            F.concat_ws(
-                "|",
-                F.sort_array(
-                    F.collect_list(
-                        F.concat(F.col("salt").cast("string"), F.lit(":"), F.col("minh"))
-                    )
-                ),
-            ).alias("sig")
-        )
+    mins = shingled.groupBy("doc").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
+    band_structs = []
+    for band in range(num_hashes // rows_per_band):
+        salts = range(band * rows_per_band, (band + 1) * rows_per_band)
+        sig = F.concat_ws(
+            "|", *[F.concat_ws(":", F.lit(str(i)), F.col(f"_h{i}")) for i in salts]
+        )
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), sig.alias("sig"))
+        )
+    return mins.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_bs")
+    ).select("doc", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
 
 
 def candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -133,6 +137,12 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Bit b of md5(token) votes +1/-1; the signed per-bit sums give the
     fingerprint. All integer arithmetic — engine-exact.
+
+    Column-per-bit layout: the 16 per-bit vote sums are 16 SUM
+    aggregates in ONE groupBy (bit positions are compile-time
+    constants, so the nibble/shift expressions fold into literals per
+    column) instead of exploding 16 bit rows per token and shuffling
+    twice — 16× less shuffle volume, one exchange instead of two.
     """
     toks = (
         df.select(
@@ -142,25 +152,19 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .distinct()
         .withColumn("h", F.md5("tok"))
     )
-    bits = toks.select(
-        "doc",
-        "h",
-        F.explode(F.array(*[F.lit(b) for b in range(16)])).alias("b"),
-    )
-    # nibble of the hex digit holding bit b, then extract the bit;
-    # expr form because shiftleft/shiftright take Column shift amounts
-    # only through SQL
-    vote = (
-        bits.withColumn(
-            "nib",
-            F.conv(F.col("h").substr((F.col("b") / 4).cast("int") + 1, F.lit(1)), 16, 10).cast("int"),
-        )
-        .withColumn("bit", F.expr("shiftright(nib, CAST(b % 4 AS INT)) & 1"))
-        .withColumn("vote", F.col("bit") * 2 - 1)
-    )
-    per_bit = vote.groupBy("doc", "b").agg(F.sum("vote").alias("s"))
-    return per_bit.groupBy("doc").agg(
+    votes = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, CAST(b AS INT))")).otherwise(0)
-        ).alias("simhash")
-    )
+            (
+                F.expr(f"shiftright(conv(substr(h, {b // 4 + 1}, 1), 16, 10), {b % 4}) & 1")
+                * 2
+                - 1
+            )
+        ).alias(f"_s{b}")
+        for b in range(16)
+    ]
+    per_doc = toks.groupBy("doc").agg(*votes)
+    fingerprint = None
+    for b in range(16):
+        term = F.when(F.col(f"_s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select("doc", fingerprint.alias("simhash"))

@@ -167,21 +167,17 @@ def sort_by_spotnum(df: DataFrame) -> DataFrame:
     return df.orderBy("Spotnum")
 
 
-def gap_stats(df: DataFrame) -> DataFrame:
+def gap_stats(df: DataFrame, block_size: int = 1 << 20) -> DataFrame:
     """Sequence-gap telemetry over Spotnum (wsprnet-scraper.sh:284-309).
 
     Returns a single row: total_gaps (count of non-contiguous steps),
-    total_missing (sum of missing ids), max_gap_size.
+    total_missing (sum of missing ids), max_gap_size. Delegates to the
+    block-partitioned operator (operators/sequence.py) — a global
+    unpartitioned lag window would run in one task at scale.
     """
-    w = Window.orderBy("Spotnum")
-    gaps = df.withColumn(
-        "gap", F.col("Spotnum") - F.lag("Spotnum", 1).over(w) - 1
-    ).filter(F.col("gap") > 0)
-    return gaps.agg(
-        F.count("gap").alias("total_gaps"),
-        F.coalesce(F.sum("gap"), F.lit(0)).alias("total_missing"),
-        F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap_size"),
-    )
+    from .operators.sequence import gap_stats as _gap_stats
+
+    return _gap_stats(df, "Spotnum", block_size)
 
 
 def write_wire_csv(df: DataFrame, path: str) -> None:

@@ -366,8 +366,10 @@ FROM gaps WHERE gap > 0
 """,
 )
 def agg_gap_stats(spark, sf_dir):
-    """Sequence-gap telemetry (ref: wsprnet-scraper.sh:284-309)."""
-    return pipeline.gap_stats(synth_spots(spark, sf_dir))
+    """Sequence-gap telemetry (ref: wsprnet-scraper.sh:284-309).
+    block_size 8192 so the test SFs actually exercise the block-
+    partitioned parallel path, boundary gaps included."""
+    return pipeline.gap_stats(synth_spots(spark, sf_dir), block_size=8192)
 
 
 @register(
@@ -381,16 +383,13 @@ SELECT "Spotnum", CAST(gap AS BIGINT) AS gap FROM gaps WHERE gap > 0
 """,
 )
 def win_gap_lag(spark, sf_dir):
-    """Per-row lag diff over the ordered sequence (ref: wsprnet-scraper.sh:284-309)."""
-    from pyspark.sql import Window
+    """Per-row lag diff over the ordered sequence (ref:
+    wsprnet-scraper.sh:284-309). Block-partitioned (operators/
+    sequence.py) — same rows as a global lag, but parallel: an
+    unpartitioned window is a single task at scale."""
+    from ..operators.sequence import sequence_gaps
 
-    w = Window.orderBy("Spotnum")
-    s = synth_spots(spark, sf_dir)
-    return (
-        s.withColumn("gap", F.col("Spotnum") - F.lag("Spotnum", 1).over(w) - 1)
-        .filter(F.col("gap") > 0)
-        .select("Spotnum", "gap")
-    )
+    return sequence_gaps(synth_spots(spark, sf_dir), "Spotnum", 8192)
 
 
 @register(

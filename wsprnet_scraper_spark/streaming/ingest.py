@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import pipeline
@@ -63,28 +63,22 @@ class GapMonitor:
     def observe(self, batch_df: DataFrame, batch_id: int) -> None:
         """Record intra-batch gap stats and the inter-batch boundary gap.
 
-        One aggregate job per batch (min, max, count, gap stats fused
-        into a single pass after the lag window).
+        Gap detection uses the block-partitioned operator
+        (operators/sequence.py) so a large backfill batch doesn't
+        funnel through a single-task global window; normal scrape
+        batches (~2k rows) don't notice either way.
         """
-        w = Window.orderBy("Spotnum")
-        gaps = (
-            batch_df.select("Spotnum")
-            .withColumn("gap", F.col("Spotnum") - F.lag("Spotnum", 1).over(w) - 1)
-        )
-        row = gaps.agg(
+        from ..operators.sequence import gap_stats as _gap_stats
+
+        ids = batch_df.select("Spotnum")
+        summary = ids.agg(
             F.min("Spotnum").alias("first_spotnum"),
             F.max("Spotnum").alias("last_spotnum"),
             F.count(F.lit(1)).alias("n_spots"),
-            F.count(F.when(F.col("gap") > 0, 1)).alias("total_gaps"),
-            F.coalesce(F.sum(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)).alias(
-                "total_missing"
-            ),
-            F.coalesce(F.max(F.when(F.col("gap") > 0, F.col("gap"))), F.lit(0)).alias(
-                "max_gap_size"
-            ),
         ).first()
-        if row is None or row["n_spots"] == 0:
+        if summary is None or summary["n_spots"] == 0:
             return
+        row = {**summary.asDict(), **_gap_stats(ids).first().asDict()}
         boundary_gap = (
             None
             if self.last_spotnum is None
