@@ -130,6 +130,34 @@ def fetch_once(fetch_fn, cursor: Cursor, landing_dir: str | os.PathLike) -> int:
     return len(spots)
 
 
+def extract_session_cookie(login_response_json: str) -> str:
+    """`session_name=sessid` cookie from the login response body.
+
+    The reference shreds the JSON with tr/sed
+    (wsprnet-scraper.sh:174-175,201-202); this is the same extraction
+    done with a real JSON parser. Raises KeyError if either field is
+    absent (the reference would silently build a broken cookie)."""
+    import json as _json
+
+    obj = _json.loads(login_response_json)
+    return f"{obj['session_name']}={obj['sessid']}"
+
+
+def http_login(api_url: str, user: str, password: str, timeout: int = 60) -> str:
+    """POST /drupal/rest/user/login -> session cookie
+    (wsprnet-scraper.sh:169-188, 60 s timeout). Gated like
+    http_fetch_spots."""
+    try:
+        import requests  # noqa: PLC0415
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("http_login needs `requests`") from e
+    resp = requests.post(  # pragma: no cover - needs network
+        api_url, json={"name": user, "pass": password}, timeout=timeout
+    )
+    resp.raise_for_status()  # pragma: no cover
+    return extract_session_cookie(resp.text)  # pragma: no cover
+
+
 def http_fetch_spots(
     api_url: str,
     session_cookie: str,
