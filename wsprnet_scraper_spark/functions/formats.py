@@ -46,6 +46,17 @@ def fmt3(x: Column) -> Column:
     Pre-round half-to-even at the 3rd decimal with rint (exact for the
     dyadic tie cases), then let Java's %.3f render the already-rounded
     value; NaN/inf spelled the C way.
+
+    Contract (see tests/test_enrich_property.py): matches C/Python
+    %.3f for every exact 3-decimal midpoint (dyadic odd multiples of
+    1/16 — the only doubles whose exact expansion IS a midpoint, e.g.
+    Maidenhead's x.0625 steps: both sides round half-even) and for all
+    values whose double product x*1000 does not round EXACTLY onto
+    k+0.5. The remaining family — near-midpoints like 0.0005 whose
+    product collapses onto the tie but whose exact value is not one —
+    is rounded half-even here and half-away by C; it cannot arise from
+    the enrichment math (trig irrationals, /24 and /48 locator
+    arithmetic), which the byte-exact golden fixture pins.
     """
     rounded = F.rint(x * 1000.0) / 1000.0
     return (
