@@ -162,3 +162,27 @@ def test_checkpoint_restart_no_reprocess(spark, tmp_path):
 
 def test_recover_cursor_empty_sink(spark, tmp_path):
     assert recover_cursor_from_sink(spark, str(tmp_path / "nope")) is None
+
+
+def test_mirror_fanout_two_sinks(spark, tmp_path):
+    """The ClickHouse-analog: a second sink fed from the same deduped
+    batch in one foreachBatch (SURVEY §2.1 snk_clickhouse)."""
+    landing = tmp_path / "landing"
+    mirror_dir = str(tmp_path / "mirror")
+    cursor = Cursor(tmp_path / "cursor.json")
+    fetch_once(lambda s: [make_spot(n) for n in range(1, 8)], cursor, landing)
+
+    def mirror(batch_df, batch_id):
+        batch_df.select("Spotnum", "wd_band").write.mode("append").parquet(mirror_dir)
+
+    q = start_ingest(
+        spark,
+        str(landing),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        mirror_fn=mirror,
+    )
+    q.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "sink")).count() == 7
+    m = spark.read.parquet(mirror_dir)
+    assert m.count() == 7 and set(m.columns) == {"Spotnum", "wd_band"}

@@ -125,6 +125,7 @@ def start_ingest(
     monitor: GapMonitor | None = None,
     available_now: bool = True,
     processing_time: str = "30 seconds",
+    mirror_fn=None,
 ):
     """Start the ingest query: landing stream -> enrich -> parquet sink.
 
@@ -134,6 +135,13 @@ def start_ingest(
     reference's cycle; exact 55/85/115 phase alignment is the
     *fetcher's* job, so the Spark trigger only needs to keep up).
     Returns the StreamingQuery.
+
+    `mirror_fn(batch_df, batch_id)` is an optional SECOND sink run in
+    the same foreachBatch over the same deduped batch — the
+    reference's optional ClickHouse import next to the TimescaleDB
+    load (wsprnet-scraper.sh:405-407,426-429; SURVEY §2.1
+    snk_clickhouse). The batch is cached, so fan-out costs one extra
+    write, not a recompute.
     """
     monitor = monitor if monitor is not None else GapMonitor()
 
@@ -142,6 +150,8 @@ def start_ingest(
         try:
             monitor.observe(deduped, batch_id)
             deduped.write.mode("append").parquet(sink_dir)
+            if mirror_fn is not None:
+                mirror_fn(deduped, batch_id)
         finally:
             deduped.unpersist()
 
