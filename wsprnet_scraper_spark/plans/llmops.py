@@ -334,6 +334,47 @@ def text_token_count(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_curation",
+    """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))::DOUBLE
+      / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio <= 0.5
+)
+SELECT md5(text) AS text_md5, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(n_tokens) AS INT) AS n_tokens
+FROM filtered GROUP BY md5(text)
+""",
+)
+def pipe_curation(spark, sf_dir):
+    """The composite corpus-curation pipeline: quality scoring ->
+    filter -> exact dedup, as one declarative plan (filter pushes
+    below the dedup shuffle; one exchange total)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "text",
+        text.ws_token_count(t).alias("n_tokens"),
+        (text.stopword_hits(t).cast("double") / text.ws_token_count(t)).alias(
+            "stop_ratio"
+        ),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") <= 0.5))
+    return filtered.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+
+
 # --------------------------------------------------------------- multimodal
 
 

@@ -15,6 +15,7 @@ Pandas-UDF paths.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +26,17 @@ def cpu_count() -> int:
 
 def get_session(app_name: str = "wsprnet_scraper_spark") -> SparkSession:
     cpus = cpu_count()
+    # Python workers must be able to import this package even when the
+    # driver script runs from elsewhere (sys.path edits don't reach
+    # forked workers): export the package parent on PYTHONPATH before
+    # the JVM starts. On a real cluster the equivalent is --py-files /
+    # spark.submit.pyFiles with the packaged wheel.
+    pkg_parent = str(Path(__file__).resolve().parents[1])
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{existing}" if existing else pkg_parent
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
