@@ -34,8 +34,10 @@ HEADLINE = [
     "topk_per_group",      # row_number + filter
     "dedup_exact",         # hash groupBy dedup over documents
     "dedup_minhash",       # MinHash+LSH near-dup over documents
+    "dedup_embedding",     # LSH-bucketed cosine near-dup over embeddings
     "sim_topk_bruteforce", # cosine top-k over embeddings
     "text_quality",        # text scoring over documents
+    "pipe_curation",       # composite curation pipeline over documents
     "strm_tumbling",       # 2-min tumbling windows over events
     "set_union",           # set op + dedup shuffle
 ]

@@ -116,27 +116,41 @@ def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
 
     Plane weight w(j,i) = 2*nibble(md5(j||'_'||i)) - 15 (odd, in
     [-15,15]); vector component quantized to floor(x*1000).
+
+    Pure projection — ZERO shuffle: each plane's dot product is a
+    `transform((x, i) -> vq(x) * w(j, i))` + `aggregate` fold over the
+    embedding array, and the bucket is the sign-bit sum of the
+    `num_planes` folds. The previous form posexploded dims × planes
+    (a dims*planes-fold row blowup) and aggregated twice; bucketing
+    100 TB of vectors now costs exactly one scan.
     """
-    dims = emb.select(
-        "vec_id", F.posexplode(_as_double(F.col("embedding"))).alias("i", "x")
-    ).withColumn("vq", F.floor(F.col("x") * 1000).cast("long"))
-    planes = F.explode(F.array(*[F.lit(j) for j in range(num_planes)])).alias("j")
-    contrib = dims.select("vec_id", "vq", "i", planes).withColumn(
-        "w",
-        F.conv(
-            F.substring(F.md5(F.concat_ws("_", F.col("j"), F.col("i"))), 1, 1), 16, 10
-        ).cast("long")
-        * 2
-        - 15,
+    vq = F.transform(
+        _as_double(F.col("embedding")), lambda x: F.floor(x * 1000).cast("long")
     )
-    per_plane = contrib.groupBy("vec_id", "j").agg(
-        F.sum(F.col("vq") * F.col("w")).alias("s")
-    )
-    return per_plane.groupBy("vec_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1, CAST(j AS INT))")).otherwise(0)
-        ).alias("bucket")
-    )
+
+    def plane_sum(j: int):
+        contrib = F.transform(
+            vq,
+            lambda x, i: x
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("_", F.lit(str(j)), i.cast("string"))), 1, 1
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * 2
+                - 15
+            ),
+        )
+        return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    bucket = None
+    for j in range(num_planes):
+        term = F.when(plane_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
 def lsh_bucket_topk(
