@@ -579,10 +579,13 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 100000
 """,
 )
 def set_except(spark, sf_dir):
+    """EXCEPT (distinct) semantics = subtract: a key present in b at
+    all is dropped. NOT exceptAll().distinct(), which keeps keys whose
+    multiplicity in a exceeds that in b."""
     o = load(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 # -------------------------------------------------- projections / predicates
