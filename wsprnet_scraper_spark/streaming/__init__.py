@@ -15,13 +15,18 @@ from .fetcher import (
     seconds_until_next_offset,
 )
 from .ingest import read_spot_stream, start_ingest
+from .rollup import RollupTable, continuous_rollup
+from .stateful import track_sequences
 
 __all__ = [
     "Cursor",
+    "RollupTable",
+    "continuous_rollup",
     "fetch_once",
     "land_batch",
     "read_spot_stream",
     "recover_cursor_from_sink",
     "seconds_until_next_offset",
     "start_ingest",
+    "track_sequences",
 ]
