@@ -149,6 +149,41 @@ def udaf_grouped_range(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------- sketches
+
+
+@register(
+    "agg_approx_sketches",
+    """
+SELECT l_returnflag,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_nd,
+  CAST(abs(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+       <= 0.05 * COUNT(DISTINCT l_orderkey) AS BOOLEAN) AS hll_ok,
+  CAST(abs(approx_quantile(l_extendedprice, 0.5) - median(l_extendedprice))
+       <= 0.05 * median(l_extendedprice) AS BOOLEAN) AS q50_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_approx_sketches(spark, sf_dir):
+    """Sketch aggregates (HyperLogLog count-distinct, approximate
+    percentile) judged on their ACCURACY CONTRACT: each engine runs
+    its own sketch and asserts it lands within 5% of its own exact
+    value — the booleans (plus the exact counts) are what cross-engine
+    comparison checks, since sketch internals legitimately differ
+    between engines. These are the 100 TB cardinality/quantile tools:
+    one pass, fixed memory, mergeable partials."""
+    li = load(spark, sf_dir, "lineitem")
+    exact_nd = F.countDistinct("l_orderkey")
+    approx_nd = F.approx_count_distinct("l_orderkey", rsd=0.02)
+    exact_med = F.expr("percentile(l_extendedprice, 0.5)")
+    approx_med = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+    return li.groupBy("l_returnflag").agg(
+        exact_nd.alias("exact_nd"),
+        (F.abs(approx_nd - exact_nd) <= 0.05 * exact_nd).alias("hll_ok"),
+        (F.abs(approx_med - exact_med) <= 0.05 * exact_med).alias("q50_ok"),
+    )
+
+
 # ---------------------------------------------------------- grouping sets
 
 
