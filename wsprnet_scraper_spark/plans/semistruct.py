@@ -149,6 +149,51 @@ def udaf_grouped_range(spark, sf_dir):
     )
 
 
+# ------------------------------------------------- grouped-map applyInPandas
+
+
+@register(
+    "udf_grouped_map_rank",
+    """
+SELECT o_custkey, o_orderkey,
+  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       AS INT) AS price_rank
+FROM orders WHERE o_custkey % 10 = 0
+""",
+)
+def udf_grouped_map_rank(spark, sf_dir):
+    """Grouped-map applyInPandas: whole group in, whole group out —
+    per-customer price ranking computed in pandas. Integer semantics
+    with a deterministic tiebreaker so the result is exact (the
+    native Window.rank is the oracle). The shape a per-group
+    featurizer/normalizer uses at scale: one Arrow exchange per
+    group, no driver involvement."""
+    import pandas as pd
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        # the sort key includes the unique orderkey, so rank() over it
+        # never ties: positions ARE the ranks
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "price_rank": range(1, len(pdf) + 1),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .groupBy("o_custkey")
+        .applyInPandas(
+            rank_group, schema="o_custkey long, o_orderkey long, price_rank int"
+        )
+    )
+
+
 # ------------------------------------------------------------- sketches
 
 
