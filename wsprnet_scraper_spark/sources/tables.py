@@ -1,7 +1,22 @@
 """Loaders for the driver test tables (TPC-H-ish star schema + events).
 
-`load` is a thin parquet scan — Catalyst handles column pruning and
-predicate pushdown, so callers just read and filter/select.
+`load` is a parquet scan — Catalyst handles column pruning and
+predicate pushdown, so callers just read and filter/select — plus a
+scan-parallelism heal: the test tables are single-file, single-row-
+group parquet, and one row group can only ever be read by one task
+(byte-range splits assign whole row groups), so every map-side
+pipeline over them would otherwise run serially no matter how many
+cores the session has. When a non-tiny table's scan yields far fewer
+partitions than the session's parallelism, `load` inserts an explicit
+round-robin `repartition(cores)` — a few-MB shuffle that unlocks full
+fan-out for the expensive per-row work downstream (trig, string
+formatting, shingling). On a real cluster reading a 100 TB table the
+scan already yields thousands of splits and the guard makes this a
+no-op; it exists precisely for the reference's workload shape, where
+one scrape batch is one small file (wsprnet-scraper.sh:233 lands one
+curl body per cycle). The explicit partition count matters: AQE's
+coalescePartitions leaves REPARTITION_BY_NUM shuffles alone, while a
+bare `repartition()` would be coalesced right back to one partition.
 
 `load_events` papers over a reader gap: events.parquet stores its
 `ts` column as parquet TIMESTAMP(NANOS), which Spark's vectorized
@@ -15,13 +30,50 @@ identical microsecond timestamps.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# Tables at or under this size stay as-scanned: they are broadcast
+# dimensions (region/nation/supplier/part) where an extra exchange
+# buys nothing.
+_PARALLELIZE_MIN_BYTES = 256 << 10
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallel: str = "auto"
+) -> DataFrame:
+    """Read one test table.
+
+    parallel: "auto" heals under-parallel scans of non-tiny local
+    files (see module docstring); "always" forces the heal regardless
+    of size (for compute-heavy plans over small tables, e.g. MinHash
+    shingling over `documents`); "never" returns the raw scan
+    (for plans that must observe the on-disk layout).
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if parallel == "never":
+        return df
+    try:
+        nbytes = os.path.getsize(path)
+    except OSError:
+        return df  # non-local path: trust the scan's own layout
+    if parallel == "auto" and nbytes < _PARALLELIZE_MIN_BYTES:
+        return df
+    # Estimate the scan's split count statically (size / maxPartitionBytes)
+    # instead of probing df.rdd.getNumPartitions(): the probe forces
+    # analysis + RDD conversion of the scan on the driver, which costs
+    # more than the heal saves on sub-second queries.
+    cores = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    est_splits = max(1, -(-nbytes // max_split))
+    if est_splits * 2 <= cores:
+        df = df.repartition(cores)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
