@@ -22,3 +22,26 @@ def test_pandas_topk_matches_exact(spark):
     assert set(exact) == set(fast)
     for key, v in exact.items():
         assert math.isclose(v, fast[key], rel_tol=1e-12), (key, v, fast[key])
+
+
+def test_ivf_scores_exact_and_self_first(spark):
+    from wsprnet_scraper_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["qid"], r["vec_id"]): r["cosine"]
+        for r in cosine_topk(emb, qids, k=1000).collect()
+    }
+    ivf = ivf_topk(emb, qids, k=3, num_centroids=8, nprobe=2).collect()
+    by_q: dict[int, list] = {}
+    for r in ivf:
+        # every IVF hit carries the bit-exact brute-force cosine
+        assert exact[(r["qid"], r["vec_id"])] == r["cosine"]
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        # the query's own vector lives in its own nearest cell, which
+        # is always probed -> rank 1 is itself at cosine 1.0
+        top = max(rows, key=lambda r: (r["cosine"], -r["vec_id"]))
+        assert top["vec_id"] == qid
+        assert math.isclose(top["cosine"], 1.0, rel_tol=1e-12)

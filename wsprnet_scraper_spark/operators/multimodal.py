@@ -61,6 +61,78 @@ def decode_metadata(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
+FEATURE_SCHEMA = (
+    "doc_id long, feat_dim int, feature_csv string,"
+    " top_bin int, top_count long, nonzero_bins int"
+)
+
+
+def extract_features(binary_df: DataFrame, num_bins: int = 16) -> DataFrame:
+    """mapInPandas featurizer: `num_bins`-bin byte histogram per
+    payload, plus summary stats. STUB for a real embedding/CNN
+    featurizer — swap `np.bincount` for a model call and nothing else
+    changes: the Arrow batch path, the per-batch numpy vectorization,
+    and the typed output contract are the real scale plumbing. The
+    feature vector rides along serialized (`feature_csv`, exact
+    integers) so the cross-engine hash stays stable.
+
+    Ties on `top_bin` go to the lowest bin (np.argmax first-hit).
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "feat_dim": [], "feature_csv": [],
+                "top_bin": [], "top_count": [], "nonzero_bins": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(b >> 4, minlength=num_bins)[:num_bins]
+                out["doc_id"].append(doc_id)
+                out["feat_dim"].append(num_bins)
+                out["feature_csv"].append(",".join(str(int(x)) for x in hist))
+                out["top_bin"].append(int(hist.argmax()))
+                out["top_count"].append(int(hist.max()))
+                out["nonzero_bins"].append(int((hist > 0).sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, in_w int, in_h int, out_w int, out_h int, out_bytes long"
+
+
+def resize_meta(binary_df: DataFrame, box: int = 64) -> DataFrame:
+    """Aspect-preserving resize into a `box`×`box` bounding box.
+
+    Input dims come from the stubbed decode (`_fake_decode` geometry,
+    clamped to ≥1); the integer fit arithmetic is the real contract a
+    pixel kernel would honor (floor scaling, never upscale, min dim
+    1). Vectorized numpy over Arrow batches — no per-row Python.
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len).to_numpy(dtype=np.int64)
+            w = np.maximum(1, n % 640)
+            h = np.maximum(1, (n * 7) % 480)
+            m = np.maximum(w, h)
+            out_w = np.where(m <= box, w, np.maximum(1, w * box // m))
+            out_h = np.where(m <= box, h, np.maximum(1, h * box // m))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "in_w": w, "in_h": h,
+                    "out_w": out_w, "out_h": out_h,
+                    "out_bytes": out_w * out_h,
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, id_col: str, text_col: str, stride: int = 3) -> DataFrame:
     """UDTF-shaped frame sampler: one row per sampled 'frame'
     (64-byte chunk), every `stride`-th frame, with a deterministic

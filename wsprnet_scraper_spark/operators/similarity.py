@@ -208,6 +208,90 @@ def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
     return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest-centroid cell, probe only each query's `nprobe` nearest
+    cells, exact cosine re-rank inside them.
+
+    The codebook is the first `num_centroids` vectors by id — a
+    deterministic stand-in for a k-means-trained codebook (training is
+    an offline job; the serving plan is identical either way). The
+    codebook is collected once and inlined as literal arrays, so cell
+    assignment is a pure projection — ZERO shuffle over the corpus,
+    the same property as `hyperplane_buckets`. At 100 TB the corpus
+    never moves: assignment + probe filter touch each row once via the
+    broadcast query set, and the only shuffle is the final per-query
+    top-k over the probed cells' survivors (~corpus/num_centroids ×
+    nprobe rows). `nprobe` is the recall/cost dial.
+
+    Cross-engine exactness: centroid components are float32→double
+    (exact); dot products and norms are fixed-order left folds, so
+    cell assignment compares bit-identical doubles in any engine that
+    folds left (DuckDB's list_reduce does). Ties on assignment go to
+    the lowest centroid id.
+    """
+    rows = (
+        emb.filter(F.col("vec_id") < num_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = []
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        c = [float(x) for x in r["embedding"]]
+        n2 = 0.0  # left fold, same order as _norm2 / SQL list_reduce
+        for x in c:
+            n2 += x * x
+        cents.append((int(r["vec_id"]), c, n2))
+
+    def sim_struct(cid: int, c: list[float], cn2: float):
+        carr = F.array(*[F.lit(x) for x in c])
+        s = _dot(F.col("v"), carr) / (F.sqrt(F.col("n2")) * F.sqrt(F.lit(cn2)))
+        # negated id so descending struct order breaks ties toward the
+        # LOWEST centroid id
+        return F.struct(s.alias("s"), F.lit(-cid).cast("long").alias("negc"))
+
+    structs = F.array(*[sim_struct(cid, c, cn2) for cid, c, cn2 in cents])
+    ranked = F.reverse(F.array_sort(structs))  # sim desc, ties -> low cid
+    cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
+    probe = F.transform(
+        F.slice(ranked, 1, nprobe), lambda t: (-t["negc"]).cast("long")
+    )
+
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .withColumn("cell", cell)
+    )
+    q = base.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        probe.alias("probe"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.array_contains(F.col("probe"), F.col("cell"))
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
 def lsh_bucket_topk(
     emb: DataFrame, query_ids: list[int], k: int = 3, num_planes: int = 8
 ) -> DataFrame:

@@ -239,6 +239,54 @@ def sim_lsh_bucketed(spark, sf_dir):
 
 
 @register(
+    "sim_ivf",
+    f"""
+WITH {_COS_SQL.replace("scored AS", "scored_unused AS")},
+cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM base WHERE vec_id < 8),
+sims AS (
+  SELECT b.vec_id, c.cid,
+    list_reduce(list_transform(list_zip(b.v, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(b.n2) * sqrt(c.cn2)) AS sim
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cid AS pcell FROM assign WHERE vec_id < 5 AND rn <= 2),
+cand AS (
+  SELECT DISTINCT p.qid, b.vec_id, b.v, b.n2
+  FROM base b JOIN cells cl ON b.vec_id = cl.vec_id
+  JOIN probes p ON cl.cell = p.pcell
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+    list_reduce(list_transform(list_zip(c.v, q.qv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(c.n2) * sqrt(q.qn2)) AS cosine
+  FROM cand c JOIN q ON c.qid = q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
+""",
+)
+def sim_ivf(spark, sf_dir):
+    """IVF ANN: nearest-centroid cells (codebook = first 8 vectors,
+    deterministic k-means stand-in), probe the query's 2 nearest
+    cells, exact cosine re-rank — the inverted-file counterpart to
+    the LSH scale path."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2
+    )
+
+
+@register(
     "dedup_embedding",
     f"""
 WITH {_LSH_SQL},
@@ -395,6 +443,80 @@ def mm_binary_meta(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     payload = multimodal.with_binary_payload(d, "doc_id", "text")
     return multimodal.decode_metadata(payload)
+
+
+@register(
+    "mm_feature_extract",
+    """
+WITH bytes AS (
+  SELECT doc_id, ascii(substr(text, i, 1)) // 16 AS bin
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+),
+hist AS (
+  SELECT d.doc_id, b.bin, count(y.bin) AS c
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bin) b
+  LEFT JOIN bytes y ON y.doc_id = d.doc_id AND y.bin = b.bin
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+    string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin) AS feature_csv,
+    CAST(count(*) FILTER (WHERE c > 0) AS INT) AS nonzero_bins,
+    CAST(max(c) AS BIGINT) AS top_count
+  FROM hist GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, CAST(bin AS INT) AS top_bin
+  FROM (
+    SELECT doc_id, bin,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bin) AS rn
+    FROM hist
+  ) WHERE rn = 1
+)
+SELECT a.doc_id, CAST(16 AS INT) AS feat_dim, a.feature_csv,
+       t.top_bin, a.top_count, a.nonzero_bins
+FROM agg a JOIN top t USING (doc_id)
+""",
+)
+def mm_feature_extract(spark, sf_dir):
+    """Byte-histogram feature extraction through the real
+    mapInPandas/Arrow path (numpy-vectorized kernel; a real model
+    featurizer drops in at the same seam)."""
+    d = load(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.extract_features(payload, num_bins=16)
+
+
+@register(
+    "mm_resize",
+    """
+WITH dims AS (
+  SELECT doc_id,
+    greatest(1, octet_length(encode(text)) % 640) AS in_w,
+    greatest(1, (octet_length(encode(text)) * 7) % 480) AS in_h
+  FROM documents
+),
+fit AS (
+  SELECT doc_id, in_w, in_h,
+    CASE WHEN greatest(in_w, in_h) <= 64 THEN in_w
+         ELSE greatest(1, in_w * 64 // greatest(in_w, in_h)) END AS out_w,
+    CASE WHEN greatest(in_w, in_h) <= 64 THEN in_h
+         ELSE greatest(1, in_h * 64 // greatest(in_w, in_h)) END AS out_h
+  FROM dims
+)
+SELECT doc_id, CAST(in_w AS INT) AS in_w, CAST(in_h AS INT) AS in_h,
+  CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+  CAST(out_w AS BIGINT) * out_h AS out_bytes
+FROM fit
+""",
+)
+def mm_resize(spark, sf_dir):
+    """Aspect-preserving resize-into-64×64 plumbing over binary
+    payloads (stubbed decode geometry, real integer fit contract)."""
+    d = load(spark, sf_dir, "documents")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.resize_meta(payload, box=64)
 
 
 @register(
