@@ -1,0 +1,91 @@
+"""Physical-plan assertions for the scale-critical properties.
+
+Correctness is gated by the DuckDB differential; these tests pin the
+*plan shapes* that make the same queries viable at 100 TB — broadcast
+joins for dims, partial aggregation, column pruning + predicate
+pushdown reaching the parquet scan, and the zero-shuffle property of
+the ANN bucket/cell assignments. A regression here wouldn't change
+answers, it would change the 1000-executor bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from wsprnet_scraper_spark.plans import QUERIES
+from wsprnet_scraper_spark.operators import similarity
+from wsprnet_scraper_spark.sources import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_5way_join_broadcasts_dims(spark):
+    plan = _plan(QUERIES["join_inner_5way"](spark, SF))
+    # region/nation (and at this SF customer/supplier) are dims: the
+    # join tree must broadcast them, never shuffle the fact table for
+    # a dim lookup
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_band_lookup_is_broadcast_left(spark):
+    plan = _plan(QUERIES["join_band_lookup"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan, plan
+
+
+def test_group_agg_is_partial_final(spark):
+    plan = _plan(QUERIES["agg_group_q1"](spark, SF))
+    # map-side combine: two HashAggregate levels around one exchange
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_curation_pipeline_single_exchange(spark):
+    plan = _plan(QUERIES["pipe_curation"](spark, SF))
+    # score -> filter -> dedup composes into ONE shuffle (the dedup
+    # groupBy); the quality filter runs map-side below it
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load(spark, SF, "lineitem", parallel="never").select(
+        "l_orderkey", "l_quantity"
+    )
+    scan = next(l for l in _plan(df).splitlines() if "FileScan" in l)
+    assert "l_orderkey" in scan and "l_quantity" in scan
+    assert "l_comment" not in scan and "l_shipdate" not in scan, scan
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    df = load(spark, SF, "lineitem", parallel="never").filter(
+        F.col("l_quantity") > 40
+    )
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity,40", plan), plan
+
+
+def test_lsh_bucket_assignment_zero_shuffle(spark):
+    emb = load(spark, SF, "embeddings", parallel="never")
+    plan = _plan(similarity.hyperplane_buckets(emb, num_planes=8))
+    assert "Exchange" not in plan, plan
+
+
+def test_ivf_corpus_side_zero_shuffle(spark):
+    # the full sim_ivf plan's only exchanges are the broadcast of the
+    # tiny query set and the final per-query top-k window — cell
+    # assignment over the corpus adds none (codebook is inlined)
+    plan = _plan(QUERIES["sim_ivf"](spark, SF))
+    shuffles = re.findall(r"Exchange (?:hash|range|SinglePartition)\S*", plan)
+    assert len(shuffles) <= 1, (shuffles, plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk1_plans_take_ordered(spark):
+    plan = _plan(QUERIES["topk_1"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
