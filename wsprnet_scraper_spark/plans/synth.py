@@ -46,7 +46,17 @@ FREQS = [
 
 
 def synth_spots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark side of the synthesizer (mirror of SYNTH_SPOTS_SQL)."""
+    """Spark side of the synthesizer (mirror of SYNTH_SPOTS_SQL).
+
+    Staged exactly like the SQL mirror: `_g6`/`_r4` (and the subsquare
+    case bases) materialize as named columns in intermediate
+    projections, then every downstream grid expression references them
+    by name. Inlining them instead duplicates the 6-concat subtree
+    ~8x across the CASE arms of ReporterGrid — the plan-size trap
+    documented in SCALE.md (staged projections, not expression
+    towers); Catalyst keeps the stages because multi-referenced
+    non-trivial aliases are not collapsed.
+    """
     ev = load_events(spark, sf_dir)
     n = F.col("event_id")
     u = F.col("user_id")
@@ -54,49 +64,64 @@ def synth_spots(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ch(base, off):
         return F.char(F.lit(base) + off)
 
-    tx4 = F.concat(
-        ch(65, n % 18), ch(65, u % 18), ch(48, n % 10), ch(48, u % 10)
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(n % 5 == 0, F.lit(65)).otherwise(F.lit(97)).alias("_txbase"),
+        F.when(u % 4 == 0, F.lit(65)).otherwise(F.lit(97)).alias("_rxbase"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "_txbase",
+        "_rxbase",
+        F.concat(
+            ch(65, n % 18),
+            ch(65, u % 18),
+            ch(48, n % 10),
+            ch(48, u % 10),
+            F.char(F.col("_txbase") + (n + u) % 24),
+            F.char(F.col("_txbase") + (n * 7 + 3) % 24),
+        ).alias("_g6"),
+        F.concat(
+            ch(65, (u + 7) % 18),
+            ch(65, (n + 11) % 18),
+            ch(48, (u + 1) % 10),
+            ch(48, (n + 2) % 10),
+        ).alias("_r4"),
     )
-    tx_base = F.when(n % 5 == 0, F.lit(65)).otherwise(F.lit(97))
-    tx6 = F.concat(
-        tx4,
-        F.char(tx_base + (n + u) % 24),
-        F.char(tx_base + (n * 7 + 3) % 24),
-    )
-    grid = F.when(n % 3 == 0, tx4).otherwise(tx6)
+    g6, r4 = F.col("_g6"), F.col("_r4")
+    grid = F.when(n % 3 == 0, F.substring(g6, 1, 4)).otherwise(g6)
 
-    rx4 = F.concat(
-        ch(65, (u + 7) % 18),
-        ch(65, (n + 11) % 18),
-        ch(48, (u + 1) % 10),
-        ch(48, (n + 2) % 10),
+    rgrid_normal = F.when(u % 5 == 0, r4).otherwise(
+        F.concat(
+            r4,
+            F.char(F.col("_rxbase") + (u + n * 3) % 24),
+            F.char(F.col("_rxbase") + (u * 11 + 2) % 24),
+        )
     )
-    rx_base = F.when(u % 4 == 0, F.lit(65)).otherwise(F.lit(97))
-    rx6 = F.concat(
-        rx4,
-        F.char(rx_base + (u + n * 3) % 24),
-        F.char(rx_base + (u * 11 + 2) % 24),
-    )
-    rgrid_normal = F.when(u % 5 == 0, rx4).otherwise(rx6)
 
     # meridian rows: same length and identical longitude characters
-    # (positions 1, 3, 5), latitude characters varied
+    # (positions 1, 3, 5), latitude characters varied. grid[i] == g6[i]
+    # for i <= 4, and the 6-char arm only fires when grid == g6, so the
+    # substrings read _g6 directly (as the SQL mirror does).
     mer4 = F.concat(
-        F.substring(grid, 1, 1),
+        F.substring(g6, 1, 1),
         ch(65, (u + 3) % 18),
-        F.substring(grid, 3, 1),
+        F.substring(g6, 3, 1),
         ch(48, (u + 5) % 10),
     )
     mer6 = F.concat(
-        mer4, F.substring(grid, 5, 1), F.char(tx_base + (u * 11 + 2) % 24)
+        mer4, F.substring(g6, 5, 1), F.char(F.col("_txbase") + (u * 11 + 2) % 24)
     )
     rgrid = F.when(
-        n % 13 == 0, F.when(F.length(grid) == 4, mer4).otherwise(mer6)
+        n % 13 == 0, F.when(n % 3 == 0, mer4).otherwise(mer6)
     ).otherwise(rgrid_normal)
 
     epoch = F.floor(F.unix_timestamp("ts") / 120) * 120
 
-    return ev.select(
+    return staged.select(
         (F.lit(1000000) + n + (n.cast("long") / 17).cast("long") * 3).alias("Spotnum"),
         epoch.cast("long").alias("Date"),
         F.concat(F.lit("R"), u).alias("Reporter"),
