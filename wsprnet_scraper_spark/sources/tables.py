@@ -58,6 +58,13 @@ def load(
     df = spark.read.parquet(path)
     if parallel == "never":
         return df
+    # SPARK_GRAFT_FORCE_HEAL upgrades "auto" to "always": bench.py sets
+    # it during warm-up so the warm plan has the same Exchange/codegen
+    # stage structure as the target-SF plan (a tiny warm-up table would
+    # otherwise skip the heal, compile a differently-fused stage, and
+    # leave the timed run paying JIT for the real shape).
+    if parallel == "auto" and os.environ.get("SPARK_GRAFT_FORCE_HEAL"):
+        parallel = "always"
     try:
         nbytes = os.path.getsize(path)
     except OSError:
