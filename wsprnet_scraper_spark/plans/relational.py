@@ -181,9 +181,11 @@ def join_inner_5way(spark, sf_dir):
     explicitly broadcast so the plan stays a single shuffle."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
+    # broadcast-destined dims skip the scan-parallelism heal: a
+    # repartition ahead of a BroadcastExchange is pure overhead
+    c = load(spark, sf_dir, "customer", parallel="never")
+    n = load(spark, sf_dir, "nation", parallel="never")
+    r = load(spark, sf_dir, "region", parallel="never")
     price, discount = dec("l_extendedprice"), dec("l_discount")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -233,7 +235,9 @@ WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal >
 def join_semi(spark, sf_dir):
     """LEFT SEMI join = EXISTS (gap-fill, SURVEY §2.3 ∅)."""
     o = load(spark, sf_dir, "orders")
-    rich = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    rich = load(spark, sf_dir, "customer", parallel="never").filter(
+        F.col("c_acctbal") > 5000
+    )  # broadcast build side: healing it would just add an exchange
     return o.join(
         F.broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi"
     ).select("o_orderkey", "o_custkey")
@@ -268,7 +272,7 @@ def join_range(spark, sf_dir):
     small side is broadcast so the nested-loop stays local per
     partition (gap-fill, SURVEY §2.3 ∅)."""
     li = load(spark, sf_dir, "lineitem").select("l_quantity")
-    p = load(spark, sf_dir, "part").select("p_size")
+    p = load(spark, sf_dir, "part", parallel="never").select("p_size")
     cond = (li.l_quantity >= p.p_size - 1) & (li.l_quantity <= p.p_size + 1)
     return (
         li.join(F.broadcast(p), cond)
