@@ -195,6 +195,52 @@ def strm_watermark(spark, sf_dir):
     )
 
 
+@register(
+    "strm_dedup_watermark",
+    """
+SELECT DISTINCT event_id FROM events
+""",
+)
+def strm_dedup_watermark(spark, sf_dir):
+    """`dropDuplicatesWithinWatermark` in a real streaming execution:
+    two copies of the stream (the second time-shifted +1 s, i.e. a
+    retried delivery arriving slightly later) are unioned, then
+    deduped on event_id with a 10-minute watermark — the state-bounded
+    form of the reference's Spotnum-PK idempotency (SURVEY §2.9
+    strm_atleastonce_queue): state for a key is dropped once the
+    watermark passes, so the dedup map can't grow with the stream.
+    Output is the key set only, so the result is deterministic
+    regardless of which copy survives."""
+    from pyspark.sql import types as T
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def src(shift_s: int):
+        s = spark.readStream.schema(raw_schema).parquet(
+            f"{sf_dir}/events.parque[t]"
+        )
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s.select(
+            "event_id", (F.col("ts") + F.expr(f"INTERVAL {shift_s} SECONDS")).alias("ts")
+        )
+
+    merged = src(0).union(src(1))
+    dd = merged.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"strm_dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id")
+
+
 def _ingest_oracle() -> str:
     # the batch-enrichment CTE chain from the wspr oracle: the streamed,
     # duplicated, deduped sink must equal one clean batch pass
