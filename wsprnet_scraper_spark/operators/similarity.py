@@ -208,12 +208,20 @@ def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
     return emb.select("vec_id", bucket.cast("long").alias("bucket"))
 
 
+# Built codebooks by caller-supplied key (e.g. the corpus path): IVF
+# separates index build (collect + norm the centroids, once) from
+# serving (pure projection per query). Without the cache every query
+# construction would re-run the tiny collect job.
+_CODEBOOKS: dict = {}
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 3,
     num_centroids: int = 8,
     nprobe: int = 2,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest-centroid cell, probe only each query's `nprobe` nearest
@@ -236,18 +244,23 @@ def ivf_topk(
     folds left (DuckDB's list_reduce does). Ties on assignment go to
     the lowest centroid id.
     """
-    rows = (
-        emb.filter(F.col("vec_id") < num_centroids)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cents = []
-    for r in sorted(rows, key=lambda r: r["vec_id"]):
-        c = [float(x) for x in r["embedding"]]
-        n2 = 0.0  # left fold, same order as _norm2 / SQL list_reduce
-        for x in c:
-            n2 += x * x
-        cents.append((int(r["vec_id"]), c, n2))
+    ck = (cache_key, num_centroids) if cache_key is not None else None
+    cents = _CODEBOOKS.get(ck) if ck else None
+    if cents is None:
+        rows = (
+            emb.filter(F.col("vec_id") < num_centroids)
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cents = []
+        for r in sorted(rows, key=lambda r: r["vec_id"]):
+            c = [float(x) for x in r["embedding"]]
+            n2 = 0.0  # left fold, same order as _norm2 / SQL list_reduce
+            for x in c:
+                n2 += x * x
+            cents.append((int(r["vec_id"]), c, n2))
+        if ck:
+            _CODEBOOKS[ck] = cents
 
     def sim_struct(cid: int, c: list[float], cn2: float):
         carr = F.array(*[F.lit(x) for x in c])

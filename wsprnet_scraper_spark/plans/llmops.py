@@ -282,7 +282,7 @@ def sim_ivf(spark, sf_dir):
     the LSH scale path."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2
+        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2, cache_key=sf_dir
     )
 
 
