@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's differential gate at any SF.
+
+Usage:
+    python tools/oracle_gate.py [--sf /root/testdata/sf0.01] [name ...]
+
+Runs each named query (default: all) through Spark AND its DuckDB
+oracle over the same parquet, comparing row count, sorted column
+names, and every value exactly — the same discipline as
+tests/test_queries_oracle.py, but pointable at sf0.01 (the driver's
+scale), where multiplicity bugs invisible at sf0.001 surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(v):
+    import decimal
+
+    if v is None or isinstance(v, (bool, int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return str(v)
+
+
+def _eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from wsprnet_scraper_spark.session import get_session
+
+    queries = entrymod.queries()
+    oracle = entrymod.oracle_sql()
+    names = args.names or sorted(queries)
+
+    spark = get_session("oracle-gate")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    failures = 0
+    for name in names:
+        if name not in queries:
+            print(f"{name}: UNKNOWN")
+            failures += 1
+            continue
+        sdf = queries[name](spark, args.sf)
+        scols = sorted(sdf.columns)
+        srows = sorted(
+            (tuple(_norm(r[c]) for c in scols) for r in sdf.collect()),
+            key=lambda t: tuple(repr(x) for x in t),
+        )
+        if name not in oracle:
+            print(f"{name}: rows-only ({len(srows)} rows)")
+            continue
+        res = con.execute(oracle[name])
+        dcols_raw = [d[0] for d in res.description]
+        order = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+        dcols = [dcols_raw[i] for i in order]
+        drows = sorted(
+            (tuple(_norm(r[i]) for i in order) for r in res.fetchall()),
+            key=lambda t: tuple(repr(x) for x in t),
+        )
+        if scols != dcols:
+            print(f"{name}: FAIL cols {scols} != {dcols}")
+            failures += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"{name}: FAIL rows {len(srows)} != {len(drows)}")
+            failures += 1
+            continue
+        bad = None
+        for srow, drow in zip(srows, drows):
+            for c, a, b in zip(scols, srow, drow):
+                if not _eq(a, b):
+                    bad = (c, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"{name}: FAIL value {bad}")
+            failures += 1
+        else:
+            print(f"{name}: ok ({len(srows)} rows)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,336 @@
+"""Subquery / CTE / sessionization capability suite.
+
+The reference has no query language at all (SURVEY.md §3: "no parser,
+no planner — the plan is the call graph"), so correlated subqueries,
+CTEs, and sessionization are pure capability fills. Each query is
+expressed the way Spark wants it:
+
+- EXISTS / IN            -> left-semi joins (Catalyst plans the same
+                            RewritePredicateSubquery result either way);
+- NOT EXISTS             -> left-anti join;
+- correlated scalar agg  -> a window over the correlation key (one
+                            shuffle) instead of agg + self-join (two);
+- scalar subquery vs all -> broadcast of a 1-row aggregate;
+- CTE chains             -> the real SQL surface (spark.sql over temp
+                            views) so the engine's SQL front door is
+                            exercised, not just the DataFrame API.
+
+Cross-engine exactness: avg comparisons are cross-multiplied into
+integer/decimal arithmetic (qty < sum/(5*cnt) becomes
+5*qty*cnt < sum), so no float division ever feeds a predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load, load_events
+from .registry import register
+
+DEC = "decimal(12,2)"
+
+
+def dec(c):
+    return F.col(c).cast(DEC)
+
+
+def _money(x: str) -> str:
+    return f"CAST({x} AS DECIMAL(12,2))"
+
+
+@register(
+    "sub_exists",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+)
+def sub_exists(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape): orders with at least one
+    lineitem shipped after the order date. The correlated predicate
+    references both sides, so it rides in the semi-join condition —
+    one shuffle on orderkey, probe side short-circuits on first match."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "sub_not_exists",
+    """
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+""",
+)
+def sub_not_exists(spark, sf_dir):
+    """Correlated NOT EXISTS -> left-anti join: customers who have
+    never placed an urgent order. The inner filter (o_orderpriority)
+    is pushed below the join, so the anti probe builds on ~1/5 of
+    orders; the join shuffles on custkey only."""
+    cust = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+@register(
+    "sub_in",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+""",
+)
+def sub_in(spark, sf_dir):
+    """Uncorrelated IN subquery -> left-semi join (never a collected
+    value list: the inner relation can be billions of keys at 100 TB)."""
+    li = load(spark, sf_dir, "lineitem")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    return li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "sub_scalar_avg",
+    f"""
+WITH pa AS (
+  SELECT l_partkey,
+    SUM({_money('l_quantity')}) AS sum_qty,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_weekly
+FROM lineitem JOIN pa USING (l_partkey)
+WHERE 5 * {_money('l_quantity')} * cnt < sum_qty
+""",
+)
+def sub_scalar_avg(spark, sf_dir):
+    """Correlated scalar-aggregate subquery (TPC-H Q17 shape):
+    lineitems with quantity below 20% of their part's average.
+
+    Spark plan: the per-part average is a window over l_partkey — ONE
+    shuffle total, vs two for the aggregate-then-rejoin the SQL oracle
+    spells (Catalyst can't fuse that rejoin; the window form is the
+    scale-out win). The avg comparison is cross-multiplied to decimal
+    (5*qty*cnt < sum) so it is exact in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey")
+    return (
+        li.withColumn("sum_qty", F.sum(dec("l_quantity")).over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+        .filter(F.lit(5) * dec("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+        .agg((F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_weekly"))
+    )
+
+
+@register(
+    "sub_scalar_global",
+    f"""
+WITH g AS (
+  SELECT SUM({_money('l_extendedprice')}) AS total,
+    CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_above
+FROM lineitem, g
+WHERE {_money('l_extendedprice')} * cnt > total
+GROUP BY l_returnflag
+""",
+)
+def sub_scalar_global(spark, sf_dir):
+    """Uncorrelated scalar subquery: rows above the global average
+    price. The 1-row global aggregate is broadcast (a literal-sized
+    build side regardless of fact-table scale); price > sum/cnt is
+    cross-multiplied to exact decimal arithmetic."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.agg(
+        F.sum(dec("l_extendedprice")).alias("total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.crossJoin(F.broadcast(g))
+        .filter(dec("l_extendedprice") * F.col("cnt") > F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+_CTE_SQL = f"""
+WITH nat_rev AS (
+  SELECT n.n_name, n.n_regionkey,
+    SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, n.n_regionkey
+),
+reg_rev AS (
+  SELECT n_regionkey, SUM(revenue) AS region_total
+  FROM nat_rev GROUP BY n_regionkey
+)
+SELECT r.r_name, nr.n_name,
+  CAST(nr.revenue AS DOUBLE) AS revenue,
+  CAST(nr.revenue AS DOUBLE) / CAST(rr.region_total AS DOUBLE) AS region_share
+FROM nat_rev nr
+JOIN reg_rev rr ON nr.n_regionkey = rr.n_regionkey
+JOIN region r ON nr.n_regionkey = r.r_regionkey
+"""
+
+
+@register("cte_chain", _CTE_SQL)
+def cte_chain(spark, sf_dir):
+    """Multi-CTE chain through the engine's SQL front door: nation
+    revenue -> region totals -> per-nation share. Registers the base
+    tables as temp views and runs the same ANSI text Spark-side, so
+    the judged artifact is the SQL surface itself (parser -> Catalyst),
+    not a DataFrame translation. Revenue stays DECIMAL through both
+    CTE hops; the share division happens once, on identical doubles.
+    The nation/region joins broadcast; only the lineitem⋈orders⋈
+    customer chain shuffles."""
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_CTE_SQL)
+
+
+@register(
+    "win_sessionize",
+    """
+WITH d AS (
+  SELECT user_id, event_id,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      OR LAG(epoch_us(ts)) OVER
+      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id,
+    SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM d
+)
+SELECT user_id,
+  CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id
+""",
+)
+def win_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-minute inactivity timeout)
+    — the batch mirror of F.session_window. lag + running-sum share
+    one Window.partitionBy(user_id), so the whole query is a single
+    shuffle on user_id; the groupBy re-uses that partitioning (AQE
+    sees the child distribution). Timestamps are compared as integer
+    microseconds (unix_micros / epoch_us) — no interval arithmetic,
+    identical in both engines. event_id is the tiebreaker everywhere
+    ordering matters."""
+    ev = load_events(spark, sf_dir)
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(wl)
+    return (
+        ev.withColumn(
+            "new_session",
+            F.when(prev.isNull() | (us - prev > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(ws))
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.25) AS p25,
+  quantile_cont(l_quantity, 0.50) AS p50,
+  quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group. Spark `percentile`
+    and DuckDB `quantile_cont` share the same continuous-interpolation
+    definition; quantities are small integers stored as doubles, so
+    the (1-f)*a + f*b interpolation is exact in IEEE754 and the
+    results match bit-for-bit. (The 100 TB path swaps this for
+    approx_percentile — see agg_approx_sketches — this query is the
+    exactness anchor.)"""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+@register(
+    "join_self",
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey
+ AND a.l_linenumber < b.l_linenumber
+ AND a.l_suppkey <> b.l_suppkey
+""",
+)
+def join_self(spark, sf_dir):
+    """Self-join: pairs of lines in the same order from different
+    suppliers (TPC-H Q21's inner shape). Both sides shuffle on
+    l_orderkey once; the inequality predicates ride in the join
+    condition, evaluated per matching orderkey group — never a
+    cartesian. At 100 TB this is the canonical sort-merge self-join;
+    per-order line counts are bounded (≤7) so no skew salting needed."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", "l_linenumber", "l_suppkey").alias("a")
+    b = li.select("l_orderkey", "l_linenumber", "l_suppkey").alias("b")
+    cond = (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+    )
+    return a.join(b, cond, "inner").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("a.l_orderkey").alias("n_orders"),
+    )
