@@ -89,3 +89,42 @@ def test_ivf_corpus_side_zero_shuffle(spark):
 def test_topk1_plans_take_ordered(spark):
     plan = _plan(QUERIES["topk_1"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sub_exists_plans_semi_join(spark):
+    # EXISTS must become a semi-join (stops at first match), with the
+    # correlated shipdate>orderdate predicate riding in the join
+    plan = _plan(QUERIES["sub_exists"](spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
+def test_sub_not_exists_plans_anti_join_with_pushed_filter(spark):
+    # NOT EXISTS -> anti join; the o_orderpriority filter must sit
+    # below the join (scan-side), not above it
+    plan = _plan(QUERIES["sub_not_exists"](spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"PushedFilters: \[.*o_orderpriority", plan), plan
+
+
+def test_sub_scalar_avg_single_shuffle(spark):
+    # the per-part average is a window over l_partkey: exactly one
+    # hash exchange for the whole query (agg-then-rejoin would cost 2+)
+    plan = _plan(QUERIES["sub_scalar_avg"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_win_sessionize_single_shuffle(spark):
+    # lag + running-sum + final groupBy all share the user_id
+    # distribution: one hash exchange end to end
+    plan = _plan(QUERIES["win_sessionize"](spark, SF))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_plan_cache_returns_same_plan_object(spark):
+    a = QUERIES["agg_group_q1"](spark, SF)
+    b = QUERIES["agg_group_q1"](spark, SF)
+    assert a is b  # prepared-plan cache hit
+    # streaming builders have side effects and must never be cached
+    from wsprnet_scraper_spark.plans.registry import _PLAN_CACHE
+
+    assert not any(k[0].startswith("strm_") for k in _PLAN_CACHE)

@@ -263,7 +263,13 @@ def ivf_topk(
             _CODEBOOKS[ck] = cents
 
     def sim_struct(cid: int, c: list[float], cn2: float):
-        carr = F.array(*[F.lit(x) for x in c])
+        # one parsed expression instead of 1 + len(c) py4j literal
+        # calls: repr(float) round-trips exactly through Spark's
+        # correctly-rounded double parser, so the inlined codebook is
+        # bit-identical to the collected one
+        carr = F.expr(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
+        )
         s = _dot(F.col("v"), carr) / (F.sqrt(F.col("n2")) * F.sqrt(F.lit(cn2)))
         # negated id so descending struct order breaks ties toward the
         # LOWEST centroid id

@@ -180,9 +180,12 @@ def join_inner_5way(spark, sf_dir):
     (lineitem-orders) shuffles on the key; every dimension side is
     explicitly broadcast so the plan stays a single shuffle."""
     li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    # broadcast-destined dims skip the scan-parallelism heal: a
-    # repartition ahead of a BroadcastExchange is pure overhead
+    # broadcast-destined sides skip the scan-parallelism heal: a
+    # repartition ahead of a BroadcastExchange is pure overhead.
+    # orders sits under the broadcast threshold at every bench SF (the
+    # planner broadcasts it); on a real cluster the scan splits
+    # natively and the heal is a no-op either way.
+    o = load(spark, sf_dir, "orders", parallel="never")
     c = load(spark, sf_dir, "customer", parallel="never")
     n = load(spark, sf_dir, "nation", parallel="never")
     r = load(spark, sf_dir, "region", parallel="never")
