@@ -50,8 +50,10 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
-def register(name: str, oracle: str | None = None):
-    cacheable = not name.startswith("strm_")
+def register(name: str, oracle: str | None = None, cache_plans: bool | None = None):
+    # default: strm_* builders are assumed side-effectful; pure batch
+    # expressions of streaming semantics opt back in explicitly
+    cacheable = cache_plans if cache_plans is not None else not name.startswith("strm_")
 
     def deco(fn):
         if cacheable:

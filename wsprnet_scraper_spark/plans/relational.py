@@ -52,7 +52,7 @@ def agg_group_q1(spark, sf_dir):
     """TPC-H Q1-style multi-aggregate group-by — the flagship agg.
     Money math in DECIMAL so partial/final aggregation is exact and
     order-independent (gap-fill for SURVEY §2.4 ∅ group-by)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     price, disc, tax = dec("l_extendedprice"), dec("l_discount"), dec("l_tax")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -78,7 +78,7 @@ FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
 )
 def agg_avg_having(spark, sf_dir):
     """Group-by with HAVING filter over the aggregate."""
-    cu = load(spark, sf_dir, "customer")
+    cu = load(spark, sf_dir, "customer", parallel="never")
     return (
         cu.groupBy("c_nationkey")
         .agg(
@@ -101,7 +101,7 @@ FROM lineitem GROUP BY l_returnflag
 def agg_count_distinct(spark, sf_dir):
     """Exact distinct aggregation (expands + re-aggregates under the
     hood; partial aggregation still applies)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -116,7 +116,7 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
 def agg_rollup(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
     )
@@ -130,7 +130,7 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
 )
 def agg_cube(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
     )
@@ -146,7 +146,7 @@ FROM lineitem GROUP BY l_returnflag
 """,
 )
 def agg_pivot(spark, sf_dir):
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
@@ -214,8 +214,8 @@ GROUP BY c_custkey
 )
 def join_left(spark, sf_dir):
     """LEFT join keeping customers without orders (count of NULL key = 0)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
@@ -237,7 +237,7 @@ WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey AND c_acctbal >
 )
 def join_semi(spark, sf_dir):
     """LEFT SEMI join = EXISTS (gap-fill, SURVEY §2.3 ∅)."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     rich = load(spark, sf_dir, "customer", parallel="never").filter(
         F.col("c_acctbal") > 5000
     )  # broadcast build side: healing it would just add an exchange
@@ -255,8 +255,8 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 )
 def join_anti(spark, sf_dir):
     """LEFT ANTI join = NOT EXISTS (gap-fill, SURVEY §2.3 ∅)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -342,6 +342,39 @@ def join_date_enrich(spark, sf_dir):
     )
 
 
+@register(
+    "join_skew_salted",
+    """
+SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items, SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+""",
+)
+def join_skew_salted(spark, sf_dir):
+    """Hot-key-safe join: the salted plan (operators/skew.py — small
+    side replicated `salt` ways, big side scattered by row hash) must
+    return exactly the plain join's rows; the oracle IS the plain
+    join. At 100 TB this is how a power-law key (domain, language,
+    empty-doc fingerprint) spreads over `salt` reducers instead of
+    one straggler. The fill for SURVEY §2.3 ∅ skew handling."""
+    from ..operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem", parallel="never").select(
+        "l_suppkey", "l_quantity"
+    )
+    su = load(spark, sf_dir, "supplier", parallel="never").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, su, on="l_suppkey", salt=8)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ windows
 
 
@@ -364,7 +397,7 @@ def win_rank_suite(spark, sf_dir):
     """Ranking window suite (gap-fill, SURVEY §2.5 ∅). row_number's
     ordering carries a unique tiebreaker; rank/dense_rank rank a
     coarsened key so ties genuinely occur."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     unique_order = W.partitionBy("o_orderpriority").orderBy(
         F.desc("o_totalprice"), F.col("o_orderkey")
     )
@@ -396,7 +429,7 @@ FROM orders
 def win_running_sum(spark, sf_dir):
     """Running total per customer; DECIMAL accumulation keeps the
     prefix sums exact in both engines."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     w = (
         W.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -443,7 +476,7 @@ FROM orders
 def win_range_frame(spark, sf_dir):
     """RANGE frame (value-based bounds) — counts orders within $1000
     below, peers included (gap-fill, SURVEY §2.5 ∅)."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     w = (
         W.partitionBy("o_orderpriority")
         .orderBy("o_totalprice")
@@ -469,7 +502,7 @@ FROM orders
 def win_ntile_dist(spark, sf_dir):
     """ntile / percent_rank / cume_dist over a global ordering (exact
     integer-ratio doubles, identical across engines)."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     w = W.orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
@@ -496,7 +529,7 @@ FROM ranked WHERE rn <= 3
 )
 def topk_per_group(spark, sf_dir):
     """Top-k per group via row_number (gap-fill, SURVEY §2.6 ∅)."""
-    c = load(spark, sf_dir, "customer")
+    c = load(spark, sf_dir, "customer", parallel="never")
     w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
     return (
         c.select(
@@ -515,7 +548,7 @@ def topk_per_group(spark, sf_dir):
 )
 def sort_limit_offset(spark, sf_dir):
     """Deterministic LIMIT/OFFSET over a total order (gap-fill)."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     return o.orderBy("o_orderkey").offset(10).limit(20).select(
         "o_orderkey", "o_totalprice"
     )
@@ -524,7 +557,7 @@ def sort_limit_offset(spark, sf_dir):
 @register("sort_u", "SELECT DISTINCT o_orderpriority FROM orders")
 def sort_u(spark, sf_dir):
     """sort -u ≡ DISTINCT (ref: wsprnet-scraper.sh:315)."""
-    return load(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return load(spark, sf_dir, "orders", parallel="never").select("o_orderpriority").distinct()
 
 
 # ----------------------------------------------------------------- set ops
@@ -541,7 +574,7 @@ SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000
 def set_union_all(spark, sf_dir):
     """UNION ALL — the reference's append-only accumulation shape
     (SURVEY §2.7); duplicates preserved."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey", "o_totalprice")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey", "o_totalprice")
     return a.unionAll(b)
@@ -556,7 +589,7 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 100000
 """,
 )
 def set_union(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     return a.union(b).distinct()
@@ -571,7 +604,7 @@ SELECT o_custkey FROM orders WHERE o_totalprice > 100000
 """,
 )
 def set_intersect(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     return a.intersect(b)
@@ -589,7 +622,7 @@ def set_except(spark, sf_dir):
     """EXCEPT (distinct) semantics = subtract: a key present in b at
     all is dropped. NOT exceptAll().distinct(), which keeps keys whose
     multiplicity in a exceeds that in b."""
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders", parallel="never")
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
     return a.subtract(b)
@@ -605,7 +638,7 @@ def set_except(spark, sf_dir):
 def proj_drop_unknown(spark, sf_dir):
     """Whitelist projection — unknown columns dropped, pruned at the
     scan (ref: wsprnet_azi_calc.py:194)."""
-    return load(spark, sf_dir, "lineitem").select(
+    return load(spark, sf_dir, "lineitem", parallel="never").select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
 
@@ -616,7 +649,7 @@ def proj_drop_unknown(spark, sf_dir):
 )
 def proj_reorder(spark, sf_dir):
     """Reorder-to-sink-schema projection (ref: wsprnet_azi_calc.py:227)."""
-    return load(spark, sf_dir, "orders").select(
+    return load(spark, sf_dir, "orders", parallel="never").select(
         "o_orderpriority", "o_totalprice", "o_custkey", "o_orderkey"
     )
 
@@ -677,7 +710,7 @@ def flt_exclude_special(spark, sf_dir):
     """Source-side predicate (pushed to the parquet scan — the
     reference pushes exclude_special to the API,
     wsprnet-scraper.sh:232)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     return li.filter(F.col("l_returnflag") != "A").select(
         "l_orderkey", "l_linenumber"
     )

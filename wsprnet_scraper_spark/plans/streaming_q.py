@@ -31,11 +31,12 @@ SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS win_start_s,
        CAST(SUM({_money}) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
+    cache_plans=True,  # pure batch window plan, no stream started at build
 )
 def strm_tumbling(spark, sf_dir):
     """Tumbling 2-minute windows (the WSPR cycle) — epoch-aligned in
     both engines (gap-fill, SURVEY §2.9 ∅ strm_windows)."""
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir, parallel="never")
     return (
         ev.groupBy(F.window("ts", "2 minutes").alias("w"), "event_type")
         .agg(
@@ -59,12 +60,13 @@ SELECT CAST((floor(floor(epoch(ts)) / 120) - j) * 120 AS BIGINT) AS win_start_s,
 FROM events, (VALUES (0), (1)) AS js(j)
 GROUP BY 1
 """,
+    cache_plans=True,  # pure batch window plan, no stream started at build
 )
 def strm_sliding(spark, sf_dir):
     """Sliding windows (4 min / 2 min slide): every event lands in
     exactly two windows; the oracle replays that as two bucket
     assignments per row."""
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir, parallel="never")
     return (
         ev.groupBy(F.window("ts", "4 minutes", "2 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -93,13 +95,14 @@ SELECT user_id, CAST(min(us) AS BIGINT) AS sess_start_us,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM g GROUP BY user_id, sid
 """,
+    cache_plans=True,  # pure batch window plan, no stream started at build
 )
 def strm_session(spark, sf_dir):
     """Session windows (30 min gap) per user — F.session_window in
     Spark, gaps-and-islands in the oracle. Session end = last event
     + gap, new session when the gap is >= the timeout (Spark's
     half-open window end)."""
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir, parallel="never")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))

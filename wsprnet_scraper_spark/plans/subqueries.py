@@ -56,8 +56,8 @@ def sub_exists(spark, sf_dir):
     lineitem shipped after the order date. The correlated predicate
     references both sides, so it rides in the semi-join condition —
     one shuffle on orderkey, probe side short-circuits on first match."""
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     cond = (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate)
     return (
         orders.join(li, cond, "left_semi")
@@ -82,8 +82,8 @@ def sub_not_exists(spark, sf_dir):
     never placed an urgent order. The inner filter (o_orderpriority)
     is pushed below the join, so the anti probe builds on ~1/5 of
     orders; the join shuffles on custkey only."""
-    cust = load(spark, sf_dir, "customer")
-    urgent = load(spark, sf_dir, "orders").filter(
+    cust = load(spark, sf_dir, "customer", parallel="never")
+    urgent = load(spark, sf_dir, "orders", parallel="never").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     return (
@@ -107,9 +107,9 @@ WHERE l_orderkey IN (
 def sub_in(spark, sf_dir):
     """Uncorrelated IN subquery -> left-semi join (never a collected
     value list: the inner relation can be billions of keys at 100 TB)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     urgent = (
-        load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders", parallel="never")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
@@ -142,7 +142,7 @@ def sub_scalar_avg(spark, sf_dir):
     spells (Catalyst can't fuse that rejoin; the window form is the
     scale-out win). The avg comparison is cross-multiplied to decimal
     (5*qty*cnt < sum) so it is exact in both engines."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     w = W.partitionBy("l_partkey")
     return (
         li.withColumn("sum_qty", F.sum(dec("l_quantity")).over(w))
@@ -171,7 +171,7 @@ def sub_scalar_global(spark, sf_dir):
     price. The 1-row global aggregate is broadcast (a literal-sized
     build side regardless of fact-table scale); price > sum/cnt is
     cross-multiplied to exact decimal arithmetic."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     g = li.agg(
         F.sum(dec("l_extendedprice")).alias("total"),
         F.count(F.lit(1)).alias("cnt"),
@@ -218,7 +218,7 @@ def cte_chain(spark, sf_dir):
     The nation/region joins broadcast; only the lineitem⋈orders⋈
     customer chain shuffles."""
     for t in ("lineitem", "orders", "customer", "nation", "region"):
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+        load(spark, sf_dir, t, parallel="never").createOrReplaceTempView(t)
     return spark.sql(_CTE_SQL)
 
 
@@ -256,7 +256,7 @@ def win_sessionize(spark, sf_dir):
     microseconds (unix_micros / epoch_us) — no interval arithmetic,
     identical in both engines. event_id is the tiebreaker everywhere
     ordering matters."""
-    ev = load_events(spark, sf_dir)
+    ev = load_events(spark, sf_dir, parallel="never")
     wl = W.partitionBy("user_id").orderBy("ts", "event_id")
     ws = W.partitionBy("user_id").orderBy("event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
@@ -295,7 +295,7 @@ def agg_percentiles(spark, sf_dir):
     results match bit-for-bit. (The 100 TB path swaps this for
     approx_percentile — see agg_approx_sketches — this query is the
     exactness anchor.)"""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     return li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.25)").alias("p25"),
         F.expr("percentile(l_quantity, 0.50)").alias("p50"),
@@ -322,7 +322,7 @@ def join_self(spark, sf_dir):
     condition, evaluated per matching orderkey group — never a
     cartesian. At 100 TB this is the canonical sort-merge self-join;
     per-order line counts are bounded (≤7) so no skew salting needed."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
     a = li.select("l_orderkey", "l_linenumber", "l_suppkey").alias("a")
     b = li.select("l_orderkey", "l_linenumber", "l_suppkey").alias("b")
     cond = (

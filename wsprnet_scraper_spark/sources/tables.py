@@ -83,8 +83,10 @@ def load(
     return df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = load(spark, sf_dir, "events")
+def load_events(
+    spark: SparkSession, sf_dir: str, parallel: str = "auto"
+) -> DataFrame:
+    df = load(spark, sf_dir, "events", parallel=parallel)
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
