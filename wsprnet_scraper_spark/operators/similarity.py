@@ -165,7 +165,18 @@ def embedding_near_dups(
     )
 
 
-def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
+def plane_weight(j: int, i: int) -> int:
+    """w(j,i) = 2*nibble(md5(j||'_'||i)) - 15 (odd, in [-15,15]) —
+    the deterministic hyperplane weights shared with the SQL oracle."""
+    import hashlib
+
+    nib = int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16)
+    return nib * 2 - 15
+
+
+def hyperplane_buckets(
+    emb: DataFrame, num_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """(vec_id, bucket): sign pattern of `num_planes` deterministic
     hyperplane dot products, integer-quantized for exactness.
 
@@ -175,30 +186,26 @@ def hyperplane_buckets(emb: DataFrame, num_planes: int = 8) -> DataFrame:
     Pure projection — ZERO shuffle: each plane's dot product is a
     `transform((x, i) -> vq(x) * w(j, i))` + `aggregate` fold over the
     embedding array, and the bucket is the sign-bit sum of the
-    `num_planes` folds. The previous form posexploded dims × planes
-    (a dims*planes-fold row blowup) and aggregated twice; bucketing
-    100 TB of vectors now costs exactly one scan.
+    `num_planes` folds. The weights are data-INdependent, so they are
+    computed once on the driver (hashlib) and inlined as literal
+    arrays — evaluating md5 per row × element × plane would be ~1e12
+    wasted hashes on a 100 TB corpus for values that never change.
+    `dim` (vector width) sizes the weight arrays; when None it is
+    probed from one row (plans cache the built DataFrame, so the
+    probe runs once per corpus).
     """
+    if dim is None:
+        row = emb.select(F.size("embedding").alias("d")).limit(1).collect()
+        dim = int(row[0]["d"]) if row else 0
     vq = F.transform(
         _as_double(F.col("embedding")), lambda x: F.floor(x * 1000).cast("long")
     )
 
     def plane_sum(j: int):
-        contrib = F.transform(
-            vq,
-            lambda x, i: x
-            * (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("_", F.lit(str(j)), i.cast("string"))), 1, 1
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                * 2
-                - 15
-            ),
+        w = F.expr(
+            "array(" + ",".join(str(plane_weight(j, i)) + "L" for i in range(dim)) + ")"
         )
+        contrib = F.zip_with(vq, w, lambda x, wi: x * wi)
         return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
     bucket = None
