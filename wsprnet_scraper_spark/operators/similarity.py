@@ -218,8 +218,143 @@ def hyperplane_buckets(
 # Built codebooks by caller-supplied key (e.g. the corpus path): IVF
 # separates index build (collect + norm the centroids, once) from
 # serving (pure projection per query). Without the cache every query
-# construction would re-run the tiny collect job.
+# construction would re-run the tiny collect job. Keys include a
+# content fingerprint of the corpus file so a regenerated parquet at
+# the same path can't serve a stale codebook.
 _CODEBOOKS: dict = {}
+
+
+def clear_codebooks() -> None:
+    """Drop all cached codebooks (mirror of plans.clear_plan_cache)."""
+    _CODEBOOKS.clear()
+
+
+def _path_fingerprint(cache_key: str):
+    """Cheap content fingerprint for a corpus path used as cache key:
+    (mtime_ns, size) of the embeddings parquet (or the file itself).
+    Non-path keys fingerprint to None and rely on the key alone."""
+    import os
+
+    for p in (os.path.join(str(cache_key), "embeddings.parquet"), str(cache_key)):
+        try:
+            st = os.stat(p)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            continue
+    return None
+
+
+def _lit_double_array(xs: list[float]):
+    # one parsed expression instead of 1 + len(xs) py4j literal
+    # calls: repr(float) round-trips exactly through Spark's
+    # correctly-rounded double parser, so the inlined values are
+    # bit-identical to the Python ones
+    return F.expr("array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in xs) + ")")
+
+
+def _argmax_cell(vec_col, n2_col, cents):
+    """Nearest-centroid id (ties -> lowest cid) and the full ranked
+    centroid array, as pure expressions over an inlined codebook."""
+    structs = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(vec_col, _lit_double_array(c))
+                    / (F.sqrt(n2_col) * F.sqrt(F.lit(cn2)))
+                ).alias("s"),
+                # negated id so descending struct order breaks ties
+                # toward the LOWEST centroid id
+                F.lit(-cid).cast("long").alias("negc"),
+            )
+            for cid, c, cn2 in cents
+        ]
+    )
+    return F.reverse(F.array_sort(structs))  # sim desc, ties -> low cid
+
+
+def _left_fold_n2(c: list[float]) -> float:
+    n2 = 0.0  # explicit left fold, same order as _norm2 / SQL list_reduce
+    for x in c:
+        n2 += x * x
+    return n2
+
+
+def train_kmeans_codebook(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 2,
+    cache_key: str | None = None,
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic distributed k-means codebook: [(cid, centroid,
+    norm2)], cids stable (= the init vector ids).
+
+    Spherical k-means (cosine assignment), `iters` fixed Lloyd
+    iterations from a first-`num_centroids`-vectors init. Each
+    iteration is ONE corpus scan: cell assignment is a pure projection
+    over the inlined current codebook (JVM expressions — stronger than
+    an Arrow kernel: no Python boundary at all), and the centroid
+    update is a groupBy(cell) with per-dimension SUM + COUNT, so the
+    shuffle carries only num_centroids × partitions partial rows
+    (map-side combine). At 100 TB that is `iters` scans and a few-KB
+    shuffle — the textbook scalable k-means shape.
+
+    Cross-engine exactness (the codebook is mirrored into DuckDB
+    oracle SQL): vectors are quantized to integer-valued doubles
+    (floor(x*1000)), so the per-dimension sums are exact integers in
+    ANY summation order (magnitudes << 2^53) and sum/count is the
+    same IEEE division in both engines; assignment cosines are
+    fixed-order left folds over those exact values. Empty cells keep
+    their previous centroid.
+    """
+    ck = None
+    if cache_key is not None:
+        ck = ("kmeans", cache_key, _path_fingerprint(cache_key), num_centroids, iters)
+        if ck in _CODEBOOKS:
+            return _CODEBOOKS[ck]
+
+    vq = F.transform(
+        _as_double(F.col("embedding")),
+        lambda x: F.floor(x * 1000).cast("long").cast("double"),
+    )
+    base = emb.select("vec_id", vq.alias("vq")).withColumn("qn2", _norm2(F.col("vq")))
+    init = base.filter(F.col("vec_id") < num_centroids).select("vec_id", "vq").collect()
+    cents_by_id = {
+        int(r["vec_id"]): [float(x) for x in r["vq"]]
+        for r in sorted(init, key=lambda r: r["vec_id"])
+    }
+    dim = len(next(iter(cents_by_id.values())))
+
+    def as_rows(d):
+        return [(cid, d[cid], _left_fold_n2(d[cid])) for cid in sorted(d)]
+
+    for _ in range(iters):
+        ranked = _argmax_cell(F.col("vq"), F.col("qn2"), as_rows(cents_by_id))
+        cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
+        sums = (
+            base.select(cell.alias("cell"), "vq")
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("vq"), i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+        )
+        got = {int(r["cell"]): r for r in sums.collect()}
+        cents_by_id = {
+            cid: (
+                [float(got[cid][f"s{i}"]) / got[cid]["n"] for i in range(dim)]
+                if cid in got
+                else c
+            )
+            for cid, c in cents_by_id.items()
+        }
+
+    out = as_rows(cents_by_id)
+    if ck:
+        _CODEBOOKS[ck] = out
+    return out
 
 
 def ivf_topk(
@@ -229,61 +364,55 @@ def ivf_topk(
     num_centroids: int = 8,
     nprobe: int = 2,
     cache_key: str | None = None,
+    trained: bool = False,
+    iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest-centroid cell, probe only each query's `nprobe` nearest
     cells, exact cosine re-rank inside them.
 
-    The codebook is the first `num_centroids` vectors by id — a
-    deterministic stand-in for a k-means-trained codebook (training is
-    an offline job; the serving plan is identical either way). The
-    codebook is collected once and inlined as literal arrays, so cell
-    assignment is a pure projection — ZERO shuffle over the corpus,
-    the same property as `hyperplane_buckets`. At 100 TB the corpus
-    never moves: assignment + probe filter touch each row once via the
-    broadcast query set, and the only shuffle is the final per-query
-    top-k over the probed cells' survivors (~corpus/num_centroids ×
-    nprobe rows). `nprobe` is the recall/cost dial.
+    `trained=True` uses a `train_kmeans_codebook` codebook (the real
+    IVF index build — better-balanced cells, higher recall at the
+    same nprobe); `trained=False` keeps the deterministic
+    first-`num_centroids`-vectors stand-in. Either way the codebook is
+    built once (cached under `cache_key` + corpus fingerprint) and
+    inlined as literal arrays, so cell assignment is a pure projection
+    — ZERO shuffle over the corpus, the same property as
+    `hyperplane_buckets`. At 100 TB the corpus never moves:
+    assignment + probe filter touch each row once via the broadcast
+    query set, and the only shuffle is the final per-query top-k over
+    the probed cells' survivors (~corpus/num_centroids × nprobe
+    rows). `nprobe` is the recall/cost dial.
 
     Cross-engine exactness: centroid components are float32→double
-    (exact); dot products and norms are fixed-order left folds, so
-    cell assignment compares bit-identical doubles in any engine that
-    folds left (DuckDB's list_reduce does). Ties on assignment go to
-    the lowest centroid id.
+    (exact) or exact k-means means (see train_kmeans_codebook); dot
+    products and norms are fixed-order left folds, so cell assignment
+    compares bit-identical doubles in any engine that folds left
+    (DuckDB's list_reduce does). Ties on assignment go to the lowest
+    centroid id.
     """
-    ck = (cache_key, num_centroids) if cache_key is not None else None
-    cents = _CODEBOOKS.get(ck) if ck else None
-    if cents is None:
-        rows = (
-            emb.filter(F.col("vec_id") < num_centroids)
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        cents = []
-        for r in sorted(rows, key=lambda r: r["vec_id"]):
-            c = [float(x) for x in r["embedding"]]
-            n2 = 0.0  # left fold, same order as _norm2 / SQL list_reduce
-            for x in c:
-                n2 += x * x
-            cents.append((int(r["vec_id"]), c, n2))
-        if ck:
-            _CODEBOOKS[ck] = cents
+    if trained:
+        cents = train_kmeans_codebook(emb, num_centroids, iters, cache_key)
+    else:
+        ck = None
+        cents = None
+        if cache_key is not None:
+            ck = (cache_key, _path_fingerprint(cache_key), num_centroids)
+            cents = _CODEBOOKS.get(ck)
+        if cents is None:
+            rows = (
+                emb.filter(F.col("vec_id") < num_centroids)
+                .select("vec_id", "embedding")
+                .collect()
+            )
+            by_id = {
+                int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows
+            }
+            cents = [(cid, c, _left_fold_n2(c)) for cid, c in sorted(by_id.items())]
+            if ck:
+                _CODEBOOKS[ck] = cents
 
-    def sim_struct(cid: int, c: list[float], cn2: float):
-        # one parsed expression instead of 1 + len(c) py4j literal
-        # calls: repr(float) round-trips exactly through Spark's
-        # correctly-rounded double parser, so the inlined codebook is
-        # bit-identical to the collected one
-        carr = F.expr(
-            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in c) + ")"
-        )
-        s = _dot(F.col("v"), carr) / (F.sqrt(F.col("n2")) * F.sqrt(F.lit(cn2)))
-        # negated id so descending struct order breaks ties toward the
-        # LOWEST centroid id
-        return F.struct(s.alias("s"), F.lit(-cid).cast("long").alias("negc"))
-
-    structs = F.array(*[sim_struct(cid, c, cn2) for cid, c, cn2 in cents])
-    ranked = F.reverse(F.array_sort(structs))  # sim desc, ties -> low cid
+    ranked = _argmax_cell(F.col("v"), F.col("n2"), cents)
     cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
     probe = F.transform(
         F.slice(ranked, 1, nprobe), lambda t: (-t["negc"]).cast("long")

@@ -309,11 +309,75 @@ def sim_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucket_topk(emb, [0, 1, 2, 3, 4], k=3, num_planes=8)
 
 
+# Two fixed Lloyd iterations of spherical k-means, mirrored exactly:
+# vectors quantized to integer-valued doubles so per-dim sums are
+# order-independent-exact and sum/count is the same IEEE division in
+# both engines (see operators/similarity.train_kmeans_codebook).
+_KMEANS_SQL = """
+bq AS (
+  SELECT vec_id,
+    list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000) AS DOUBLE)) AS vq
+  FROM embeddings
+),
+bqn AS (
+  SELECT vec_id, vq,
+    list_reduce(list_transform(vq, x -> x * x), (a, b) -> a + b) AS qn2
+  FROM bq
+),
+c0 AS (
+  SELECT vec_id AS cid, vq AS cv,
+    list_reduce(list_transform(vq, x -> x * x), (a, b) -> a + b) AS cn2
+  FROM bq WHERE vec_id < 8
+),
+a1 AS (
+  SELECT vec_id, cell, vq FROM (
+    SELECT b.vec_id, c.cid AS cell, b.vq,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        list_reduce(list_transform(list_zip(b.vq, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+          / (sqrt(b.qn2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+    FROM bqn b CROSS JOIN c0 c
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cell, i, CAST(SUM(vq[i]) AS DOUBLE) / COUNT(*) AS comp
+  FROM a1, unnest(generate_series(1, len(vq))) AS t(i)
+  GROUP BY cell, i
+),
+c1l AS (SELECT cell, list(comp ORDER BY i) AS cv FROM m1 GROUP BY cell),
+c1 AS (
+  SELECT c0.cid, COALESCE(c1l.cv, c0.cv) AS cv,
+    list_reduce(list_transform(COALESCE(c1l.cv, c0.cv), x -> x * x), (a, b) -> a + b) AS cn2
+  FROM c0 LEFT JOIN c1l ON c1l.cell = c0.cid
+),
+a2 AS (
+  SELECT vec_id, cell, vq FROM (
+    SELECT b.vec_id, c.cid AS cell, b.vq,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        list_reduce(list_transform(list_zip(b.vq, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+          / (sqrt(b.qn2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+    FROM bqn b CROSS JOIN c1 c
+  ) WHERE rn = 1
+),
+m2 AS (
+  SELECT cell, i, CAST(SUM(vq[i]) AS DOUBLE) / COUNT(*) AS comp
+  FROM a2, unnest(generate_series(1, len(vq))) AS t(i)
+  GROUP BY cell, i
+),
+c2l AS (SELECT cell, list(comp ORDER BY i) AS cv FROM m2 GROUP BY cell),
+c2 AS (
+  SELECT c1.cid, COALESCE(c2l.cv, c1.cv) AS cv,
+    list_reduce(list_transform(COALESCE(c2l.cv, c1.cv), x -> x * x), (a, b) -> a + b) AS cn2
+  FROM c1 LEFT JOIN c2l ON c2l.cell = c1.cid
+)
+"""
+
+
 @register(
     "sim_ivf",
     f"""
 WITH {_COS_SQL.replace("scored AS", "scored_unused AS")},
-cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM base WHERE vec_id < 8),
+{_KMEANS_SQL.strip()},
+cents AS (SELECT cid, cv, cn2 FROM c2),
 sims AS (
   SELECT b.vec_id, c.cid,
     list_reduce(list_transform(list_zip(b.v, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
@@ -347,13 +411,15 @@ SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 """,
 )
 def sim_ivf(spark, sf_dir):
-    """IVF ANN: nearest-centroid cells (codebook = first 8 vectors,
-    deterministic k-means stand-in), probe the query's 2 nearest
+    """IVF ANN with a TRAINED codebook: deterministic distributed
+    k-means (2 Lloyd iterations, spherical, first-8 init — exactly
+    mirrored in the oracle's CTE chain), probe the query's 2 nearest
     cells, exact cosine re-rank — the inverted-file counterpart to
     the LSH scale path."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2, cache_key=sf_dir
+        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2,
+        cache_key=sf_dir, trained=True, iters=2,
     )
 
 
