@@ -48,7 +48,10 @@ def sequence_gaps(
         .select(F.col("_s").alias(id_col), "gap")
     )
     summary = s.groupBy("_blk").agg(F.min("_s").alias("_mn"), F.max("_s").alias("_mx"))
-    ws = Window.orderBy("_blk")  # summary is |ids|/block_size rows — tiny
+    # summary is |ids|/block_size rows — tiny; deliberately
+    # single-partition. Sanctioned because its input is an Aggregate
+    # (plans/audit.py enforces exactly this: unpartitioned => reduced)
+    ws = Window.orderBy("_blk")
     boundary = (
         summary.withColumn("_prev_mx", F.lag("_mx", 1).over(ws))
         .filter(F.col("_prev_mx").isNotNull())

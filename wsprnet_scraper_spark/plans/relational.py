@@ -500,15 +500,25 @@ FROM orders
 """,
 )
 def win_ntile_dist(spark, sf_dir):
-    """ntile / percent_rank / cume_dist over a global ordering (exact
-    integer-ratio doubles, identical across engines)."""
+    """ntile / percent_rank / cume_dist over a global ordering —
+    computed from an exact distributed global rank (range-partitioned
+    local row_number + tiny offset summary, operators/ranking.py)
+    instead of the single-task unpartitioned window; the ordering
+    includes the unique o_orderkey, so rank == row_number and the
+    integer-ratio doubles are identical across engines."""
+    from ..operators import ranking
+
     o = load(spark, sf_dir, "orders", parallel="never")
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    ranked = ranking.with_global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        ["o_totalprice", "o_orderkey"],
+    )
+    rn, n = F.col("grn"), F.col("grn_total")
+    return ranked.select(
         "o_orderkey",
-        F.ntile(7).over(w).cast("long").alias("bucket"),
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        ranking.ntile_of(rn, n, 7).alias("bucket"),
+        ranking.percent_rank_of(rn, n).alias("pr"),
+        ranking.cume_dist_of(rn, n).alias("cd"),
     )
 
 

@@ -480,6 +480,8 @@ def win_batch_boundary_gap(spark, sf_dir):
     )
     from pyspark.sql import Window
 
+    # per-batch summary (one row per 2-min cycle) — deliberately
+    # single-partition over reduced input (audited, plans/audit.py)
     w = Window.orderBy("batch_epoch")
     return b.withColumn(
         "boundary_gap", F.col("first_spot") - F.lag("last_spot", 1).over(w) - 1

@@ -64,4 +64,18 @@ def get_session(app_name: str = "wsprnet_scraper_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # WindowExec logs "No Partition Defined" for every single-partition
+    # window, including the sanctioned tiny-summary ones. The engine
+    # enforces that policy mechanically instead (plans/audit.py +
+    # tests/test_window_whitelist.py fail on any single-task window
+    # over un-collapsed input), so the log warning is pure noise here
+    # — raise that one logger to ERROR.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # best-effort: a different log backend keeps the warning
     return spark
