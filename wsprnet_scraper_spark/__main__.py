@@ -31,7 +31,6 @@ import argparse
 import shutil
 import sys
 import tempfile
-import time
 from pathlib import Path
 
 
@@ -91,13 +90,7 @@ def cmd_upload(args) -> int:
 
 def cmd_scrape(args) -> int:
     from .session import get_session
-    from .streaming import (
-        Cursor,
-        fetch_once,
-        recover_cursor_from_sink,
-        seconds_until_next_offset,
-        start_ingest,
-    )
+    from .streaming import Cursor, recover_cursor_from_sink, start_ingest
     from .streaming.ingest import GapMonitor
 
     spark = get_session("wspr-scrape")
@@ -122,27 +115,23 @@ def cmd_scrape(args) -> int:
             print("no cursor and empty sink; refusing to start", file=sys.stderr)
             return 1
         cursor.advance(recovered)
+    from .streaming.daemon import run_scrape_daemon
     from .streaming.fetcher import http_fetch_spots, http_login
 
     cookie = http_login(args.login_url, args.user, args.password)
-    query = start_ingest(
+    # phase-locked 55/85/115 loop: fetch -> land -> availableNow
+    # drain per tick (wsprnet-scraper.sh:353-376); unbounded, like
+    # the reference under systemd
+    run_scrape_daemon(  # pragma: no cover - needs network
         spark,
+        lambda start: http_fetch_spots(args.api_url, cookie, start),
         args.landing,
         args.sink,
         args.checkpoint,
         monitor=monitor,
-        available_now=False,
+        cursor=cursor,
     )
-    try:
-        while True:  # pragma: no cover - infinite daemon loop
-            time.sleep(seconds_until_next_offset(time.time()))
-            fetch_once(
-                lambda start: http_fetch_spots(args.api_url, cookie, start),
-                cursor,
-                args.landing,
-            )
-    finally:  # pragma: no cover
-        query.stop()
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

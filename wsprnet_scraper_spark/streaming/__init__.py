@@ -7,6 +7,7 @@ ingest  — the Spark side: landing-dir file source -> parse -> enrich
           -> foreachBatch idempotent sink with gap telemetry.
 """
 
+from .daemon import phase_locked_loop, run_scrape_daemon
 from .fetcher import (
     Cursor,
     fetch_once,
@@ -24,7 +25,9 @@ __all__ = [
     "continuous_rollup",
     "fetch_once",
     "land_batch",
+    "phase_locked_loop",
     "read_spot_stream",
+    "run_scrape_daemon",
     "recover_cursor_from_sink",
     "seconds_until_next_offset",
     "start_ingest",

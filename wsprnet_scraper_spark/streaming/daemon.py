@@ -1,0 +1,98 @@
+"""The phase-locked scrape daemon: the reference's main loop, wired.
+
+The reference daemon (wsprnet-scraper.sh:353-376) sleeps to the next
+{55, 85, 115} s offset of the 120 s WSPR cycle, scrapes once, then
+processes the batch before sleeping again. Round 1 shipped the pure
+offset math (`seconds_until_next_offset`) but no loop actually
+slept-and-fired; this module is that loop, built so every effectful
+dependency (clock, sleep, fetch, ingest drain) is injectable and the
+55/85/115 alignment is assertable under a fake clock.
+
+`run_scrape_daemon` composes one tick as: fetch -> land -> drain the
+landing dir with ONE `availableNow` ingest run (same checkpoint every
+tick, so restarts resume exactly). availableNow-per-tick rather than
+a long-lived processing-time trigger keeps the Spark work inside the
+tick — by the time the loop sleeps again, the batch is fully in the
+sink, matching the reference's strictly sequential
+scrape-then-process cycle and making "the sink is current as of the
+last tick" a loop invariant (the reference relies on exactly that for
+its cold-start cursor recovery).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from .fetcher import Cursor, fetch_once, seconds_until_next_offset
+
+
+def phase_locked_loop(
+    tick_fn: Callable[[int], None],
+    *,
+    clock: Callable[[], float] = time.time,
+    sleep: Callable[[float], None] = time.sleep,
+    first: int = 55,
+    gap: int = 30,
+    cycle: int = 120,
+    max_ticks: int | None = None,
+    stop: Callable[[], bool] | None = None,
+) -> int:
+    """Sleep to each in-cycle offset and call `tick_fn(tick_index)`.
+
+    Pure control flow around `seconds_until_next_offset`: fires at
+    the {first, first+gap, ...} offsets of every `cycle` seconds,
+    like the reference's WSPRNET_OFFSET loop. `clock`/`sleep` are
+    injectable (fake-clock tests); `max_ticks`/`stop` bound the loop
+    (the reference runs unbounded under systemd). A tick that raises
+    propagates — supervision (restart policy) belongs to the caller,
+    as in the reference. Returns the number of ticks fired.
+    """
+    n = 0
+    while (max_ticks is None or n < max_ticks) and not (stop is not None and stop()):
+        sleep(seconds_until_next_offset(clock(), first=first, gap=gap, cycle=cycle))
+        tick_fn(n)
+        n += 1
+    return n
+
+
+def run_scrape_daemon(
+    spark,
+    fetch_fn: Callable[[int], list[dict]],
+    landing_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    *,
+    monitor=None,
+    cursor: Cursor | None = None,
+    clock: Callable[[], float] = time.time,
+    sleep: Callable[[float], None] = time.sleep,
+    max_ticks: int | None = None,
+    stop: Callable[[], bool] | None = None,
+) -> int:
+    """Phase-locked fetch -> land -> availableNow-drain loop.
+
+    One tick = `fetch_once` (cursor-guarded, atomic landing write)
+    followed by one `start_ingest(available_now=True)` run against
+    the same checkpoint — the streaming source's file index, not a
+    re-scan, decides what's new, so each drain is incremental and a
+    killed daemon resumes from the checkpoint. `fetch_fn` is the
+    injected transport (http_fetch_spots in production). Returns the
+    number of ticks fired.
+    """
+    from pathlib import Path
+
+    from .ingest import start_ingest
+
+    cursor = cursor or Cursor(Path(landing_dir) / "_cursor.json")
+
+    def tick(_n: int) -> None:
+        fetch_once(fetch_fn, cursor, landing_dir)
+        q = start_ingest(
+            spark, landing_dir, sink_dir, checkpoint_dir, monitor=monitor
+        )
+        q.awaitTermination()
+
+    return phase_locked_loop(
+        tick, clock=clock, sleep=sleep, max_ticks=max_ticks, stop=stop
+    )
