@@ -109,42 +109,88 @@ def write_jdbc_append(
     )
 
 
+def insert_on_conflict_sql(
+    table: str, cols: list[str], conflict_col: str = "Spotnum"
+) -> str:
+    """The idempotent insert statement, generated from the batch's
+    columns — the engine-side equivalent of the reference's
+    insert-spots.sql:1 (`INSERT INTO wsprnet.spots (...) VALUES (...)
+    ON CONFLICT ("Spotnum") DO NOTHING`). Quoted identifiers because
+    the spot columns are mixed-case on the TimescaleDB side."""
+    col_list = ", ".join(f'"{c}"' for c in cols)
+    params = ", ".join(["%s"] * len(cols))
+    return (
+        f'INSERT INTO {table} ({col_list}) VALUES ({params}) '
+        f'ON CONFLICT ("{conflict_col}") DO NOTHING'
+    )
+
+
+def _psycopg2_connect(conninfo: str):  # pragma: no cover - needs a database
+    import psycopg2  # noqa: PLC0415
+
+    return psycopg2.connect(conninfo)
+
+
 def upsert_jdbc_on_conflict(
     batch_df: DataFrame,
     conninfo: str,
-    insert_sql: str,
+    insert_sql: str | None = None,
     page_size: int = 1000,
+    table: str = "spots",
+    connect_fn: Callable | None = None,
 ) -> None:
     """Exactly-once JDBC sink: `INSERT ... ON CONFLICT ("Spotnum") DO
-    NOTHING` via psycopg2 execute_batch per partition — the upsert
-    form of ts_upload_batch.py:23-52 (SURVEY.md §4.3) for use inside
-    foreachBatch. Gated: raises NotImplementedError without psycopg2.
+    NOTHING` executed in pages per partition — the upsert form of
+    ts_upload_batch.py:23-52 (SURVEY.md §4.3) for use inside
+    foreachBatch. Replaying a batch (foreachBatch's at-least-once
+    redelivery) is a no-op on the conflicting primary keys, which is
+    what upgrades the pipeline to effective exactly-once.
+
+    `connect_fn(conninfo) -> DB-API connection` is the injectable
+    transport (must be picklable; it runs inside the partition task).
+    The default is psycopg2 — gated: raises NotImplementedError when
+    psycopg2 is absent and nothing is injected. Paging uses
+    psycopg2's execute_batch when available (the reference's "1.7 s
+    vs 124 s" batching, ts_upload_batch.py:37) and falls back to
+    DB-API executemany per page for other transports.
     """
-    try:
-        import psycopg2  # noqa: F401, PLC0415
-    except ImportError as e:
-        raise NotImplementedError(
-            "upsert_jdbc_on_conflict needs psycopg2; use the parquet "
-            "stand-in sink (streaming.ingest) in this environment"
-        ) from e
+    if insert_sql is None:
+        insert_sql = insert_on_conflict_sql(table, batch_df.columns)
+    if connect_fn is None:
+        try:
+            import psycopg2  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "upsert_jdbc_on_conflict needs psycopg2 (or an injected "
+                "connect_fn); use the parquet stand-in sink "
+                "(streaming.ingest) in this environment"
+            ) from e
+        connect_fn = _psycopg2_connect
 
     cols = batch_df.columns
 
-    def write_partition(rows):  # pragma: no cover - needs a database
-        import psycopg2
-        from psycopg2.extras import execute_batch
-
-        conn = psycopg2.connect(conninfo)
+    def write_partition(rows):
         try:
-            with conn.cursor() as cur:
-                execute_batch(
-                    cur,
-                    insert_sql,
-                    ([row[c] for c in cols] for row in rows),
-                    page_size=page_size,
-                )
+            from psycopg2.extras import execute_batch  # noqa: PLC0415
+        except ImportError:
+            execute_batch = None
+        conn = connect_fn(conninfo)
+        try:
+            cur = conn.cursor()
+            params = ([row[c] for c in cols] for row in rows)
+            if execute_batch is not None:  # pragma: no cover - needs pg
+                execute_batch(cur, insert_sql, params, page_size=page_size)
+            else:
+                page = []
+                for p in params:
+                    page.append(p)
+                    if len(page) >= page_size:
+                        cur.executemany(insert_sql, page)
+                        page = []
+                if page:
+                    cur.executemany(insert_sql, page)
             conn.commit()
         finally:
             conn.close()
 
-    batch_df.rdd.foreachPartition(write_partition)  # pragma: no cover
+    batch_df.rdd.foreachPartition(write_partition)
