@@ -43,6 +43,12 @@ ORACLE: dict[str, str] = {}
 # never cached: their builders run real micro-batch jobs with
 # side effects (landing dirs, memory sinks), and a cached result
 # DataFrame would skip the stream instead of re-running it.
+#
+# Layout: {applicationId: {(name, sf_dir, heal): df}}. Keying the
+# outer level by application lets the first miss from a NEW
+# application evict every plan of stopped ones — otherwise a
+# long-running process that restarts sessions leaks dead JVM plan
+# references indefinitely (ADVICE r1).
 _PLAN_CACHE: dict = {}
 
 
@@ -60,16 +66,16 @@ def register(name: str, oracle: str | None = None, cache_plans: bool | None = No
 
             @functools.wraps(fn)
             def wrapped(spark, sf_dir, _fn=fn, _name=name):
-                key = (
-                    _name,
-                    sf_dir,
-                    spark.sparkContext.applicationId,
-                    os.environ.get("SPARK_GRAFT_FORCE_HEAL", ""),
-                )
-                df = _PLAN_CACHE.get(key)
+                app = spark.sparkContext.applicationId
+                bucket = _PLAN_CACHE.get(app)
+                if bucket is None:
+                    _PLAN_CACHE.clear()  # plans of stopped applications
+                    bucket = _PLAN_CACHE.setdefault(app, {})
+                key = (_name, sf_dir, os.environ.get("SPARK_GRAFT_FORCE_HEAL", ""))
+                df = bucket.get(key)
                 if df is None:
                     df = _fn(spark, sf_dir)
-                    _PLAN_CACHE[key] = df
+                    bucket[key] = df
                 return df
 
             QUERIES[name] = wrapped

@@ -267,12 +267,19 @@ def strm_ingest_e2e(spark, sf_dir):
     enrichment of the same spots with duplicates collapsed — the
     at-least-once + PK-dedup contract (wsprnet-scraper.sh:106-122,
     SURVEY §2.9)."""
+    import atexit
+    import shutil
     import tempfile
 
     from ..streaming import start_ingest
     from .synth import synth_spots
 
     work = tempfile.mkdtemp(prefix="wspr_ingest_q_")
+    # repeated runs (bench warm-ups, oracle gates) must not accumulate
+    # orphaned spot data under /tmp (ADVICE r1): the workdir is
+    # removed at interpreter exit, after the returned frame can no
+    # longer be re-executed by the harness
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     landing, sink, ckpt = f"{work}/landing", f"{work}/sink", f"{work}/ckpt"
     spots = synth_spots(spark, sf_dir)
     # two identical landings = a replayed upload; NDJSON via the JSON
@@ -289,17 +296,20 @@ def strm_ingest_e2e(spark, sf_dir):
 @register(
     "strm_atleastonce_dedup",
     """
-SELECT DISTINCT event_id, value FROM (
+SELECT event_id, MIN(value) AS value FROM (
   SELECT event_id, value FROM events
   UNION ALL
   SELECT event_id, value FROM events
 )
+GROUP BY event_id
 """,
 )
 def strm_atleastonce_dedup(spark, sf_dir):
     """At-least-once delivery followed by idempotent dedup — the
     reference's retried-upload queue + Spotnum PK pattern
     (wsprnet-scraper.sh:106-122; SURVEY §2.9 strm_atleastonce_queue).
-    Duplicate the batch, then dropDuplicates on the key."""
+    Duplicate the batch, then collapse per key with a DETERMINISTIC
+    pick (min value) — dropDuplicates would keep an arbitrary row if
+    a key ever arrived with differing payloads (ADVICE r1)."""
     ev = load_events(spark, sf_dir).select("event_id", "value")
-    return ev.unionAll(ev).dropDuplicates(["event_id"])
+    return ev.unionAll(ev).groupBy("event_id").agg(F.min("value").alias("value"))

@@ -43,6 +43,23 @@ from pyspark.sql import types as T
 _PARALLELIZE_MIN_BYTES = 256 << 10
 
 
+def _size_to_bytes(value, default: int = 128 << 20) -> int:
+    """Spark size-suffixed conf value -> bytes ('128m', '128MB',
+    '134217728b', plain digits). Falls back to `default` on anything
+    unparsable rather than failing the load."""
+    try:
+        t = str(value).strip().lower()
+        if t.endswith("b"):
+            t = t[:-1]
+        mult = 1
+        if t and t[-1] in "kmgtp":
+            mult = 1 << (10 * ("kmgtp".index(t[-1]) + 1))
+            t = t[:-1]
+        return int(t) * mult
+    except (ValueError, TypeError):
+        return default
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, parallel: str = "auto"
 ) -> DataFrame:
@@ -76,7 +93,9 @@ def load(
     # analysis + RDD conversion of the scan on the driver, which costs
     # more than the heal saves on sub-second queries.
     cores = spark.sparkContext.defaultParallelism
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    max_split = _size_to_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     est_splits = max(1, -(-nbytes // max_split))
     if est_splits * 2 <= cores:
         df = df.repartition(cores)
