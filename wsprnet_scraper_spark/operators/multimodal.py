@@ -1,11 +1,19 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The engine treats image/audio/video as `binary` columns. The real
-decode libraries are not in this container, so the decode kernel is a
-clearly-marked STUB (deterministic fake) — but everything Spark-side
-is real and tested: the binary schema, the Arrow batch path through
-mapInPandas, the output schema contract, and the frame-explosion
-(UDTF-shaped) operator.
+The engine treats image/audio/video as `binary` columns. Decode is a
+pluggable kernel behind one output contract (DECODE_SCHEMA):
+
+- "stub": deterministic fake metadata from the raw bytes — works on
+  any payload, used where the real decode libraries are absent (this
+  container) and in the oracle-checked queries (the fake is pure
+  arithmetic, so DuckDB can mirror it);
+- "pil": real Pillow image decode (width/height from the actual
+  image), available when Pillow is importable; the Spark-side
+  plumbing — binary schema, Arrow batches through mapInPandas, typed
+  output — is byte-for-byte the same code path.
+
+Everything Spark-side is real and tested either way; only the
+per-payload kernel swaps.
 """
 
 from __future__ import annotations
@@ -17,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
-    "doc_id long, byte_len long, first_byte int, fake_width int, fake_height int"
+    "doc_id long, byte_len long, first_byte int, width int, height int"
 )
 
 
@@ -29,32 +37,74 @@ def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """STUB decode kernel. A real implementation would call
-    PIL/libav/etc; this deterministic fake derives 'image' metadata
-    from the bytes so the plumbing is testable end to end."""
+    """STUB decode kernel. Derives deterministic 'image' metadata
+    from the raw bytes so the plumbing is testable end to end on any
+    payload (and mirrorable in the SQL oracle)."""
     n = len(payload)
     return n, payload[0] if n else 0, n % 640, (n * 7) % 480
 
 
-def decode_metadata(binary_df: DataFrame) -> DataFrame:
-    """mapInPandas over binary payloads -> typed metadata rows.
+def _pil_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Real image decode via Pillow: actual (width, height) from the
+    encoded image. Import happens inside the kernel — it runs on the
+    executors, which must resolve PIL themselves."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415
+
+    with Image.open(io.BytesIO(payload)) as img:
+        w, h = img.size
+    return len(payload), payload[0] if payload else 0, int(w), int(h)
+
+
+_DECODE_KERNELS = {"stub": _fake_decode, "pil": _pil_decode}
+
+
+def available_decode_kernels() -> list[str]:
+    """Kernels usable in this environment ('stub' always; 'pil' when
+    Pillow imports)."""
+    out = ["stub"]
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        out.append("pil")
+    except ImportError:
+        pass
+    return out
+
+
+def decode_metadata(binary_df: DataFrame, kernel: str = "stub") -> DataFrame:
+    """mapInPandas over binary payloads -> typed metadata rows, same
+    DECODE_SCHEMA whichever kernel decodes.
 
     The Arrow batch shape is the part that matters at scale: payloads
     stream through in columnar batches, the Python worker touches
     each batch once, and output is a typed DataFrame — the same
-    pattern a real image/audio featurizer would use.
+    pattern a real image/audio featurizer would use. `kernel="pil"`
+    is gated at plan-build time: NotImplementedError with a clear
+    message when Pillow is absent, instead of an executor-side
+    ImportError mid-job.
     """
+    if kernel == "pil":
+        try:
+            import PIL  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                "decode_metadata(kernel='pil') needs Pillow; this "
+                "environment has only the 'stub' kernel"
+            ) from e
+    decode = _DECODE_KERNELS[kernel]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = pdf["payload"].map(_fake_decode)
+            meta = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "byte_len": meta.map(lambda t: t[0]),
                     "first_byte": meta.map(lambda t: t[1]),
-                    "fake_width": meta.map(lambda t: t[2]),
-                    "fake_height": meta.map(lambda t: t[3]),
+                    "width": meta.map(lambda t: t[2]),
+                    "height": meta.map(lambda t: t[3]),
                 }
             )
 

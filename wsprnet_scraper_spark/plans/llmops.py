@@ -569,14 +569,16 @@ def pipe_curation(spark, sf_dir):
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
   CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-  CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
-  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS fake_height
+  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+  CAST((octet_length(encode(text)) * 7) % 480 AS INT) AS height
 FROM documents
 """,
 )
 def mm_binary_meta(spark, sf_dir):
     """Binary payload metadata through the real mapInPandas/Arrow
-    path (stubbed decode kernel — see operators/multimodal.py)."""
+    path ('stub' decode kernel — the oracle mirrors its arithmetic;
+    kernel='pil' swaps in real Pillow decode when available, same
+    schema — see operators/multimodal.py)."""
     d = load(spark, sf_dir, "documents")
     payload = multimodal.with_binary_payload(d, "doc_id", "text")
     return multimodal.decode_metadata(payload)
