@@ -101,12 +101,39 @@ def main() -> None:
             continue
         timings[name] = round(min(run(name), run(name)), 3)
 
+    # Scaling slope: the same queries at a 10x-smaller SF, so the
+    # ~linear claim in SCALE.md is measured every round instead of
+    # argued. slope = t(sf) / t(sf/10); linear-with-fixed-overhead
+    # lands well under the 10x data ratio, so anything beyond
+    # 1.25 * 10 is flagged superlinear.
+    scaling = {}
+    m2 = re.match(r"(.*sf)([0-9.]+)$", sf_dir.rstrip("/"))
+    if m2:
+        small_dir = f"{m2.group(1)}{float(m2.group(2)) / 10:g}"
+        if os.path.isdir(small_dir) and small_dir != sf_dir:
+            small: dict[str, float] = {}
+            for name in timings:
+                small[name] = round(min(run(name, at=small_dir), run(name, at=small_dir)), 3)
+            slope = {
+                name: round(timings[name] / small[name], 2) if small[name] > 0 else None
+                for name in timings
+            }
+            scaling = {
+                "secondary_sf": float(m2.group(2)) / 10,
+                "queries": small,
+                "slope_vs_10x": slope,
+                "superlinear": sorted(
+                    n for n, s in slope.items() if s is not None and s > 12.5
+                ),
+            }
+
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "scaling": scaling,
     }
     print(json.dumps(out))
 
