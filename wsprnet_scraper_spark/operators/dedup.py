@@ -187,6 +187,26 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicated_spans(shingled: DataFrame, min_docs: int = 2) -> DataFrame:
+    """Cross-document duplicated token spans: (span_md5, n_docs,
+    first_doc) for every shingle present in at least `min_docs`
+    documents — the span-level exact-substring dedup signal (the
+    'Deduplicating Training Data' method's detection half, at
+    word-k-gram granularity instead of suffix arrays).
+
+    One groupBy with map-side combine and an aggregate-only output —
+    no self-join, so unlike pairwise candidate generation this needs
+    no hot-bucket cap: a span in d documents costs d input rows and
+    ONE output row.
+    """
+    return (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc").alias("first_doc"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.md5("shingle").alias("span_md5"), "n_docs", "first_doc")
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over distinct word tokens: (doc, simhash).
 

@@ -1,14 +1,16 @@
-"""Text-analysis column functions for corpus curation.
+"""Text-analysis operators for corpus curation.
 
-All pure Catalyst expressions over the `documents` table — language
-ID (marker-word heuristic), quality scoring, token counting
-(whitespace and BPE-ish regex), document fingerprinting. No UDFs;
-everything stays in whole-stage codegen.
+Column functions (language ID, quality scoring, token counting,
+fingerprinting) are pure Catalyst expressions — no UDFs, everything
+stays in whole-stage codegen. The DataFrame-level ops (TF-IDF,
+vocabulary coverage) are two-level aggregations with broadcast
+term-statistics joins; their scores are log-free rational arithmetic
+so both engines produce bit-identical doubles.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of"]
@@ -54,3 +56,94 @@ def fingerprint(text: Column) -> Column:
     """Normalization fingerprint: md5 of the lowercased
     alphanumeric-only text (catches whitespace/punct-variant dups)."""
     return F.md5(F.lower(F.regexp_replace(text, r"[^a-zA-Z0-9]", "")))
+
+
+# ------------------------------------------------------ DataFrame-level ops
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k most characteristic terms per document by TF-IDF.
+
+    score = tf * (N - df + 0.5) / (df + 0.5) — the BM25-style
+    rational IDF WITHOUT the log: ln() is a transcendental whose last
+    ulp differs between Java's StrictMath and libm, which would break
+    the cross-engine hash; the rational form ranks identically
+    (monotone in the same df) and is exact IEEE arithmetic on exact
+    integers in both engines.
+
+    Scale shape: tf is a (doc, term) groupBy with map-side combine;
+    document frequency reduces tf again on term only (small); N rides
+    along as a broadcast single row; the only data-sized shuffles are
+    the two aggregations and the term join of tf against the reduced
+    df table. Per-doc top-k is a partitioned window.
+    """
+    tf = _tokens(df, id_col, text_col).groupBy("doc", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "term",
+            "tf",
+            (
+                F.col("tf") * (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc", "term", F.col("tf").cast("long").alias("tf"), "score")
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, top_k: int = 20
+) -> DataFrame:
+    """Per-document coverage against the corpus top-`top_k`
+    vocabulary — the 'does this doc look like the corpus' curation
+    signal (low coverage = boilerplate/noise/foreign content).
+
+    The vocabulary is a global term ranking over the term-count
+    aggregate (its single-task window is over reduced input — the
+    sanctioned shape, see plans/audit.py) and is broadcast back; the
+    coverage ratio is exact long/long division.
+    """
+    toks = _tokens(df, id_col, text_col)
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), "term")
+    vocab = (
+        counts.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= top_k)
+        .select("term", F.lit(1).alias("iv"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("iv"), F.lit(0))).alias("n_in_vocab"),
+        )
+        .select(
+            "doc",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_in_vocab").cast("long").alias("n_in_vocab"),
+            (F.col("n_in_vocab").cast("double") / F.col("n_tokens")).alias(
+                "coverage"
+            ),
+        )
+    )

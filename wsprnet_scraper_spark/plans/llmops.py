@@ -217,6 +217,95 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_substring",
+    """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc,
+    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+)
+SELECT md5(shingle) AS span_md5, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc) AS BIGINT) AS first_doc
+FROM sh GROUP BY shingle HAVING count(*) >= 2
+""",
+)
+def dedup_substring(spark, sf_dir):
+    """Span-level exact-substring dedup: 5-token spans appearing in
+    2+ documents (word-k-gram form of the suffix-array substring
+    dedup used for training corpora). Aggregate-only — one shuffle,
+    one output row per duplicated span, no pairwise join."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 5)
+    return dedup.duplicated_spans(sh, min_docs=2)
+
+
+@register(
+    "text_tfidf",
+    """
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT doc, tf.term, tf.tf,
+    tf.tf * (n.n - dfreq.df + 0.5) / (dfreq.df + 0.5) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc, term, tf, score,
+    row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rn
+  FROM scored
+)
+SELECT doc, term, CAST(tf AS BIGINT) AS tf, score FROM ranked WHERE rn <= 3
+""",
+)
+def text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by log-free TF-IDF
+    (BM25-style rational IDF — no ln(), whose last ulp differs
+    between Java and libm; exact IEEE arithmetic both engines)."""
+    d = load(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "text_vocab_coverage",
+    """
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rn FROM counts
+  ) WHERE rn <= 20
+),
+per AS (
+  SELECT t.doc, count(*) AS n_tokens, count(v.term) AS n_in_vocab
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY 1
+)
+SELECT doc, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+       n_in_vocab::DOUBLE / n_tokens AS coverage
+FROM per
+""",
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Per-document coverage against the corpus top-20 vocabulary —
+    the 'does this doc look like the corpus' curation signal; the
+    vocabulary ranking is over the reduced term-count aggregate and
+    broadcast back."""
+    d = load(spark, sf_dir, "documents")
+    return text.vocab_coverage(d, "doc_id", "text", top_k=20)
+
+
 # -------------------------------------------------------------- similarity
 
 _COS_SQL = """
