@@ -1,0 +1,60 @@
+"""connected_components + stratified_sample semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wsprnet_scraper_spark.operators import dedup
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_components_basic(spark):
+    got = {
+        (r.doc, r.cluster)
+        for r in dedup.connected_components(
+            _pairs(spark, [(1, 2), (2, 3), (3, 4), (5, 6)])
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)}
+
+
+def test_components_long_chain_needs_multiple_rounds(spark):
+    # a 12-node path: min-label propagation needs ~diameter rounds;
+    # the convergence check must carry label 0 all the way down
+    chain = [(i, i + 1) for i in range(12)]
+    got = dedup.connected_components(_pairs(spark, chain)).collect()
+    assert len(got) == 13
+    assert all(r.cluster == 0 for r in got)
+
+
+def test_components_two_dense_clusters(spark):
+    # two triangles bridged by nothing + reversed-order ids
+    edges = [(10, 11), (11, 12), (10, 12), (20, 22), (21, 22)]
+    got = {
+        (r.doc, r.cluster)
+        for r in dedup.connected_components(_pairs(spark, edges)).collect()
+    }
+    assert got == {
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    s1 = dedup.stratified_sample(df, "doc_id", "lang", {"en": 60}, 25)
+    s2 = dedup.stratified_sample(df, "doc_id", "lang", {"en": 60}, 25)
+    r1 = sorted(r.doc_id for r in s1.collect())
+    assert r1 == sorted(r.doc_id for r in s2.collect())  # replayable
+    en = s1.filter(F.col("lang") == "en").count() / 334
+    xx = s1.filter(F.col("lang") == "xx").count() / 666
+    assert 0.45 < en < 0.75 and 0.12 < xx < 0.38  # strata hit their rates
+    # pure projection + filter: no exchange in the plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

@@ -207,6 +207,96 @@ def duplicated_spans(shingled: DataFrame, min_docs: int = 2) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 8
+) -> DataFrame:
+    """Cluster ids from near-dup pairs: (doc, cluster) where cluster
+    is the MINIMUM doc id reachable through the pair graph — the step
+    that turns pairwise candidates into dedup groups (keep one doc
+    per cluster).
+
+    Distributed min-label propagation WITH pointer jumping: each
+    round every node takes the min of (its label, its neighbors'
+    labels, its label's label). The neighbor step alone needs
+    diameter rounds — a length-d chain would need d scans; the
+    label-of-label jump doubles the propagation distance per round,
+    so convergence is O(log diameter) and `max_iter=8` covers
+    diameters into the hundreds. All steps are joins + groupBy-min
+    (map-side combinable, exact integer min — deterministic). Each
+    round cuts lineage with localCheckpoint so the plan doesn't grow
+    a join tower, and the loop stops on the first unchanged round.
+
+    Only docs that appear in a pair get a row (singletons are their
+    own cluster trivially — callers left-join and coalesce).
+    """
+    edges = pairs.select(
+        F.col(pairs.columns[0]).alias("src"), F.col(pairs.columns[1]).alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc")).distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.withColumnRenamed("doc", "dst"), "dst"
+        ).select(F.col("src").alias("doc"), "label")
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.select(
+                    F.col("doc").alias("label"), F.col("label").alias("_ll")
+                ),
+                "label",
+            )
+            .select("doc", F.col("_ll").alias("label"))
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .unionByName(jump)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc", F.col("label").alias("cluster"))
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, pcts: dict[str, int], default_pct: int
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(id) mod 100 < pct(stratum). Pure projection + filter — no
+    shuffle, no RNG, replayable (the property a training-data
+    pipeline needs: the same sample on every run and both engines).
+
+    The hash bucket uses the first 2 hex digits of md5(cast(id)) as
+    an integer mod 100 — exact arithmetic mirrored 1:1 in the SQL
+    oracle (DuckDB has no conv(), so the oracle rebuilds the byte
+    from nibble positions; two digits keep that expression small).
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 100
+    )
+    pct = F.lit(default_pct)
+    for value, p in sorted(pcts.items()):
+        pct = F.when(F.col(stratum_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(bucket < pct)
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over distinct word tokens: (doc, simhash).
 

@@ -540,6 +540,64 @@ def dedup_embedding(spark, sf_dir):
     return similarity.embedding_near_dups(emb, threshold=0.2, num_planes=8)
 
 
+@register(
+    "dedup_cluster",
+    f"""
+WITH RECURSIVE {_LSH_SQL.strip().lstrip()},
+base AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2,
+    b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+prs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  ) WHERE cosine >= 0.2
+),
+e2 AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT a AS doc, a AS label FROM e2
+  UNION
+  SELECT e.a AS doc, r.label FROM e2 e JOIN reach r ON r.doc = e.b
+)
+SELECT doc, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY doc
+""",
+)
+def dedup_cluster(spark, sf_dir):
+    """Near-dup CLUSTERS from embedding-cosine pairs: distributed
+    min-label propagation (connected components) turns the pairwise
+    candidates into dedup groups — keep min-id per cluster. The
+    oracle computes the same transitive closure with a recursive
+    CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dups(emb, threshold=0.2, num_planes=8)
+    return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "pipe_sample_stratified",
+    """
+SELECT doc_id, lang FROM documents
+WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+      < CASE WHEN lang = 'en' THEN 60 ELSE 25 END
+""",
+)
+def pipe_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: 60% of 'en' docs, 25% of
+    everything else, by hash bucket — no RNG, identical sample every
+    run and in both engines (the replayability a training-data
+    pipeline needs)."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.stratified_sample(
+        d, "doc_id", "lang", {"en": 60}, default_pct=25
+    ).select("doc_id", "lang")
+
+
 # ------------------------------------------------------------ text analysis
 
 
