@@ -132,20 +132,32 @@ def extract_features(binary_df: DataFrame, num_bins: int = 16) -> DataFrame:
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "doc_id": [], "feat_dim": [], "feature_csv": [],
-                "top_bin": [], "top_count": [], "nonzero_bins": [],
-            }
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = np.frombuffer(payload, dtype=np.uint8)
-                hist = np.bincount(b >> 4, minlength=num_bins)[:num_bins]
-                out["doc_id"].append(doc_id)
-                out["feat_dim"].append(num_bins)
-                out["feature_csv"].append(",".join(str(int(x)) for x in hist))
-                out["top_bin"].append(int(hist.argmax()))
-                out["top_count"].append(int(hist.max()))
-                out["nonzero_bins"].append(int((hist > 0).sum()))
-            yield pd.DataFrame(out)
+            if not len(pdf):
+                continue
+            # whole-batch vectorization: concatenate every payload,
+            # attribute each byte to its row, and build ALL histograms
+            # with one scatter-add — no per-document Python loop
+            payloads = list(pdf["payload"])
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            rows = len(payloads)
+            flat = np.zeros(rows * num_bins, dtype=np.int64)
+            if lens.sum():
+                data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                row_of = np.repeat(np.arange(rows, dtype=np.int64), lens)
+                np.add.at(flat, row_of * num_bins + (data >> 4), 1)
+            hist = flat.reshape(rows, num_bins)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feat_dim": np.full(rows, num_bins, dtype=np.int32),
+                    "feature_csv": [
+                        ",".join(map(str, h)) for h in hist.tolist()
+                    ],
+                    "top_bin": hist.argmax(axis=1).astype(np.int32),
+                    "top_count": hist.max(axis=1),
+                    "nonzero_bins": (hist > 0).sum(axis=1).astype(np.int32),
+                }
+            )
 
     return binary_df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
