@@ -187,6 +187,61 @@ def dedup_minhash_capped(spark, sf_dir):
 
 
 @register(
+    "pipe_dedup_e2e",
+    f"""
+WITH RECURSIVE {_SHINGLES_SQL.strip().lstrip()},
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 20),
+sh_c AS (
+  SELECT doc, shingle FROM sh
+  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.shingle = sh.shingle)
+),
+sizes AS (SELECT doc, count(*) AS sz FROM sh_c GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM sh_c a JOIN sh_c b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common) >= 0.02
+),
+e2 AS (SELECT doc_a AS a, doc_b AS b FROM prs UNION ALL SELECT doc_b, doc_a FROM prs),
+reach AS (
+  SELECT a AS doc, a AS label FROM e2
+  UNION
+  SELECT e.a AS doc, r.label FROM e2 e JOIN reach r ON r.doc = e.b
+),
+cc AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc)
+SELECT doc_id FROM documents
+WHERE doc_id % 10 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM cc WHERE cc.doc = documents.doc_id AND cc.doc != cc.cluster
+  )
+""",
+)
+def pipe_dedup_e2e(spark, sf_dir):
+    """The END-TO-END near-dup dedup pipeline as one judged query:
+    shingle -> hot-capped candidate generation -> exact Jaccard
+    verify -> connected-components clustering -> keep-list (cluster
+    minimum survives, everything unpaired survives). Threshold 0.02
+    because the synthetic corpus is near-orthogonal (max observed
+    Jaccard ~0.024); a real corpus would use ~0.8. The oracle runs
+    the identical chain with a recursive-CTE closure."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    pairs = dedup.ngram_jaccard_pairs(sh, max_df=20).filter(
+        F.col("jaccard") >= 0.02
+    )
+    clusters = dedup.connected_components(pairs.select("doc_a", "doc_b"))
+    drop = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("doc_id")
+    )
+    return d.select("doc_id").join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+@register(
     "dedup_simhash",
     """
 WITH toks AS (
