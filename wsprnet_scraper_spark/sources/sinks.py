@@ -109,6 +109,24 @@ def write_jdbc_append(
     )
 
 
+def write_partitioned_sink(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "append"
+) -> None:
+    """Hive-layout parquet sink partitioned by low-cardinality
+    columns (e.g. the band): directory-level partition pruning is the
+    cheapest filter there is — a band-scoped query on a 100 TB spot
+    archive reads only that band's directories, and the pruning
+    happens at file-listing time, before any I/O.
+    `tests/test_partition_pruning.py` asserts PartitionFilters (not
+    PushedFilters) carry the predicate for reads through this layout.
+
+    Low-cardinality keys only: the WSPR band dimension is ~18 values,
+    so file counts stay sane; partitioning by a high-cardinality key
+    (Spotnum, callsign) would explode the metadata instead.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def insert_on_conflict_sql(
     table: str, cols: list[str], conflict_col: str = "Spotnum"
 ) -> str:
