@@ -334,3 +334,27 @@ def join_self(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("a.l_orderkey").alias("n_orders"),
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) c
+"""
+
+
+@register("join_lateral_topn", _LATERAL_SQL)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery through the SQL front door: top-2
+    customers per nation, the per-row-subquery surface (Spark 'lateral
+    join', DuckDB LATERAL — same ANSI text runs in both engines).
+    Catalyst decorrelates this into a ranked window over the
+    customer⋈nation join rather than N correlated executions — the
+    plan a user would hand-write, derived from the declarative form."""
+    for t in ("nation", "customer"):
+        load(spark, sf_dir, t, parallel="never").createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
