@@ -358,3 +358,65 @@ def join_lateral_topn(spark, sf_dir):
     for t in ("nation", "customer"):
         load(spark, sf_dir, t, parallel="never").createOrReplaceTempView(t)
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "evt_funnel",
+    """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+v AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND us > t1 AND us <= t1 + 3600000000
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 3600000000
+  GROUP BY 1
+)
+SELECT '1_view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+""",
+)
+def evt_funnel(spark, sf_dir):
+    """Ordered event funnel (view -> click -> purchase, each step
+    within 1 h of the previous): per-user first-view, first
+    qualifying click after it, first qualifying purchase after that —
+    the ClickHouse windowFunnel / product-analytics conversion op,
+    expressed as three groupBy-min stages over exact epoch-micro
+    integers. Each stage shuffles on user_id only; the step frames
+    shrink monotonically, so the joins get cheaper down the funnel."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    hour_us = 3_600_000_000
+
+    def first_after(prev, etype, tcol):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("us") > F.col(tcol)) & (F.col("us") <= F.col(tcol) + hour_us)
+            )
+            .groupBy("user_id")
+            .agg(F.min("us").alias(f"_t_{etype}"))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("_t_view"))
+    )
+    c = first_after(v, "click", "_t_view")
+    p = first_after(c, "purchase", "_t_click")
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("step"), "n_users"
+        )
+
+    return (
+        cnt(v, "1_view").unionByName(cnt(c, "2_click")).unionByName(cnt(p, "3_purchase"))
+    )
