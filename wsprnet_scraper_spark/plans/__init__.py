@@ -5,7 +5,15 @@ with every operator id from SURVEY.md §2 plus the large-scale
 training-data operators (dedup / similarity / text / multimodal).
 """
 
-from . import llmops, relational, semistruct, streaming_q, subqueries, wspr  # noqa: F401
+from . import (  # noqa: F401
+    analytics,
+    llmops,
+    relational,
+    semistruct,
+    streaming_q,
+    subqueries,
+    wspr,
+)
 from .registry import ORACLE, QUERIES
 
 __all__ = ["ORACLE", "QUERIES"]

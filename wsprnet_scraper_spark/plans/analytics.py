@@ -1,0 +1,430 @@
+"""Time-series / OLAP analytics suite over the events table.
+
+The reference's downstream store is TimescaleDB (ts_upload_batch.py
+inserts into a hypertable; wsprdaemon queries it with `time_bucket`
+rollups), so this module re-expresses the hypertable query idioms the
+reference's users run — time_bucket, gap-fill + LOCF, retention
+cohorts — plus the remaining ANSI relational surface (FILTER
+aggregates, argmax, multiset set ops, full-outer/cross joins,
+moment statistics) as idiomatic Catalyst plans.
+
+Cross-engine discipline (see plans/registry.py): bucket arithmetic is
+integer micros (`unix_micros` / `epoch_us` — no float time math),
+money-ish sums go through DECIMAL, moment statistics are derived from
+exact decimal sums with an identical double expression tree in both
+engines, and every window ordering carries a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load, load_events
+from .registry import register
+
+# 15-minute and 1-hour buckets in integer microseconds.
+_Q15 = 900 * 1_000_000
+_H1 = 3600 * 1_000_000
+
+
+def _bucket(col, width_us: int, width_s: int):
+    """time_bucket(): epoch-seconds bucket start, pure integer math."""
+    return (F.unix_micros(col).cast("bigint") / F.lit(width_us)).cast(
+        "bigint"
+    ) * F.lit(width_s)
+
+
+# ------------------------------------------------------------ time_bucket
+
+
+@register(
+    "agg_time_bucket",
+    """
+SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_time_bucket(spark, sf_dir):
+    """TimescaleDB `time_bucket('15 minutes', ts)` rollup — the
+    hypertable continuous-aggregate shape (the reference's TimescaleDB
+    consumers' main query; cf. insert-spots.sql:1 hypertable DDL).
+    Bucketing is a pure projection (integer div on epoch micros), so
+    the only shuffle is the groupBy — partial aggregation map-side,
+    and at 100 TB the bucket key is time-ordered so AQE coalesces
+    post-shuffle partitions cleanly."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("bucket_s", _bucket(F.col("ts"), _Q15, 900))
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "agg_time_gapfill",
+    """
+WITH agg AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM agg
+),
+grid AS (
+  SELECT g.bucket_s, t.event_type
+  FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      3600)) AS bucket_s) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.bucket_s, g.event_type,
+  COALESCE(a.n_events, 0) AS n_events,
+  last_value(a.sum_value IGNORE NULLS) OVER (
+    PARTITION BY g.event_type ORDER BY g.bucket_s
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_locf
+FROM grid g LEFT JOIN agg a
+  ON g.bucket_s = a.bucket_s AND g.event_type = a.event_type
+""",
+)
+def agg_time_gapfill(spark, sf_dir):
+    """`time_bucket_gapfill` + `locf()` — the other TimescaleDB
+    signature: a dense hourly grid per event_type, missing buckets
+    carried forward. The grid is built in-plan (sequence over the
+    1-row min/max aggregate × the tiny distinct-type dim, both
+    broadcast), so the big side still shuffles exactly once for the
+    rollup; the LOCF window partitions by event_type (bounded groups
+    of #hours rows after aggregation — never raw events)."""
+    ev = load_events(spark, sf_dir)
+    agg = (
+        ev.withColumn("bucket_s", _bucket(F.col("ts"), _H1, 3600))
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bounds = agg.agg(
+        F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("bigint"))
+        ).alias("bucket_s")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.join(agg, ["bucket_s", "event_type"], "left")
+        .select(
+            "bucket_s",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias(
+                "n_events"
+            ),
+            F.last("sum_value", ignorenulls=True)
+            .over(w)
+            .alias("sum_value_locf"),
+        )
+    )
+
+
+# ----------------------------------------------------- FILTER aggregates
+
+
+@register(
+    "agg_filtered",
+    """
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n_total,
+  CAST(count(*) FILTER (WHERE value > 15.0) AS BIGINT) AS n_hi,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE value > 15.0)
+       AS DOUBLE) AS sum_hi,
+  CAST(count(DISTINCT user_id) FILTER (WHERE value <= 5.0) AS BIGINT)
+    AS n_lo_users
+FROM events GROUP BY event_type
+""",
+)
+def agg_filtered(spark, sf_dir):
+    """Conditional (FILTER-clause) aggregation — several differently
+    filtered measures in ONE pass / one shuffle, instead of N
+    self-joined subqueries. Catalyst keeps all four in the same
+    hash-aggregate; at 100 TB this reads the fact table once."""
+    ev = load_events(spark, sf_dir)
+    hi = F.col("value") > 15.0
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(hi, 1)).alias("n_hi"),
+        F.sum(F.when(hi, F.col("value").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("sum_hi"),
+        F.countDistinct(F.when(F.col("value") <= 5.0, F.col("user_id"))).alias(
+            "n_lo_users"
+        ),
+    )
+
+
+# ----------------------------------------------------------------- argmax
+
+
+@register(
+    "agg_argmax",
+    """
+WITH m AS (
+  SELECT event_type, max(value) AS max_value FROM events GROUP BY 1
+)
+SELECT m.event_type, m.max_value,
+  CAST(max(e.event_id) AS BIGINT) AS argmax_event_id
+FROM m JOIN events e
+  ON e.event_type = m.event_type AND e.value = m.max_value
+GROUP BY 1, 2
+""",
+)
+def agg_argmax(spark, sf_dir):
+    """max_by / arg_max with a deterministic tiebreak: the row
+    achieving the group max value, ties resolved to the largest
+    event_id. Spark's `max_by` over a (value, id) struct does it in
+    one aggregate — one shuffle, no join-back (the oracle restates it
+    as max-then-join because DuckDB's arg_max cannot order by a
+    composite)."""
+    ev = load_events(spark, sf_dir)
+    picked = F.max_by(
+        F.col("event_id"), F.struct(F.col("value"), F.col("event_id"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.max("value").alias("max_value"),
+        picked.cast("bigint").alias("argmax_event_id"),
+    )
+
+
+# ------------------------------------------------------ moment statistics
+
+
+@register(
+    "agg_stats_moments",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+         AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+         AS DOUBLE) AS sy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+           * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+         AS DOUBLE) AS syy,
+    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+           * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)
+         AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+  (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+  (n * sxy - sx * sy)
+    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+FROM s
+""",
+)
+def agg_stats_moments(spark, sf_dir):
+    """Sample variance and Pearson correlation from EXACT decimal
+    moment sums. Built-in var_samp/corr stream doubles in partition
+    order — order-dependent, so never bit-stable across engines; here
+    the five raw sums are decimal (associative, exact) and the moment
+    algebra is one identical double expression tree in both engines,
+    so results are bit-identical AND the whole thing is still one
+    map-side-combined aggregate pass.
+
+    The decimal→double hop goes THROUGH A STRING on both sides:
+    DuckDB's direct decimal→double double-rounds (int128→double, then
+    ÷10^scale — two inexact steps) while Spark's BigDecimal path
+    rounds once, so any sum whose unscaled value exceeds 2^53 can
+    differ by 1 ulp. Decimal→string is exact and string→double is
+    correctly rounded in both engines, so the string hop restores
+    bit-identity at any magnitude."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+
+    def d(x):
+        return F.sum(x).cast("string").cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(qty).alias("sx"),
+        d(price).alias("sy"),
+        d(qty * qty).alias("sxx"),
+        d(price * price).alias("syy"),
+        d(qty * price).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((n * sxx - sx * sx) / (n * (n - F.lit(1.0)))).alias("var_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+# --------------------------------------------------------- multiset setops
+
+
+@register(
+    "set_except_all",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag semantics (per-key multiplicity subtraction),
+    distinct from the set-semantics `set_except`. Spark plans this as
+    one hash aggregate over the union with signed counts — single
+    shuffle."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b)
+
+
+@register(
+    "set_intersect_all",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+""",
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — min-of-multiplicities bag intersection."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return a.intersectAll(b)
+
+
+# ------------------------------------------------------------------ joins
+
+
+@register(
+    "join_full_outer",
+    """
+WITH ue AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(ue.user_id, c.c_custkey) AS id,
+  ue.n_events,
+  c.c_custkey IS NOT NULL AS has_customer,
+  c.c_acctbal
+FROM ue FULL OUTER JOIN customer c ON ue.user_id = c.c_custkey
+""",
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join of per-user event activity against the customer
+    dim — unmatched rows survive on BOTH sides (event users with no
+    customer row, customers with no events). The event side is
+    pre-aggregated so the outer join runs on the reduced keyspace,
+    not raw events."""
+    ev = load_events(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer", parallel="never")
+    ue = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        ue.join(cust, ue.user_id == cust.c_custkey, "full_outer")
+        .select(
+            F.coalesce(F.col("user_id"), F.col("c_custkey")).alias("id"),
+            "n_events",
+            F.col("c_custkey").isNotNull().alias("has_customer"),
+            "c_acctbal",
+        )
+    )
+
+
+@register(
+    "join_cross",
+    """
+SELECT r.r_name, t.event_type, t.n_events
+FROM region r
+CROSS JOIN (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+) t
+""",
+)
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product of two tiny relations (5 regions ×
+    5 aggregated event types) — the only safe cross-join shape at
+    scale: both sides are reduced before the product, and the small
+    side is broadcast (BroadcastNestedLoopJoin, no shuffle)."""
+    region = load(spark, sf_dir, "region", parallel="never")
+    ev = load_events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return region.select("r_name").crossJoin(F.broadcast(per_type))
+
+
+# -------------------------------------------------------------- retention
+
+
+@register(
+    "evt_retention",
+    """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (
+  SELECT user_id, min(d) AS d0 FROM days GROUP BY user_id
+)
+SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+  date_diff('day', f.d0, dy.d) AS day_offset,
+  CAST(count(DISTINCT dy.user_id) AS BIGINT) AS n_active
+FROM days dy JOIN firsts f ON dy.user_id = f.user_id
+GROUP BY 1, 2
+""",
+)
+def evt_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-active day, distinct
+    actives counted per (cohort, day-offset) — the product-analytics
+    staple. The per-user firsts aggregate is tiny (≤ #users rows) and
+    broadcast back onto the distinct (user, day) activity set, so the
+    big side shuffles once for the dedup and the join is shuffle-free.
+    All-integer outputs — exact across engines."""
+    ev = load_events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        days.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("d0")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
