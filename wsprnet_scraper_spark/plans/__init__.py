@@ -7,6 +7,7 @@ training-data operators (dedup / similarity / text / multimodal).
 
 from . import (  # noqa: F401
     analytics,
+    curation,
     llmops,
     relational,
     semistruct,
