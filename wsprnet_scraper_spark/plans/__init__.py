@@ -8,6 +8,7 @@ training-data operators (dedup / similarity / text / multimodal).
 from . import (  # noqa: F401
     analytics,
     curation,
+    graph_q,
     llmops,
     relational,
     semistruct,

@@ -313,3 +313,78 @@ def strm_atleastonce_dedup(spark, sf_dir):
     a key ever arrived with differing payloads (ADVICE r1)."""
     ev = load_events(spark, sf_dir).select("event_id", "value")
     return ev.unionAll(ev).groupBy("event_id").agg(F.min("value").alias("value"))
+
+
+@register(
+    "strm_stream_join",
+    """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+  c.user_id AS user_id,
+  CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
+FROM events c JOIN events e
+  ON e.user_id = c.user_id
+ AND c.event_type = 'click' AND e.event_type = 'error'
+ AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 120 MINUTE
+""",
+)
+def strm_stream_join(spark, sf_dir):
+    """Stream-stream inner join with event-time range bounds — clicks
+    joined to the errors that follow them within two hours for the
+    same user, both sides REAL readStream sources (SURVEY §2.9 gap:
+    the reference's poll loop has no two-stream correlation at all).
+
+    The watermark + the two-sided time-range condition are what make
+    this viable on an unbounded stream: Spark derives a state
+    watermark from them and evicts click/error rows once they can no
+    longer match, so state is bounded by (rate × window), not by the
+    stream length. availableNow drains the files in one batch, where
+    nothing is yet watermark-dropped, so the result must equal the
+    batch oracle join exactly.
+    """
+    from pyspark.sql import types as T
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type, prefix):
+        # [t] glob: see strm_microbatch (basePath must stay the parent)
+        s = spark.readStream.schema(raw_schema).parquet(
+            f"{sf_dir}/events.parque[t]"
+        )
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "3 hours")
+        )
+
+    clicks, errors = side("click", "click"), side("error", "error")
+    joined = clicks.join(
+        errors,
+        F.expr(
+            """
+            click_user = error_user
+            AND error_ts >= click_ts
+            AND error_ts <= click_ts + INTERVAL 120 MINUTES
+            """
+        ),
+    )
+    name = f"strm_stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("click_id"),
+        F.col("error_id").alias("error_id"),
+        F.col("click_user").alias("user_id"),
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
