@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     analytics,
     curation,
     graph_q,
+    interop,
     llmops,
     relational,
     semistruct,

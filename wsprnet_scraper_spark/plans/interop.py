@@ -1,0 +1,156 @@
+"""Interop & mutation surface: unpivot/melt, MERGE-INTO semantics,
+and columnar-format roundtrips beyond parquet.
+
+`snk_merge_upsert` is the engine's MERGE INTO: without a
+transactional table format in this environment, the merge is the
+deterministic full-outer-join + coalesce rewrite (matched → update,
+not-matched-by-target → insert, not-matched-by-source → keep), which
+is also exactly how Spark executes a Delta/Iceberg merge's join
+phase at scale.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..sources import load, load_events
+from .registry import register
+
+# ---------------------------------------------------------------- unpivot
+
+
+@register(
+    "proj_unpivot",
+    """
+SELECT l_orderkey, l_linenumber, measure, val FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+         CAST(l_quantity AS DOUBLE) AS val
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice',
+         CAST(l_extendedprice AS DOUBLE)
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+  FROM lineitem WHERE l_orderkey % 50 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE)
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+""",
+)
+def proj_unpivot(spark, sf_dir):
+    """Wide→long melt of the lineitem measures (the inverse of
+    `agg_pivot`). Spark's native `unpivot` (Expand node) emits all
+    four measure rows from a single scan — the oracle's 4-way
+    UNION ALL restates the semantics but a 4-scan plan is exactly
+    what this must NOT compile to at 100 TB."""
+    li = load(spark, sf_dir, "lineitem", parallel="never").filter(
+        F.col("l_orderkey") % 50 == 0
+    )
+    renamed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return renamed.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "val",
+    )
+
+
+# ------------------------------------------------------------ MERGE INTO
+
+
+@register(
+    "snk_merge_upsert",
+    """
+WITH src AS (
+  SELECT o_custkey + CASE WHEN o_custkey % 10 = 0 THEN 100000 ELSE 0 END AS k,
+         CAST(max(o_totalprice) AS DOUBLE) AS new_bal,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+  CASE WHEN s.k IS NULL THEN 'kept'
+       WHEN c.c_custkey IS NULL THEN 'inserted'
+       ELSE 'updated' END AS action,
+  COALESCE(s.new_bal, c.c_acctbal) AS acctbal,
+  s.n_orders
+FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+""",
+)
+def snk_merge_upsert(spark, sf_dir):
+    """MERGE INTO customer USING per-customer order rollup: matched
+    keys update the balance, source-only keys (a shifted slice
+    simulates late-arriving customers) insert, target-only keys keep
+    their row. Source is pre-aggregated to the key level before the
+    merge join — the only shape where MERGE doesn't explode — and the
+    action tag makes every branch visible to the differential."""
+    c = load(spark, sf_dir, "customer", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
+    src = (
+        o.groupBy(
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_custkey") % 10 == 0, 100000).otherwise(0)
+            ).alias("k")
+        )
+        .agg(
+            F.max("o_totalprice").cast("double").alias("new_bal"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    return (
+        c.join(src, c.c_custkey == src.k, "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+            F.when(F.col("k").isNull(), "kept")
+            .when(F.col("c_custkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("action"),
+            F.coalesce(F.col("new_bal"), F.col("c_acctbal")).alias("acctbal"),
+            "n_orders",
+        )
+    )
+
+
+# ------------------------------------------------------------------- ORC
+
+
+@register(
+    "src_orc_roundtrip",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def src_orc_roundtrip(spark, sf_dir):
+    """Columnar-format interop: events written to ORC and read back
+    (both directions through Spark's native vectorized ORC
+    source/sink), then aggregated — the rollup must be identical to
+    the same aggregate on the parquet original, proving the roundtrip
+    is lossless including timestamp/decimal fidelity."""
+    work = tempfile.mkdtemp(prefix="wspr_orc_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev = load_events(spark, sf_dir)
+    ev.select("event_id", "ts", "event_type", "value").write.mode(
+        "overwrite"
+    ).orc(f"{work}/events_orc")
+    back = spark.read.orc(f"{work}/events_orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -876,3 +876,69 @@ def mm_frame_sample(spark, sf_dir):
     'frame' with a deterministic fingerprint."""
     d = load(spark, sf_dir, "documents")
     return multimodal.frame_sample(d, "doc_id", "text", stride=3)
+
+
+@register(
+    "dedup_editdist",
+    f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common) >= 0.01
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+  levenshtein(da.text, db.text)
+    <= 0.3 * greatest(len(da.text), len(db.text)) AS is_dup
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+""",
+)
+def dedup_editdist(spark, sf_dir):
+    """Edit-distance verification stage for near-dup candidates: the
+    Jaccard-filtered pair list (threshold tuned to the corpus) (already pruned by the shared-shingle
+    join) is joined back to the two texts and scored with exact
+    Levenshtein, flagging pairs within 30%% of the longer length.
+
+    Scale shape: Levenshtein is O(len²) per pair — the expensive
+    verify kernel — so it runs ONLY on the candidate pairs that
+    survive the cheap set-similarity filter (the standard
+    generate-then-verify dedup cascade); the text lookups are joins
+    against the documents relation keyed by doc id, and the distance
+    itself is a JVM built-in (no Python boundary). Unit edit costs
+    are the classic definition in both engines, so the integer
+    distances match exactly.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    pairs = (
+        dedup.ngram_jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.01)
+        .select("doc_a", "doc_b")
+    )
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("bigint").alias("edit_dist"),
+            (
+                dist
+                <= 0.3
+                * F.greatest(F.length("_ta"), F.length("_tb"))
+            ).alias("is_dup"),
+        )
+    )
