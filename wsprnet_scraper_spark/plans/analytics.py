@@ -428,3 +428,154 @@ def evt_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ------------------------------------------------------------------ SCD-2
+
+
+@register(
+    "scd2_history",
+    """
+WITH per_day AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         min(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(d AS VARCHAR) AS valid_from,
+  CAST(lead(d) OVER w AS VARCHAR) AS valid_to,
+  lead(d) OVER w IS NULL AS is_current,
+  status
+FROM per_day WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+""",
+)
+def scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build: per-customer status
+    change log folded into validity intervals via lead() — the
+    lakehouse temporal-table pattern. Same-day collisions collapse
+    deterministically (min status) BEFORE the window, so the interval
+    chain is unique; the window partitions by customer (bounded
+    groups), and dates are emitted as strings (no raw timestamps in
+    oracle-matched output)."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    per_day = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderstatus",
+        )
+        .groupBy("o_custkey", "d")
+        .agg(F.min("o_orderstatus").alias("status"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("d")
+    nxt = F.lead("d").over(w)
+    return per_day.select(
+        "o_custkey",
+        F.col("d").cast("string").alias("valid_from"),
+        nxt.cast("string").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "status",
+    )
+
+
+# ------------------------------------------------------------ exact median
+
+
+@register(
+    "agg_median_exact",
+    """
+WITH r AS (
+  SELECT event_type, value, event_id,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, value AS median_value
+FROM r WHERE rn = (n + 1) // 2
+""",
+)
+def agg_median_exact(spark, sf_dir):
+    """Exact (discrete) median per group, defined explicitly as the
+    ⌈n/2⌉-th smallest element with an event_id tiebreak — both
+    engines run the IDENTICAL rank-based definition, sidestepping the
+    percentile_disc/quantile_disc boundary-convention mismatch.
+    Partitioned window (per event_type), no interpolation
+    arithmetic."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("value").alias("median_value"),
+        )
+    )
+
+
+# ------------------------------------------------------------- grouped OLS
+
+
+@register(
+    "agg_ols_slope",
+    """
+WITH s AS (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(epoch_us(ts) // 1000000 - 1704067200) AS VARCHAR)
+         AS DOUBLE) AS sx,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sy,
+    CAST(CAST(SUM((epoch_us(ts) // 1000000 - 1704067200)
+           * (epoch_us(ts) // 1000000 - 1704067200)) AS VARCHAR)
+         AS DOUBLE) AS sxx,
+    CAST(CAST(SUM((epoch_us(ts) // 1000000 - 1704067200)
+           * CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM events GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept
+FROM s
+""",
+)
+def agg_ols_slope(spark, sf_dir):
+    """Per-group least-squares trend (value vs time): closed-form OLS
+    from EXACT moment sums — x is integer seconds since the corpus
+    epoch (keeps magnitudes small), y sums go through DECIMAL, and
+    the slope/intercept algebra is one identical double expression
+    tree in both engines (same string-hop rationale as
+    agg_stats_moments). One aggregation pass, map-side combined —
+    the distributed-regression shape that needs no iteration."""
+    ev = load_events(spark, sf_dir)
+    x = (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint") - F.lit(
+        1704067200
+    )
+    y = F.col("value").cast("decimal(12,2)")
+
+    def d(c):
+        return F.sum(c).cast("string").cast("double")
+
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        d(x).alias("sx"),
+        d(y).alias("sy"),
+        d(x * x).alias("sxx"),
+        d(x.cast("decimal(12,0)") * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
