@@ -49,6 +49,9 @@ HEADLINE = [
     "pipe_curation",       # composite curation pipeline over documents
     "strm_tumbling",       # 2-min tumbling windows over events
     "set_union",           # set op + dedup shuffle
+    "agg_time_bucket",     # hypertable time_bucket rollup over events
+    "text_repetition",     # Gopher repetition signals over documents
+    "graph_pagerank",      # 3 iterative supersteps over orders⋈lineitem
 ]
 
 
