@@ -11,6 +11,7 @@ bit-identical doubles.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
@@ -940,5 +941,107 @@ def dedup_editdist(spark, sf_dir):
                 <= 0.3
                 * F.greatest(F.length("_ta"), F.length("_tb"))
             ).alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "emb_centroid",
+    """
+SELECT label, i - 1 AS pos,
+  CAST(SUM(CAST(floor(embedding[i] * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+  CAST(count(*) AS BIGINT) AS n,
+  SUM(CAST(floor(embedding[i] * 1000) AS BIGINT))::DOUBLE / (1000 * count(*))
+    AS centroid
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+GROUP BY 1, 2
+""",
+)
+def emb_centroid(spark, sf_dir):
+    """Per-label embedding centroids — the class-prototype /
+    cluster-summary op (and the E-step reduce of any distributed
+    k-means). Components are quantized to floor(x*1000) integers
+    (float32→double is exact, so the quantization is identical in
+    both engines — operators/similarity.py:184 discipline), summed
+    exactly as BIGINTs, and divided once: a single IEEE division of
+    exact integers is bit-identical everywhere, unlike a float sum
+    whose partition order neither engine guarantees.
+
+    Scale shape: posexplode fans each vector into (label, pos)
+    cells, then ONE map-side-combined aggregation — every cell is
+    independent, so the shuffle key space is #labels × dims and skew
+    is impossible; no driver-side matrix, no collect."""
+    e = load(spark, sf_dir, "embeddings", parallel="never")
+    q = F.floor(F.col("x").cast("double") * 1000).cast("bigint")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .select("label", "pos", q.alias("xq"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("xq").alias("sum_q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            "sum_q",
+            "n",
+            (
+                F.col("sum_q").cast("double")
+                / (F.lit(1000) * F.col("n"))
+            ).alias("centroid"),
+        )
+    )
+
+
+@register(
+    "pipe_pack",
+    """
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+  CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+  CAST((cum - n_tokens) % 2048 AS BIGINT) AS offset_in_bin
+FROM c
+""",
+)
+def pipe_pack(spark, sf_dir):
+    """Training-sequence packing (concat-and-chunk): documents are
+    concatenated per source shard in deterministic doc_id order and
+    each is assigned the 2048-token bin and offset where it starts —
+    the op that turns a curated corpus into fixed-length training
+    rows. Pure integer running-sum window partitioned by shard; at
+    100 TB the shard key is what bounds each window (shards are
+    produced upstream by pipe_sample_stratified-style bucketing), so
+    no single task ever sees the whole corpus."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("(cum - n_tokens) div 2048").alias("bin"),
+            (start % 2048).cast("bigint").alias("offset_in_bin"),
         )
     )
