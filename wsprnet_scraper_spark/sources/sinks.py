@@ -212,3 +212,99 @@ def upsert_jdbc_on_conflict(
             conn.close()
 
     batch_df.rdd.foreachPartition(write_partition)
+
+
+def compact_dir(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(bytes / target_bytes) files.
+
+    Streaming micro-batch sinks (and over-parallel writers) leave
+    thousands of KB-sized files; at 100 TB the file-listing and
+    per-file open costs dominate reads long before the data does
+    (NameNode/S3-LIST pressure, one scheduler task per tiny split).
+    Compaction is the standard maintenance pass: read, repartition to
+    the target file size, write to a staging dir, atomic swap.
+
+    Returns {"files_before", "files_after", "bytes"}; no-op (and no
+    rewrite) when the directory already has fewer than `min_files`
+    files. The swap is rename-based — safe on a local/HDFS-style
+    filesystem; an object store deployment would swap a table-format
+    pointer (Delta/Iceberg commit) instead, same read path.
+    """
+    import math
+    import shutil
+
+    p = Path(path)
+    files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    total = sum(f.stat().st_size for f in files)
+    if len(files) < min_files:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+        }
+    n_out = max(1, math.ceil(total / target_bytes))
+    staging = str(p) + "__compact_staging"
+    df = spark.read.parquet(str(p))
+    df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    old = str(p) + "__compact_old"
+    shutil.move(str(p), old)
+    shutil.move(staging, str(p))
+    shutil.rmtree(old)
+    after = len([f for f in p.rglob("*.parquet") if f.is_file()])
+    return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def _morton_interleave(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) code of two non-negative ints as a Catalyst
+    expression: bit-interleave so files cluster on BOTH keys at
+    once."""
+    from pyspark.sql import functions as F
+
+    one = F.lit(1).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftrightunsigned(col_a.cast("bigint"), i).bitwiseAND(one)
+        bit_b = F.shiftrightunsigned(col_b.cast("bigint"), i).bitwiseAND(one)
+        z = z.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return z
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    key_a: str,
+    key_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet layout: rows are range-partitioned
+    and sorted by the Morton interleave of two keys, so each output
+    file covers a small rectangle of (key_a, key_b) space and
+    parquet's per-file/rowgroup min-max stats prune reads filtered
+    on EITHER key — the poor man's Delta OPTIMIZE ZORDER, built from
+    repartitionByRange + sortWithinPartitions.
+
+    Directory partitioning (write_partitioned_sink) handles one
+    low-cardinality key; Z-ordering is the tool when queries slice
+    two higher-cardinality dimensions (e.g. time × frequency over a
+    100 TB spot archive)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    z = _morton_interleave(df[key_a], df[key_b], bits).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
