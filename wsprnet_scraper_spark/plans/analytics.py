@@ -579,3 +579,83 @@ def agg_ols_slope(spark, sf_dir):
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+# ------------------------------------------------------------------- mode
+
+
+@register(
+    "agg_mode",
+    """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, user_id, cnt,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY cnt DESC, user_id ASC) AS rn
+  FROM c
+)
+SELECT event_type, user_id AS modal_user,
+  CAST(cnt AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+""",
+)
+def agg_mode(spark, sf_dir):
+    """Statistical mode with a deterministic tiebreak: the most
+    active user per event type, ties resolved to the smallest
+    user_id. Spark folds the pick into the count aggregate with
+    max_by over a (cnt, -user_id) struct — two stacked aggregations,
+    no window over raw data; the oracle restates it as the
+    row_number idiom."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    picked = F.max_by(
+        F.struct(F.col("user_id"), F.col("cnt")),
+        F.struct(F.col("cnt"), (-F.col("user_id")).alias("neg")),
+    )
+    return c.groupBy("event_type").agg(picked.alias("m")).select(
+        "event_type",
+        F.col("m.user_id").alias("modal_user"),
+        F.col("m.cnt").cast("bigint").alias("n_events"),
+    )
+
+
+# -------------------------------------------------------- calendar rollup
+
+
+@register(
+    "agg_monthly_rollup",
+    """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS month,
+  o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1, 2
+""",
+)
+def agg_monthly_rollup(spark, sf_dir):
+    """Calendar-month rollup (variable-width periods — the
+    complement of the fixed-width time_bucket): month boundaries via
+    date_trunc, which both engines define identically; revenue sums
+    through DECIMAL. Truncation is a projection, so this is one
+    map-side-combined aggregation keyed by (month, status)."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    return (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("month"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
