@@ -24,7 +24,9 @@ DAMP_Q = 850_000  # 0.85 in micro-units
 BASE_Q = 150_000  # (1 - 0.85) in micro-units
 
 
-def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def pagerank_quantized(
+    edges: DataFrame, iterations: int = 3, persist_edges: bool = True
+) -> DataFrame:
     """Damped PageRank, `iterations` unrolled rounds, integer math.
 
     `edges` is a directed (src, dst) relation where every node has at
@@ -34,22 +36,29 @@ def pagerank_quantized(edges: DataFrame, iterations: int = 3) -> DataFrame:
     in micro-units.
 
     Scale shape: out-degrees are attached to the edge relation ONCE
-    (`ed` below), so each round is exactly one node-sized hash join
-    (rank table onto edges, both keyed by src) plus one groupBy(dst)
-    shuffle — the canonical Pregel superstep. The unrolled fixed
-    iteration count keeps the plan finite; on a real cluster you
-    would persist `ed` and checkpoint ranks every few rounds to
-    truncate lineage, which changes nothing semantically.
+    and the result is persisted (`persist_edges`) — without it, plan
+    unrolling recomputes the whole edge derivation every round, the
+    classic iterative-DataFrame trap. Each round then joins the
+    node-sized rank table onto the cached edges and reduces with one
+    groupBy(dst) shuffle — the canonical Pregel superstep. The rank
+    table is broadcast: #nodes ≪ #edges on real graphs, so the edge
+    side never shuffles for the join; if the node table outgrows
+    broadcast range, pre-bucket both relations by src/nid instead
+    (operators tested in test_bucketing.py). On very deep iteration
+    counts, checkpoint ranks every few rounds to truncate lineage —
+    semantics unchanged.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(deg, "src").select("src", "dst", "deg")
+    if persist_edges:
+        ed = ed.persist()
     ranks = deg.select(
         F.col("src").alias("nid"),
         F.lit(SCALE).cast("bigint").alias("r"),
     )
     for _ in range(iterations):
         ranks = (
-            ed.join(ranks, ed.src == ranks.nid)
+            ed.join(F.broadcast(ranks), ed.src == ranks.nid)
             .select("dst", F.expr("r div deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
