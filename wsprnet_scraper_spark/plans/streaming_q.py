@@ -388,3 +388,45 @@ def strm_stream_join(spark, sf_dir):
         F.col("click_user").alias("user_id"),
         (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
     )
+
+
+def _pyds_oracle() -> str:
+    from .wspr import ENRICH_SQL_CTES
+
+    return f"""
+WITH {ENRICH_SQL_CTES}
+SELECT CAST(wd_band AS VARCHAR) AS wd_band,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT "Spotnum") AS BIGINT) AS n_spots
+FROM enr GROUP BY 1
+"""
+
+
+@register("src_pyds_queue", _pyds_oracle(), cache_plans=False)
+def src_pyds_queue(spark, sf_dir):
+    """The custom Python DataSource as a judged source: synth spots
+    are enriched, written to the bz2 wire queue, read back through
+    `spark.read.format("wspr_queue")` (sources/pyds.py — Spark 4
+    DataSource API, one partition per queue file), and rolled up per
+    band. Must equal the same rollup computed relationally from the
+    tables — proving the named format's write→read path is lossless.
+    Not cached: the builder writes a fresh queue dir per call."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from .. import pipeline
+    from ..sources.pyds import WsprQueueDataSource
+    from ..sources.sinks import write_queue_bz2
+    from .synth import synth_spots
+
+    spark.dataSource.register(WsprQueueDataSource)
+    work = tempfile.mkdtemp(prefix="wspr_pyds_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    enriched = pipeline.enrich(pipeline.with_wd_time(synth_spots(spark, sf_dir)))
+    write_queue_bz2(enriched, work)
+    back = spark.read.format("wspr_queue").load(work)
+    return back.groupBy("wd_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("Spotnum").alias("n_spots"),
+    )
