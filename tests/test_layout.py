@@ -84,3 +84,44 @@ def test_clustered_files_cover_disjoint_morton_ranges(spark):
         # and the layout is lossless
         back = spark.read.parquet(path)
         assert back.count() == li.count()
+
+
+def test_delete_keys_anti_join_rewrite(spark):
+    import tempfile
+
+    from wsprnet_scraper_spark.sources.sinks import delete_keys
+
+    ev = load_events(spark, SF).select("event_id", "user_id", "value")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/tbl"
+        ev.write.parquet(path)
+        # ordered limit: the frame executes twice (collect + delete),
+        # so the pick must be deterministic
+        doomed = ev.select("user_id").distinct().orderBy("user_id").limit(7)
+        doomed_ids = {r.user_id for r in doomed.collect()}
+        n_doomed = ev.filter(F.col("user_id").isin(doomed_ids)).count()
+        stats = delete_keys(spark, path, "user_id", doomed)
+        assert stats["rows_deleted"] == n_doomed > 0
+        back = spark.read.parquet(path)
+        assert back.count() == stats["rows_after"]
+        assert back.filter(F.col("user_id").isin(doomed_ids)).count() == 0
+
+
+def test_schema_evolution_merge_read(spark):
+    import tempfile
+
+    ev = load_events(spark, SF)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/evolving"
+        # v1 batch: two columns; v2 batch adds a third
+        ev.select("event_id", "user_id").limit(50).write.mode(
+            "append"
+        ).parquet(path)
+        ev.select("event_id", "user_id", "value").limit(50).write.mode(
+            "append"
+        ).parquet(path)
+        merged = spark.read.option("mergeSchema", True).parquet(path)
+        assert set(merged.columns) == {"event_id", "user_id", "value"}
+        assert merged.count() == 100
+        # rows from the v1 batch surface the new column as null
+        assert merged.filter(F.col("value").isNull()).count() == 50

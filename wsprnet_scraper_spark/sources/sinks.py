@@ -308,3 +308,47 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def delete_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys_df: DataFrame,
+) -> dict:
+    """Right-to-be-forgotten delete: rewrite a parquet directory
+    without the rows whose `key_col` appears in `keys_df` (a
+    one-column DataFrame of keys), via broadcast anti-join + atomic
+    rename swap.
+
+    This is the immutable-storage deletion pattern: parquet files
+    can't be edited in place, so deletion is a filtered rewrite —
+    on a table format (Delta/Iceberg) the same anti-join feeds a
+    commit instead of a rename. The key set is broadcast (deletion
+    requests are tiny vs a 100 TB table), so the rewrite is one scan
+    with no shuffle. Returns {"rows_before", "rows_deleted",
+    "rows_after"}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.join(
+        F.broadcast(keys_df.select(F.col(keys_df.columns[0]).alias(key_col))),
+        key_col,
+        "left_anti",
+    )
+    staging = path + "__delete_staging"
+    kept.write.mode("overwrite").parquet(staging)
+    old = path + "__delete_old"
+    shutil.move(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+    after = spark.read.parquet(path).count()
+    return {
+        "rows_before": before,
+        "rows_deleted": before - after,
+        "rows_after": after,
+    }
