@@ -84,3 +84,45 @@ def test_queue_source_filters_pushably(spark):
             .count()
         )
         assert n_40 == df.filter(F.col("Band").cast("string") == "40").count()
+
+
+def test_queue_streaming_drain_and_checkpoint_resume(spark):
+    import tempfile
+
+    _register(spark)
+    df = pipeline.enrich(
+        pipeline.with_wd_time(pipeline.parse_json(spark, GOLDEN_JSON))
+    )
+    with tempfile.TemporaryDirectory() as d:
+        q, ckpt = f"{d}/q", f"{d}/ckpt"
+        import os
+
+        os.makedirs(q)
+        write_queue_bz2(df.limit(5), q)
+
+        got = []
+
+        def drain():
+            s = spark.readStream.format("wspr_queue").load(q)
+            query = (
+                s.writeStream.foreachBatch(
+                    lambda b, _i: got.extend(
+                        (int(r.Spotnum)) for r in b.collect()
+                    )
+                )
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+
+        drain()
+        first = sorted(got)
+        assert len(first) == 5
+        # second drain from the SAME checkpoint: nothing new -> no rows
+        drain()
+        assert sorted(got) == first
+        # append more files; a third drain picks up ONLY the new ones
+        write_queue_bz2(df.limit(8), q)
+        drain()
+        assert len(got) == 13
