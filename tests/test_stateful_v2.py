@@ -141,3 +141,31 @@ def test_ledger_streaming_e2e(spark):
             )
     finally:
         spark.conf.unset(key)
+
+
+def test_ingest_observe_metrics_surface_in_progress(spark):
+    """The observe() node on the ingest stream must report per-batch
+    rows and the spot-id span through StreamingQueryProgress."""
+    import json
+    import tempfile
+
+    from wsprnet_scraper_spark.plans.synth import synth_spots
+    from wsprnet_scraper_spark.streaming.ingest import start_ingest
+
+    spots = synth_spots(spark, SF)
+    with tempfile.TemporaryDirectory() as d:
+        landing, sink, ckpt = f"{d}/land", f"{d}/sink", f"{d}/ckpt"
+        spots.coalesce(2).write.mode("append").json(landing)
+        q = start_ingest(spark, landing, sink, ckpt, available_now=True)
+        q.awaitTermination()
+        n = spots.count()
+        metrics = None
+        for p in q.recentProgress:
+            om = (p if isinstance(p, dict) else json.loads(p.json)).get(
+                "observedMetrics", {}
+            )
+            if "ingest" in om:
+                metrics = om["ingest"]
+        assert metrics is not None, "no observed metrics in progress"
+        assert metrics["rows"] == n
+        assert metrics["min_spotnum"] <= metrics["max_spotnum"]

@@ -155,9 +155,18 @@ def start_ingest(
         finally:
             deduped.unpersist()
 
+    # observe(): zero-cost in-plan metrics surfaced per micro-batch in
+    # StreamingQueryProgress.observedMetrics — the ops dashboard feed
+    # (rows landed, spot-id watermark span) without a second pass or a
+    # count() job against the batch
+    stream = read_spot_stream(spark, landing_dir).observe(
+        "ingest",
+        F.count(F.lit(1)).alias("rows"),
+        F.min("Spotnum").alias("min_spotnum"),
+        F.max("Spotnum").alias("max_spotnum"),
+    )
     writer = (
-        read_spot_stream(spark, landing_dir)
-        .writeStream.foreachBatch(sink_batch)
+        stream.writeStream.foreachBatch(sink_batch)
         .option("checkpointLocation", checkpoint_dir)
     )
     if available_now:
