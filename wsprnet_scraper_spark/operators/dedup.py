@@ -297,6 +297,28 @@ def stratified_sample(
     return df.filter(bucket < pct)
 
 
+def hash_split(
+    df: DataFrame, id_col: str, cuts: list[tuple[str, int]], last_name: str
+) -> DataFrame:
+    """df + `split`: deterministic train/val/test assignment by hash
+    bucket. `cuts` is an ascending list of (name, upper_bucket) — e.g.
+    [("train", 80), ("val", 90)] with last_name="test" gives an
+    80/10/10 split. Same md5-bucket arithmetic as stratified_sample:
+    pure projection, no RNG, no shuffle, the identical split on every
+    run, every engine, and every cluster size — which is what makes a
+    held-out set trustworthy across reprocessing.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        % 100
+    )
+    expr = F.lit(last_name)
+    for name, cut in reversed(sorted(cuts, key=lambda c: c[1])):
+        expr = F.when(bucket < cut, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over distinct word tokens: (doc, simhash).
 

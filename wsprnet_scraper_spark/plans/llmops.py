@@ -654,6 +654,106 @@ def pipe_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+_BUCKET2 = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100"
+)
+
+
+@register(
+    "pipe_split_hash",
+    f"""
+SELECT doc_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, {_BUCKET2} AS b FROM documents)
+""",
+)
+def pipe_split_hash(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5 bucket —
+    no RNG, so the held-out set is identical across reruns, engines,
+    and cluster sizes. Pure projection: zero shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.hash_split(
+        d, "doc_id", [("train", 80), ("val", 90)], "test"
+    ).select("doc_id", "split")
+
+
+@register(
+    "pipe_shuffle",
+    """
+SELECT doc_id, shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key) AS BIGINT) AS position
+FROM (SELECT doc_id, md5('seed42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+      FROM documents)
+""",
+)
+def pipe_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: position = exact
+    global rank under md5(seed || id). The oracle's ROW_NUMBER() OVER
+    (ORDER BY ...) is a single-task plan at scale; the engine computes
+    the same total order with bounded parallelism via
+    ranking.with_global_rank (range repartition + per-cell row_number
+    + broadcast offsets). md5 keys are unique, so the order is
+    tie-free and the rank exact."""
+    from ..operators import ranking
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    ranked = ranking.with_global_rank(
+        d, ["shuffle_key"], rank_col="position", total_col="_tot"
+    )
+    return ranked.select(
+        "doc_id", "shuffle_key", F.col("position").cast("bigint").alias("position")
+    )
+
+
+@register(
+    "pipe_domain_mix",
+    f"""
+SELECT doc_id, source, n_tok, cum_tok FROM (
+  SELECT doc_id, source, n_tok,
+    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY pick_key, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM (SELECT doc_id, source,
+          CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+          md5('mix:' || CAST(doc_id AS VARCHAR)) AS pick_key
+        FROM documents)
+) WHERE cum_tok - n_tok < 600
+""",
+)
+def pipe_domain_mix(spark, sf_dir):
+    """Data-mixing by token budget: each source (domain) contributes
+    documents in deterministic hash order until its 600-token budget
+    is crossed — the op that turns per-domain mixture weights into an
+    actual training subset. One partitioned integer running-sum
+    window keyed by source; at 100 TB the per-domain windows
+    parallelize across sources and the greedy cut needs no second
+    pass."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        text.ws_token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias(
+            "pick_key"
+        ),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("pick_key", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        t.withColumn("cum_tok", F.sum("n_tok").over(w).cast("bigint"))
+        .filter(F.col("cum_tok") - F.col("n_tok") < 600)
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
