@@ -154,3 +154,48 @@ def src_orc_roundtrip(spark, sf_dir):
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# ------------------------------------------------------------- binaryFile
+
+
+@register(
+    "src_binaryfile",
+    """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+FROM documents WHERE doc_id % 5 = 0
+""",
+)
+def src_binaryfile(spark, sf_dir):
+    """Opaque-blob ingestion through Spark's `binaryFile` source (the
+    entry point for image/audio/video corpora): every fifth document
+    is materialized as a standalone `.bin` file by a distributed
+    `foreachPartition` writer (no driver collect), read back as
+    (path, length, content) binary rows, and fingerprinted. The id is
+    recovered from the file path — the layout convention a multimodal
+    lake uses — and length/md5 must match the source-of-truth parquet
+    byte for byte. Texts here are ASCII, so DuckDB's strlen/md5 over
+    the VARCHAR equals Spark's over the written bytes."""
+    work = tempfile.mkdtemp(prefix="wspr_binf_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    blob_dir = f"{work}/blobs"
+    import os
+
+    os.makedirs(blob_dir, exist_ok=True)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+
+    def _write_blobs(rows, _dir=blob_dir):
+        # runs on executors: each partition writes its own files
+        for r in rows:
+            with open(f"{_dir}/doc_{r['doc_id']}.bin", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(_write_blobs)
+    back = spark.read.format("binaryFile").load(f"{blob_dir}/*.bin")
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -430,3 +430,63 @@ def src_pyds_queue(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("Spotnum").alias("n_spots"),
     )
+
+
+@register(
+    "strm_rollup_merge",
+    """
+SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS bucket_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(floor(value * 1000)) AS BIGINT) AS value_milli_sum
+FROM events GROUP BY 1, 2
+""",
+)
+def strm_rollup_merge(spark, sf_dir):
+    """The continuous-aggregate subsystem (streaming/rollup.py — the
+    TimescaleDB continuous-aggregate analog) as a judged query: the
+    events stream feeds a 2-minute UPDATE-mode windowed aggregation
+    whose micro-batches are MERGEd into a versioned materialized
+    rollup table; the final materialization must equal the same
+    rollup computed in one batch over all history — the incremental-
+    view-maintenance contract. Values are floor-quantized to integer
+    milli-units before summing, so the per-batch partial sums are
+    exact (order- and batch-split-independent) and the cross-engine
+    compare is bit-stable."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..streaming.rollup import RollupTable, continuous_rollup
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # [t] glob keeps FileStreamSource's basePath at the parent dir
+    stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.withColumn(
+        "value_milli", F.floor(F.col("value") * 1000).cast("long")
+    )
+    work = tempfile.mkdtemp(prefix="wspr_rollup_q_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    rollup = RollupTable(spark, f"{work}/rollup")
+    q = continuous_rollup(
+        stream,
+        rollup,
+        time_col="ts",
+        key_cols=["event_type"],
+        value_col="value_milli",
+        bucket="2 minutes",
+        checkpoint_dir=f"{work}/ckpt",
+        available_now=True,
+    )
+    q.awaitTermination()
+    cur = rollup.current()
+    return cur.select(
+        F.col("bucket_start_s").cast("bigint").alias("bucket_start_s"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_value").cast("bigint").alias("value_milli_sum"),
+    )
