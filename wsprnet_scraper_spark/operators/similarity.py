@@ -232,9 +232,12 @@ def clear_codebooks() -> None:
 def _path_fingerprint(cache_key: str):
     """Cheap content fingerprint for a corpus path used as cache key:
     (mtime_ns, size) of the embeddings parquet (or the file itself).
+    A `#fragment` suffix (used to derive distinct sub-index keys from
+    one corpus path, e.g. PQ subspaces) is ignored for the stat.
     Non-path keys fingerprint to None and rely on the key alone."""
     import os
 
+    cache_key = str(cache_key).split("#", 1)[0]
     for p in (os.path.join(str(cache_key), "embeddings.parquet"), str(cache_key)):
         try:
             st = os.stat(p)
@@ -479,4 +482,117 @@ def lsh_bucket_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    num_centroids: int = 8,
+    m: int = 2,
+    iters: int = 2,
+    dim: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Product-quantization ANN: the embedding is split into `m`
+    subvectors, each subspace gets its own trained k-means codebook
+    (`train_kmeans_codebook` per slice), and every vector is encoded
+    as the m-tuple of nearest sub-centroid ids. A query is scored
+    against the RECONSTRUCTION (concatenated sub-centroids):
+    approx_cos(q, x) = (Σ_j dot(q_j, c_j[code_j(x)]))
+                     / (‖q‖ · sqrt(Σ_j ‖c_j[code_j(x)]‖²)),
+    the asymmetric-distance (ADC) form of Jégou et al.'s PQ.
+
+    100 TB shape: codebooks are tiny (m × num_centroids rows) and
+    built once per corpus (driver cache, content-fingerprinted);
+    encoding is a pure projection over inlined literal codebooks —
+    ZERO shuffle over the corpus, like hyperplane_buckets/ivf_topk —
+    and scoring joins the codes to the broadcast codebooks and the
+    broadcast query set, so the only shuffle is the final per-query
+    top-k. Storage is the real PQ win: m small ints per vector
+    instead of the raw array (here 2×3 bits vs 64 doubles).
+
+    Cross-engine exactness: subvectors are floor(x*1000)-quantized, so
+    all norms of data vectors are exact integers (any fold order);
+    sub-centroid components are exact integer sums / count; dot and
+    centroid-norm folds are fixed-order left folds; assignment ties go
+    to the lowest centroid id; ranking ties to the lowest vec_id.
+    """
+    if dim is None:
+        row = emb.select(F.size("embedding").alias("d")).limit(1).collect()
+        dim = int(row[0]["d"]) if row else 0
+    sub = dim // m
+    spans = [(j * sub + 1, sub if j < m - 1 else dim - j * sub) for j in range(m)]
+
+    books = []
+    for j, (lo, ln) in enumerate(spans):
+        sub_emb = emb.select(
+            "vec_id", F.slice(F.col("embedding"), lo, ln).alias("embedding")
+        )
+        ck = f"{cache_key}#pq{j}_{m}" if cache_key is not None else None
+        books.append(train_kmeans_codebook(sub_emb, num_centroids, iters, ck))
+
+    base = emb.select("vec_id", "embedding")
+    codes = base
+    qcols = []
+    for j, (lo, ln) in enumerate(spans):
+        vq = F.transform(
+            _as_double(F.slice(F.col("embedding"), lo, ln)),
+            lambda x: F.floor(x * 1000).cast("long").cast("double"),
+        )
+        codes = codes.withColumn(f"vq{j}", vq).withColumn(
+            f"qn2_{j}", _norm2(F.col(f"vq{j}"))
+        )
+        ranked = _argmax_cell(F.col(f"vq{j}"), F.col(f"qn2_{j}"), books[j])
+        codes = codes.withColumn(
+            f"code{j}", (-F.element_at(ranked, 1)["negc"]).cast("long")
+        )
+        qcols.append(j)
+
+    spark = emb.sparkSession
+    cb_frames = []
+    for j, cb in enumerate(books):
+        cb_frames.append(
+            spark.createDataFrame(
+                [(int(cid), list(cv), float(cn2)) for cid, cv, cn2 in cb],
+                f"cid{j} long, cv{j} array<double>, cn2_{j} double",
+            )
+        )
+
+    scored = codes.select(
+        "vec_id", *[f"code{j}" for j in qcols], *[f"vq{j}" for j in qcols],
+        *[f"qn2_{j}" for j in qcols],
+    )
+    enc = scored.select("vec_id", *[f"code{j}" for j in qcols])
+    for j in range(m):
+        enc = enc.join(
+            F.broadcast(cb_frames[j]), enc[f"code{j}"] == cb_frames[j][f"cid{j}"]
+        ).drop(f"cid{j}")
+
+    q = scored.filter(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"vq{j}").alias(f"qv{j}") for j in qcols],
+        sum([F.col(f"qn2_{j}") for j in qcols[1:]], F.col("qn2_0")).alias("qn2"),
+    )
+
+    approx_dot = None
+    cn2_sum = None
+    for j in range(m):
+        d = _dot(F.col(f"qv{j}"), F.col(f"cv{j}"))
+        approx_dot = d if approx_dot is None else approx_dot + d
+        c = F.col(f"cn2_{j}")
+        cn2_sum = c if cn2_sum is None else cn2_sum + c
+    pairs = enc.join(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        (approx_dot / (F.sqrt(F.col("qn2")) * F.sqrt(cn2_sum))).alias("approx_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "approx_cos")
     )

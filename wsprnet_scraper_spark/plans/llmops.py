@@ -1145,3 +1145,118 @@ def pipe_pack(spark, sf_dir):
             (start % 2048).cast("bigint").alias("offset_in_bin"),
         )
     )
+
+
+def _pq_kmeans_chain(p: str, lo: int, hi: int, k: int = 8) -> str:
+    """The _KMEANS_SQL chain, parameterized for a PQ subspace: CTE
+    names prefixed with `p`, source = slice [lo:hi] (1-based,
+    inclusive — DuckDB list slicing) of the embedding, plus a final
+    `{p}code` assignment against the trained (post-iteration-2)
+    codebook. Structure and fold orders match
+    operators/similarity.train_kmeans_codebook exactly."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]),"
+        " (acc, x) -> acc + x)"
+    )
+    n2 = "list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b)"
+
+    def assign(src_cents: str, out: str, rn_filter: str) -> str:
+        return f"""
+{out} AS (
+  SELECT vec_id, cell, vq FROM (
+    SELECT b.vec_id, c.cid AS cell, b.vq,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        {dot.format(a='b.vq', b='c.cv')}
+          / (sqrt(b.qn2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+    FROM {p}bqn b CROSS JOIN {src_cents} c
+  ) WHERE {rn_filter}
+)"""
+
+    def update(assigned: str, prev: str, mi: str, cl: str, out: str) -> str:
+        return f"""
+{mi} AS (
+  SELECT cell, i, CAST(SUM(vq[i]) AS DOUBLE) / COUNT(*) AS comp
+  FROM {assigned}, unnest(generate_series(1, len(vq))) AS t(i)
+  GROUP BY cell, i
+),
+{cl} AS (SELECT cell, list(comp ORDER BY i) AS cv FROM {mi} GROUP BY cell),
+{out} AS (
+  SELECT {prev}.cid, COALESCE({cl}.cv, {prev}.cv) AS cv,
+    {n2.format(v=f'COALESCE({cl}.cv, {prev}.cv)')} AS cn2
+  FROM {prev} LEFT JOIN {cl} ON {cl}.cell = {prev}.cid
+)"""
+
+    return f"""
+{p}bq AS (
+  SELECT vec_id,
+    list_transform((embedding::DOUBLE[])[{lo}:{hi}],
+                   x -> CAST(floor(x * 1000) AS DOUBLE)) AS vq
+  FROM embeddings
+),
+{p}bqn AS (
+  SELECT vec_id, vq, {n2.format(v='vq')} AS qn2 FROM {p}bq
+),
+{p}c0 AS (
+  SELECT vec_id AS cid, vq AS cv, {n2.format(v='vq')} AS cn2
+  FROM {p}bq WHERE vec_id < {k}
+),{assign(f'{p}c0', f'{p}a1', 'rn = 1')},{update(f'{p}a1', f'{p}c0', f'{p}m1', f'{p}c1l', f'{p}c1')},{assign(f'{p}c1', f'{p}a2', 'rn = 1')},{update(f'{p}a2', f'{p}c1', f'{p}m2', f'{p}c2l', f'{p}c2')},
+{p}code AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cid AS cell,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        {dot.format(a='b.vq', b='c.cv')}
+          / (sqrt(b.qn2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+    FROM {p}bqn b CROSS JOIN {p}c2 c
+  ) WHERE rn = 1
+)"""
+
+
+_PQ_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+@register(
+    "sim_pq",
+    f"""
+WITH {_pq_kmeans_chain('p1_', 1, 32).strip()},
+{_pq_kmeans_chain('p2_', 33, 64).strip()},
+q AS (
+  SELECT b1.vec_id AS qid, b1.vq AS qv1, b2.vq AS qv2,
+         b1.qn2 + b2.qn2 AS qn2
+  FROM p1_bqn b1 JOIN p2_bqn b2 ON b1.vec_id = b2.vec_id
+  WHERE b1.vec_id < 5
+),
+scored AS (
+  SELECT q.qid, c1.vec_id,
+    ({_PQ_DOT.format(a='q.qv1', b='k1.cv')}
+     + {_PQ_DOT.format(a='q.qv2', b='k2.cv')})
+      / (sqrt(q.qn2) * sqrt(k1.cn2 + k2.cn2)) AS approx_cos
+  FROM p1_code c1 JOIN p2_code c2 ON c1.vec_id = c2.vec_id
+  JOIN p1_c2 k1 ON c1.cell = k1.cid
+  JOIN p2_c2 k2 ON c2.cell = k2.cid
+  CROSS JOIN q
+),
+ranked AS (
+  SELECT qid, vec_id, approx_cos,
+    row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, approx_cos FROM ranked WHERE rn <= 3
+""",
+)
+def sim_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al., TPAMI 2011): two
+    32-dim subspaces, each with its own trained k-means codebook
+    (2 deterministic Lloyd iterations, mirrored CTE-for-CTE in the
+    oracle), vectors encoded as (code1, code2), queries scored
+    against reconstructions in ADC form. Alongside sim_lsh_bucketed
+    (hashing) and sim_ivf (coarse quantization), this completes the
+    classic ANN-index triad — PQ is the memory-bound regime's answer:
+    2 codes replace 64 floats at scoring time."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, m=2, iters=2,
+        cache_key=sf_dir,
+    )
