@@ -659,3 +659,62 @@ def agg_monthly_rollup(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "agg_zscore_outliers",
+    """
+WITH q AS (
+  SELECT event_id, event_type, CAST(floor(value * 1000) AS BIGINT) AS vq
+  FROM events
+),
+s AS (
+  SELECT event_type,
+    CAST(count(*) AS DOUBLE) AS n,
+    CAST(CAST(SUM(vq) AS VARCHAR) AS DOUBLE) AS sx,
+    CAST(CAST(SUM(vq * vq) AS VARCHAR) AS DOUBLE) AS sxx
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type, q.vq AS value_milli,
+  (q.vq - s.sx / s.n)
+    / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1))) AS z
+FROM q JOIN s ON q.event_type = s.event_type
+WHERE abs((q.vq - s.sx / s.n)
+    / sqrt((s.n * s.sxx - s.sx * s.sx) / (s.n * (s.n - 1)))) > 2.0
+""",
+)
+def agg_zscore_outliers(spark, sf_dir):
+    """Outlier flagging — each event's z-score against its
+    event_type's mean/stddev, keeping |z| > 2. The join-back shape:
+    group stats are a tiny aggregate BROADCAST onto the fact scan, so
+    the big side is touched twice (stats pass + flag pass) but never
+    shuffled. Values are floor-quantized to integer milli-units, the
+    moment sums are exact integers (string-hopped out of DuckDB's
+    HUGEINT), and mean/sd/z is one identical double expression tree
+    in both engines — so even the |z| > 2 boundary cut is
+    bit-deterministic."""
+    ev = load_events(spark, sf_dir)
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("long").alias("vq"),
+    )
+    s = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("vq").cast("string").cast("double").alias("sx"),
+        F.sum(F.col("vq") * F.col("vq")).cast("string").cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    z = (F.col("vq") - sx / n) / F.sqrt(
+        (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    )
+    return (
+        q.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("vq").alias("value_milli"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 2.0)
+    )

@@ -85,3 +85,50 @@ def graph_degree_dist(spark, sf_dir):
     e = _edges(spark, sf_dir)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_triangles",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+nodes AS (SELECT a AS nid FROM pairs UNION ALL SELECT b FROM pairs),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT CAST((SELECT count(DISTINCT nid) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tri
+""",
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (parts are
+    adjacent iff some order contains both). The ORACLE is the naive
+    triple-join specification (x<y<z); the engine runs the
+    degree-ordered node-iterator (operators/graph.triangle_count) —
+    the optimized plan must reproduce the naive spec's count exactly.
+    Pair generation per order is bounded by order size (TPC-H ≤ 7
+    items), so the explode step has no skew; the curse-of-the-last-
+    reducer case (celebrity nodes) is handled by the (deg, id)
+    orientation, not by this corpus."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    from ..operators.graph import triangle_count
+
+    return triangle_count(pairs)
