@@ -61,6 +61,14 @@ def get_session(app_name: str = "wsprnet_scraper_spark") -> SparkSession:
         # parquet reader rejects; read as long and convert explicitly
         # (sources.tables.load does the ns->timestamp conversion)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # parquet TIMESTAMP without timezone (timestamp[us], how the
+        # driver's generator writes events.ts) must read as TIMESTAMP,
+        # not TIMESTAMP_NTZ: the whole engine runs in UTC and the
+        # DuckDB oracle reads the same column as UTC-naive, so LTZ@UTC
+        # and the oracle agree wall-clock for free, while NTZ breaks
+        # every time function that requires TIMESTAMP (unix_micros,
+        # window(), watermarks).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
