@@ -319,6 +319,32 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row with
+    probability weight/max(weight) — the importance-sampling
+    primitive (keep high-quality/long documents preferentially) with
+    the same replayability guarantee as stratified_sample: no RNG,
+    identical sample every run, every engine, every cluster size.
+
+    The acceptance test is pure integer arithmetic — u16(id) * wmax <
+    weight * 65536, where u16 is the first 4 hex digits of
+    md5(cast(id)) — no division, no doubles, so exact in both
+    engines. max(weight) is a single-row broadcast (the only
+    aggregation); the filter itself is a zero-shuffle projection, so
+    at 100 TB this is one cheap all-reduce plus a map-only pass.
+    """
+    u16 = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+    )
+    wmax = df.select(F.max(F.col(weight_col)).alias("wmax"))
+    return (
+        df.crossJoin(F.broadcast(wmax))
+        .filter(u16 * F.col("wmax") < F.col(weight_col) * F.lit(65536))
+        .drop("wmax")
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over distinct word tokens: (doc, simhash).
 

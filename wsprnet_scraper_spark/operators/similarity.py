@@ -360,6 +360,73 @@ def train_kmeans_codebook(
     return out
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    num_centroids: int = 8,
+    iters: int = 2,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with the
+    trained k-means codebook, then find near-duplicates ONLY within
+    each cluster — the semantic dedup that catches paraphrases exact
+    and MinHash dedup miss. Returns every vector with its cluster,
+    `dup_of` (lowest-id near-duplicate cluster-mate, null if none —
+    the doc to keep) and `n_near` (how many lower-id near-dups).
+
+    Scale shape: cluster assignment is a zero-shuffle projection over
+    the inlined codebook (same property as ivf_topk); the candidate
+    join is cell-local, so the quadratic blowup of all-pairs cosine
+    is bounded to within-cell pairs. At 100 TB the knob is
+    num_centroids ∝ corpus size (SemDeDup's paper uses ~10k clusters
+    for ~100M docs), keeping cells ~constant-sized; the shuffle keys
+    are cells, so AQE's skew-join split handles an unbalanced cell.
+
+    Cross-engine exactness: the codebook is the deterministic k-means
+    of train_kmeans_codebook (mirrored CTE-for-CTE in the oracle),
+    assignment and pair cosines are fixed-order left folds —
+    bit-identical doubles in both engines.
+    """
+    cents = train_kmeans_codebook(emb, num_centroids, iters, cache_key)
+    ranked = _argmax_cell(F.col("v"), F.col("n2"), cents)
+    cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .withColumn("cell", cell)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vid"),
+            F.col("b.vec_id").alias("nbr"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    agg = pairs.groupBy("vid").agg(
+        F.min("nbr").alias("dup_of"), F.count(F.lit(1)).alias("n_near")
+    )
+    return (
+        base.select("vec_id", "cell")
+        .join(agg, F.col("vec_id") == F.col("vid"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

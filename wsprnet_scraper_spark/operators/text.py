@@ -111,6 +111,82 @@ def tfidf_top_terms(
     )
 
 
+def bigram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document fluency score under a corpus-trained bigram LM —
+    the KenLM-perplexity analog of a quality-filtering pipeline,
+    self-trained on the corpus it scores.
+
+    Model: p(w2|w1) = c(w1 w2) / c(w1·) over whitespace bigrams, no
+    smoothing needed because every scored bigram was seen in training
+    (the model IS the corpus). Score = mean conditional probability,
+    a rational-arithmetic stand-in for mean log-prob: ln() is a
+    transcendental whose last ulp differs between Java StrictMath and
+    libm (same reason tfidf_top_terms is log-free), and the mean-p
+    ranking is what the filter thresholds on.
+
+    Cross-engine exactness: each p is one IEEE double division of two
+    exact longs, quantized to integer 1e-9 units (floor(p*1e9)), so
+    the per-doc SUM is exact integer arithmetic in any order; the
+    final mean is a fixed-order double expression.
+
+    Scale shape: three shuffles, all on small-ish keys — bigram
+    counts (map-side combine collapses to distinct-bigram volume),
+    context counts (derived from the bigram table, not re-scanned),
+    and the score join of exploded doc-bigrams against the model. The
+    model table is vocabulary-sized, not corpus-sized: at 100 TB it
+    still shuffle-joins (never .collect()), and AQE broadcasts it
+    when it is small enough.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(F.col(id_col).alias("doc"), toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = d.select(
+        "doc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+    c12 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        c12.withColumn("w1", F.substring_index("bg", " ", 1))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = (
+        c12.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(c1, "w1")
+        .select(
+            "bg",
+            F.floor(
+                F.col("c12").cast("double") / F.col("c1").cast("double") * F.lit(1e9)
+            ).alias("pq"),
+        )
+    )
+    return (
+        bg.join(model, "bg")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("pq").alias("sum_pq"))
+        .select(
+            "doc",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("sum_pq").cast("long").alias("sum_pq"),
+            (
+                F.col("sum_pq").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1e9)
+            ).alias("lm_score"),
+        )
+    )
+
+
 def vocab_coverage(
     df: DataFrame, id_col: str, text_col: str, top_k: int = 20
 ) -> DataFrame:

@@ -1260,3 +1260,122 @@ def sim_pq(spark, sf_dir):
         emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, m=2, iters=2,
         cache_key=sf_dir,
     )
+
+
+@register(
+    "dedup_semantic",
+    f"""
+WITH {_KMEANS_SQL.strip()},
+cents AS (SELECT cid, cv, cn2 FROM c2),
+sbase AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+  FROM embeddings
+),
+sims AS (
+  SELECT b.vec_id, c.cid,
+    list_reduce(list_transform(list_zip(b.v, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(b.n2) * sqrt(c.cn2)) AS sim
+  FROM sbase b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+bc AS (
+  SELECT b.vec_id, b.v, b.n2, c.cell
+  FROM sbase b JOIN cells c ON b.vec_id = c.vec_id
+),
+pr AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nbr
+  FROM bc a JOIN bc b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
+),
+agg AS (
+  SELECT vid, CAST(min(nbr) AS BIGINT) AS dup_of,
+         CAST(count(*) AS BIGINT) AS n_near
+  FROM pr GROUP BY vid
+)
+SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, a.dup_of,
+       COALESCE(a.n_near, 0) AS n_near
+FROM cells c LEFT JOIN agg a ON a.vid = c.vec_id
+""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: trained-k-means clustering + within-cluster cosine
+    near-dup marking — the semantic complement to MinHash (lexical)
+    and embedding-LSH (bucketed) dedup. dup_of = lowest-id near-dup
+    cluster-mate (null = keep). Threshold 0.2 for the same reason as
+    dedup_embedding: the synthetic vectors are near-orthogonal; a
+    real corpus would use ~0.9."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, threshold=0.2, num_centroids=8, iters=2, cache_key=sf_dir
+    )
+
+
+@register(
+    "text_lm_score",
+    """
+WITH d AS (
+  SELECT doc_id AS doc, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+bg AS (
+  SELECT doc, toks[i] || ' ' || toks[i+1] AS bg
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+),
+c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, SUM(c12) AS c1
+  FROM c12 GROUP BY 1
+),
+model AS (
+  SELECT bg, CAST(floor(c12::DOUBLE / c1::DOUBLE * 1000000000) AS BIGINT) AS pq
+  FROM c12 JOIN c1 ON split_part(c12.bg, ' ', 1) = c1.w1
+),
+s AS (
+  SELECT doc, count(*) AS n, SUM(pq) AS spq
+  FROM bg JOIN model USING (bg) GROUP BY doc
+)
+SELECT doc, CAST(n AS BIGINT) AS n_bigrams, CAST(spq AS BIGINT) AS sum_pq,
+       spq::DOUBLE / n::DOUBLE / 1000000000 AS lm_score
+FROM s
+""",
+)
+def text_lm_score(spark, sf_dir):
+    """Corpus-self-trained bigram-LM fluency score per document — the
+    KenLM-perplexity quality signal of curation pipelines, in exact
+    rational arithmetic (see operators/text.bigram_lm_score for the
+    log-free rationale and the 100 TB shuffle shape)."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    return text.bigram_lm_score(d, "doc_id", "text")
+
+
+_U16 = (
+    "((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)"
+)
+
+
+@register(
+    "pipe_sample_weighted",
+    f"""
+WITH w AS (SELECT max(n_chars) AS wmax FROM documents)
+SELECT doc_id, n_chars FROM documents, w
+WHERE {_U16} * wmax < n_chars * 65536
+""",
+)
+def pipe_sample_weighted(spark, sf_dir):
+    """Deterministic weighted Bernoulli sampling: keep each doc with
+    probability n_chars/max(n_chars) — longer (higher-weight) docs
+    preferentially, no RNG, identical sample on every run and both
+    engines. Integer-only acceptance test; the weight normalizer is a
+    one-row broadcast."""
+    d = load(spark, sf_dir, "documents")
+    return dedup.weighted_sample(d, "doc_id", "n_chars").select("doc_id", "n_chars")
