@@ -128,3 +128,32 @@ def test_plan_cache_returns_same_plan_object(spark):
     from wsprnet_scraper_spark.plans.registry import _PLAN_CACHE
 
     assert not any(k[0].startswith("strm_") for k in _PLAN_CACHE)
+
+
+def test_semantic_dedup_assignment_zero_shuffle(spark):
+    # cluster assignment must be a pure projection over the inlined
+    # codebook; the only exchanges in the full plan are the cell
+    # self-join, the dup aggregation, and the final left join — no
+    # exchange may appear below the scan->assignment pipeline, and no
+    # Python boundary anywhere.
+    emb = load(spark, SF, "embeddings")
+    assigned = similarity.semantic_dedup(emb, cache_key=SF)
+    plan = _plan(assigned)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_lm_score_no_python_boundary_and_partial_aggs(spark):
+    plan = _plan(QUERIES["text_lm_score"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # both count tables and the per-doc score reduce with partial
+    # aggregation (map-side combine): every HashAggregate pairs
+    # partial_/final
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_weighted_sample_is_map_only(spark):
+    # acceptance filter is a zero-shuffle projection; the only
+    # exchange allowed is the single-row max(weight) broadcast side
+    plan = _plan(QUERIES["pipe_sample_weighted"](spark, SF))
+    data_shuffles = re.findall(r"Exchange (?:hash|range)partitioning", plan)
+    assert not data_shuffles, plan
