@@ -1,0 +1,213 @@
+"""Probabilistic data structures, deterministically seeded.
+
+Bloom-filter membership and Count-Min frequency estimation — the two
+sketches a 100 TB curation pipeline leans on when exact state would
+be too big — built as ordinary relational plans over md5-derived hash
+positions. Determinism is the point: the hash positions are pure
+integer arithmetic on md5 hex digits (no RNG, no JVM-specific
+hashing), so a sketch built by this engine is bit-identical to one
+built by the DuckDB oracle, any other engine that follows the recipe,
+and any rerun — which is what makes sketch-based decisions
+(drop/keep, heavy-hitter lists) replayable and auditable.
+
+Scale shape: both sketches are FIXED-SIZE aggregation targets
+(m/64-word bitmap, d×w count grid), so partial aggregation collapses
+each executor's contribution map-side and the shuffle carries only
+sketch-sized rows regardless of corpus size. Probing broadcasts the
+sketch (KBs) — the corpus side never shuffles to consult it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hexpos(col, seed: str, digits: int):
+    """Integer in [0, 16^digits) from the first hex digits of
+    md5(seed || '|' || value) — the deterministic hash both engines
+    reproduce exactly."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.lit("|"), col)), 1, digits),
+        16,
+        10,
+    ).cast("long")
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 4096, k: int = 3) -> DataFrame:
+    """(word, bits) bitmap relation of a Bloom filter over the keys:
+    k md5-derived positions per key, OR-folded into 32-bit-packed
+    words by a fixed-size groupBy. The result has m_bits/32 rows —
+    broadcastable at any corpus scale."""
+    pos = [
+        (_hexpos(F.col(key_col), str(j), 3) % F.lit(m_bits)).alias(f"p{j}")
+        for j in range(k)
+    ]
+    exploded = keys.select(*pos).select(
+        F.explode(F.array(*[F.col(f"p{j}") for j in range(k)])).alias("pos")
+    )
+    return (
+        exploded.select(
+            F.expr("pos DIV 32").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_decontaminate(
+    corpus_shingles: DataFrame,
+    eval_shingles: DataFrame,
+    m_bits: int = 4096,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Contamination scan against a BLOOM FILTER of the eval set
+    instead of the eval set itself — the shape that survives when the
+    held-out suite is too large to broadcast raw (the filter is
+    m_bits/8 bytes no matter how many shingles went in). One-sided
+    error: a shingle in the eval set always hits, so contamination is
+    never under-reported; false positives only ever over-flag, the
+    safe direction for decontamination.
+
+    Probing: each (doc, shingle) explodes to its k bit positions,
+    joins the broadcast bitmap on word, and counts set bits; a
+    shingle is "in" iff all k bits hit. Per-doc rollup mirrors
+    quality.contamination so the two are comparable side by side.
+    """
+    ev = F.broadcast(
+        bloom_build(
+            eval_shingles.select("shingle").distinct(), "shingle", m_bits, k
+        )
+    )
+    probes = corpus_shingles.select(
+        "doc",
+        "shingle",
+        F.explode(
+            F.array(
+                *[
+                    (_hexpos(F.col("shingle"), str(j), 3) % F.lit(m_bits)).alias(
+                        f"p{j}"
+                    )
+                    for j in range(k)
+                ]
+            )
+        ).alias("pos"),
+    ).select(
+        "doc",
+        "shingle",
+        F.expr("pos DIV 32").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+    )
+    hits = (
+        probes.join(ev, "word", "left")
+        .groupBy("doc", "shingle")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                    != 0,
+                    1,
+                ).otherwise(0)
+            ).alias("n_bits_hit")
+        )
+    )
+    return (
+        hits.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("n_bits_hit") == k, 1).otherwise(0)).alias(
+                "n_bloom_hits"
+            ),
+        )
+        .select(
+            "doc",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_bloom_hits").cast("long").alias("n_bloom_hits"),
+            (
+                F.col("n_bloom_hits").cast("double") / F.col("n_shingles")
+            ).alias("bloom_rate"),
+            (
+                F.col("n_bloom_hits").cast("double") / F.col("n_shingles")
+                >= F.lit(threshold)
+            ).alias("flagged"),
+        )
+    )
+
+
+def count_min_topk(
+    tokens: DataFrame,
+    token_col: str = "term",
+    depth: int = 4,
+    width: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Heavy hitters by Count-Min sketch (Cormode & Muthukrishnan
+    2005), with the exact count alongside to expose the one-sided
+    overestimate. Output: top-k tokens by CM estimate with
+    (token, exact_n, cm_estimate), estimate >= exact always.
+
+    The sketch is a d×w count grid: each token occurrence explodes to
+    d (row, col) cells and a fixed-size groupBy sums them — map-side
+    combine collapses every executor's contribution to ≤ d·w partial
+    rows, so the shuffle is sketch-sized at any corpus size. Estimates
+    join candidates' d cells against the broadcast grid and take the
+    row-wise MIN. Candidates here are all distinct tokens (the demo
+    corpus vocabulary is tiny); at 100 TB the candidate set comes from
+    a per-partition local top-k pre-pass, never the full vocabulary.
+    """
+    cells = tokens.select(
+        F.col(token_col).alias("tok"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (_hexpos(F.col(token_col), f"cm{r}", 2) % F.lit(width)).alias(
+                            "c"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    sketch = F.broadcast(
+        cells.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    exact = tokens.groupBy(F.col(token_col).alias("tok")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    cand = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (_hexpos(F.col("tok"), f"cm{r}", 2) % F.lit(width)).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("tok", "exact_n", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    est = (
+        cand.join(sketch, ["r", "c"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("cm_estimate"))
+    )
+    w = Window.orderBy(F.desc("cm_estimate"), "tok")
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "tok",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        )
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators import dedup, quality
+from ..operators import dedup, quality, sketch
 from ..sources import load
 from .registry import register
 
@@ -154,3 +154,126 @@ def text_length_hist(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ------------------------------------------------- deterministic sketches
+
+
+def _hex_sql(md5_expr: str, digits: int) -> str:
+    """First-`digits` hex nibbles of an md5 VARCHAR expression as an
+    integer — the oracle mirror of operators.sketch._hexpos."""
+    e = "0"
+    for i in range(1, digits + 1):
+        e = (
+            f"({e} * 16 + strpos('0123456789abcdef',"
+            f" substr({md5_expr}, {i}, 1)) - 1)"
+        )
+    return e
+
+
+_BLOOM_MD5 = "md5(CAST(j AS VARCHAR) || '|' || shingle)"
+_BLOOM_POS = f"{_hex_sql(_BLOOM_MD5, 3)} % 4096"
+
+
+@register(
+    "pipe_bloom_decontam",
+    f"""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc,
+    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc % 97 <> 0),
+evbits AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM (SELECT {_BLOOM_POS} AS pos
+        FROM ev, (VALUES (0),(1),(2)) AS s(j))
+  GROUP BY 1
+),
+probe AS (
+  SELECT doc, shingle, {_BLOOM_POS} AS pos
+  FROM corp, (VALUES (0),(1),(2)) AS s(j)
+),
+ph AS (
+  SELECT doc, shingle,
+    SUM(CASE WHEN (COALESCE(b.bits, 0)
+                   & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+        THEN 1 ELSE 0 END) AS n_bits_hit
+  FROM probe p LEFT JOIN evbits b ON p.pos // 32 = b.word
+  GROUP BY doc, shingle
+)
+SELECT doc, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(SUM(CASE WHEN n_bits_hit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+  SUM(CASE WHEN n_bits_hit = 3 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS bloom_rate,
+  SUM(CASE WHEN n_bits_hit = 3 THEN 1 ELSE 0 END)::DOUBLE / count(*) >= 0.2 AS flagged
+FROM ph GROUP BY doc
+""",
+)
+def pipe_bloom_decontam(spark, sf_dir):
+    """Contamination scan against a 4096-bit Bloom filter of the eval
+    shingles instead of the raw set — the decontamination shape that
+    survives an eval suite too large to broadcast verbatim (the
+    filter is 512 bytes regardless). One-sided error: true overlaps
+    always hit; false positives only over-flag (the safe direction).
+    Same eval/corpus split as pipe_contamination so the two are
+    directly comparable."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    return sketch.bloom_decontaminate(
+        sh.filter(F.col("doc") % 97 != 0),
+        sh.filter(F.col("doc") % 97 == 0),
+        m_bits=4096,
+        k=3,
+        threshold=0.2,
+    )
+
+
+_CM_MD5 = "md5('cm' || CAST(r AS VARCHAR) || '|' || tok)"
+_CM_COL = f"{_hex_sql(_CM_MD5, 2)} % 64"
+
+
+@register(
+    "agg_count_min",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cells AS (
+  SELECT r, {_CM_COL} AS c, count(*) AS cell_n
+  FROM toks, (VALUES (0),(1),(2),(3)) AS d(r)
+  GROUP BY 1, 2
+),
+exact AS (SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok),
+cand AS (
+  SELECT tok, exact_n, r, {_CM_COL} AS c
+  FROM exact, (VALUES (0),(1),(2),(3)) AS d(r)
+),
+est AS (
+  SELECT cand.tok, cand.exact_n, min(cells.cell_n) AS cm_estimate
+  FROM cand JOIN cells ON cand.r = cells.r AND cand.c = cells.c
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT tok, exact_n, cm_estimate,
+    row_number() OVER (ORDER BY cm_estimate DESC, tok) AS rn
+  FROM est
+)
+SELECT tok, CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cm_estimate AS BIGINT) AS cm_estimate
+FROM ranked WHERE rn <= 10
+""",
+)
+def agg_count_min(spark, sf_dir):
+    """Heavy hitters via a 4×64 Count-Min sketch with the exact count
+    alongside (estimate >= exact, one-sided). The sketch shuffle is
+    fixed-size (≤256 cells) no matter the corpus; the judged query
+    ranks the vocabulary by estimate to expose collision inflation."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+    return sketch.count_min_topk(toks, "term", depth=4, width=64, k=10)
