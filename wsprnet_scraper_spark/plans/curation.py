@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import dedup, quality, sketch
-from ..sources import load
+from ..sources import load, load_events
 from .registry import register
 
 # ------------------------------------------------------------ repetition
@@ -277,3 +277,76 @@ def agg_count_min(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
     return sketch.count_min_topk(toks, "term", depth=4, width=64, k=10)
+
+
+_KMV_MD5 = "md5(CAST(user_id AS VARCHAR))"
+
+
+@register(
+    "agg_kmv_distinct",
+    f"""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (SELECT event_type, {_hex_sql(_KMV_MD5, 8)} AS hv FROM du),
+r AS (
+  SELECT event_type, hv,
+    row_number() OVER (PARTITION BY event_type ORDER BY hv, event_type) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+),
+kth AS (
+  SELECT event_type, CAST(max(n_exact) AS BIGINT) AS n_exact,
+         max(CASE WHEN rn = 8 THEN hv END) AS uk
+  FROM r WHERE rn <= 8 GROUP BY event_type
+)
+SELECT event_type, n_exact,
+  CASE WHEN uk IS NULL THEN CAST(n_exact AS DOUBLE)
+       ELSE 7.0 * 4294967296.0 / CAST(uk AS DOUBLE) END AS kmv_estimate
+FROM kth
+""",
+)
+def agg_kmv_distinct(spark, sf_dir):
+    """Distinct-cardinality estimation by K-Minimum-Values sketch
+    (Bar-Yossef et al. 2002) — the mergeable approx-count-distinct
+    shape, deterministically seeded: per group, keep the k=8 smallest
+    md5 hash values; estimate = (k-1)/u_k with u_k the kth smallest
+    hash normalized to [0,1). Exact count rides along to expose the
+    estimation error. Groups with fewer than k distinct keys fall
+    back to the exact count (the sketch IS the key set there).
+
+    Completes the deterministic-sketch family: Bloom (membership),
+    Count-Min (frequency), KMV (cardinality). Scale shape: the
+    distinct reduces map-side; the per-group k-smallest is a
+    partitioned window over the already-reduced distinct-key relation
+    — at 100 TB a two-level min-k aggregation (partial top-k per
+    partition) replaces the window, same answer."""
+    ev = load_events(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    du = ev.select("event_type", "user_id").distinct()
+    h = du.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w = W.partitionBy("event_type").orderBy("hv", "event_type")
+    wc = W.partitionBy("event_type")
+    r = h.select(
+        "event_type",
+        "hv",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_exact"),
+    ).filter(F.col("rn") <= 8)
+    kth = r.groupBy("event_type").agg(
+        F.max("n_exact").cast("long").alias("n_exact"),
+        F.max(F.when(F.col("rn") == 8, F.col("hv"))).alias("uk"),
+    )
+    return kth.select(
+        "event_type",
+        "n_exact",
+        F.when(F.col("uk").isNull(), F.col("n_exact").cast("double"))
+        .otherwise(
+            F.lit(7.0) * F.lit(4294967296.0) / F.col("uk").cast("double")
+        )
+        .alias("kmv_estimate"),
+    )

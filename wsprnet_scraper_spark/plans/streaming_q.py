@@ -490,3 +490,51 @@ def strm_rollup_merge(spark, sf_dir):
         F.col("n").cast("bigint").alias("n"),
         F.col("sum_value").cast("bigint").alias("value_milli_sum"),
     )
+
+
+@register(
+    "strm_static_join",
+    f"""
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM({_money}) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def strm_static_join(spark, sf_dir):
+    """Stream-static enrichment join — the micro-batch counterpart of
+    the reference's per-batch band lookup (join_band_lookup): a REAL
+    readStream over events joins the static customer dimension, which
+    Spark re-plans per micro-batch and broadcasts (stream side never
+    shuffles for the join), then aggregates in complete mode.
+    availableNow drains the whole source so the memory-sink result ≡
+    the batch oracle. At 100 TB the static side is the broadcast dim
+    and the only data-sized shuffle is the final segment rollup."""
+    from pyspark.sql import types as T
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events.parque[t]"
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+    name = f"strm_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
