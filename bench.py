@@ -52,6 +52,9 @@ HEADLINE = [
     "agg_time_bucket",     # hypertable time_bucket rollup over events
     "text_repetition",     # Gopher repetition signals over documents
     "graph_pagerank",      # 3 iterative supersteps over orders⋈lineitem
+    "text_lm_score",       # corpus-self-trained bigram LM scoring
+    "dedup_semantic",      # SemDeDup: k-means cells + in-cell cosine
+    "pipe_bloom_decontam", # Bloom-filter decontamination scan
 ]
 
 
