@@ -49,3 +49,44 @@ def test_sketch_aggregations_are_partial(spark):
         plan = QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert re.search(r"partial_(count|sum|bit_or)", plan), name
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark):
+    # every near-dup SemDeDup marks must be a TRUE cosine near-dup
+    # (clustering only restricts the candidate set, it never invents
+    # similarity): (vid, dup_of) pairs are a subset of the all-pairs
+    # cosine>=t relation computed brute-force
+    from pyspark.sql import functions as F
+
+    from wsprnet_scraper_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm2,
+        semantic_dedup,
+    )
+    from wsprnet_scraper_spark.sources import load
+
+    emb = load(spark, SF, "embeddings")
+    marked = semantic_dedup(emb, threshold=0.2, cache_key=SF).filter(
+        F.col("dup_of").isNotNull()
+    )
+    base = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", _norm2(F.col("v")))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))
+    )
+    exact = {
+        (r["x"], r["y"])
+        for r in a.join(b, F.col("b.vec_id") < F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("x"), F.col("b.vec_id").alias("y"), cos.alias("c")
+        )
+        .filter(F.col("c") >= 0.2)
+        .collect()
+    }
+    got = [(r["vec_id"], r["dup_of"]) for r in marked.collect()]
+    assert got, "no semantic near-dups marked at sf0.001"
+    for pair in got:
+        assert pair in exact, pair
