@@ -199,3 +199,82 @@ def src_binaryfile(spark, sf_dir):
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+@register(
+    "snk_cdc_apply",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+         0 AS seq, 'I' AS op
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+chg1 AS (
+  SELECT o_orderkey AS k, 'U' AS status,
+         CAST(o_totalprice AS DECIMAL(14,2)) + CAST(10.00 AS DECIMAL(14,2)) AS price,
+         1 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 4 = 1
+),
+chg2 AS (
+  SELECT o_orderkey AS k, NULL AS status, NULL AS price, 2 AS seq, 'D' AS op
+  FROM orders WHERE o_orderkey % 8 = 5
+),
+log_all AS (
+  SELECT * FROM base UNION ALL SELECT * FROM chg1 UNION ALL SELECT * FROM chg2
+),
+latest AS (
+  SELECT k, status, price, op,
+         row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+  FROM log_all
+)
+SELECT k AS o_orderkey, status, CAST(price AS DOUBLE) AS price
+FROM latest WHERE rn = 1 AND op <> 'D'
+""",
+)
+def snk_cdc_apply(spark, sf_dir):
+    """Change-data-capture materialization: a synthetic I/U/D
+    changelog over the orders snapshot, applied latest-wins by
+    sequence number, deletes dropped — the Debezium-style sink
+    pattern that MERGE (single batch, no ordering) and key-deletion
+    (no updates) each cover only half of. One shuffle on the key;
+    the per-key latest pick is max_by over the (seq → row) struct,
+    so partial aggregation combines map-side instead of windowing
+    raw rows. At 100 TB the changelog is a fraction of the snapshot
+    and AQE-broadcasts; replays are idempotent because seq ordering,
+    not arrival order, decides the winner."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    chg1 = o.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("status"),
+        (price + F.lit("10.00").cast("decimal(14,2)")).alias("price"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    chg2 = o.filter(F.col("o_orderkey") % 8 == 5).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("decimal(15,2)").alias("price"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    log_all = base.unionByName(chg1).unionByName(chg2)
+    latest = log_all.groupBy("k").agg(
+        F.max_by(F.struct("status", "price", "op"), F.col("seq")).alias("fin")
+    )
+    return (
+        latest.filter(F.col("fin.op") != "D")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("fin.status").alias("status"),
+            F.col("fin.price").cast("double").alias("price"),
+        )
+    )
