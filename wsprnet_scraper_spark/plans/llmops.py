@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
 from ..sources import load
-from .registry import register
+from .registry import ORACLE, register
 
 # ------------------------------------------------------------------- dedup
 
@@ -1379,3 +1379,39 @@ def pipe_sample_weighted(spark, sf_dir):
     one-row broadcast."""
     d = load(spark, sf_dir, "documents")
     return dedup.weighted_sample(d, "doc_id", "n_chars").select("doc_id", "n_chars")
+
+
+# The full dedup_semantic query as a derived table: DuckDB allows a
+# WITH chain inside a subquery, so the e2e pipeline composes the
+# registered oracle verbatim.
+_SEMDEDUP_SQL = ORACLE["dedup_semantic"]
+
+
+@register(
+    "pipe_semdedup_e2e",
+    f"""
+SELECT d.doc_id, d.lang, d.n_chars
+FROM ({_SEMDEDUP_SQL}) sd
+JOIN documents d ON d.doc_id = sd.vec_id
+WHERE sd.dup_of IS NULL
+""",
+)
+def pipe_semdedup_e2e(spark, sf_dir):
+    """End-to-end semantic curation: SemDeDup keep-set (dup_of IS
+    NULL) joined back to the documents table — the cross-modal
+    composition a curation pipeline actually ships (vectors decide,
+    documents flow). The join is keyed on doc_id=vec_id; at 100 TB
+    the keep-set is ids-only (never payloads), so the join shuffles
+    id-width rows against the corpus scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    keep = (
+        similarity.semantic_dedup(
+            emb, threshold=0.2, num_centroids=8, iters=2, cache_key=sf_dir
+        )
+        .filter(F.col("dup_of").isNull())
+        .select("vec_id")
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.join(keep, d.doc_id == keep.vec_id).select(
+        "doc_id", "lang", "n_chars"
+    )
