@@ -214,3 +214,54 @@ def frame_sample(df: DataFrame, id_col: str, text_col: str, stride: int = 3) -> 
             F.md5(F.concat_ws(":", F.col("doc_id"), F.col("frame_idx"))),
         )
     )
+
+
+AUDIO_SCHEMA = "doc_id long, frame_idx int, energy long, peak int"
+
+
+def audio_energy(binary_df: DataFrame, frame: int = 40) -> DataFrame:
+    """Audio-shaped windowed analysis over binary payloads: treat each
+    byte as a centered int8 PCM sample, emit per-frame energy
+    (sum of squares) and peak (max |sample|) — the VAD/silence-trim
+    primitive of an audio curation pipeline. STUB for a real PCM
+    decode the same way extract_features stubs a CNN: swap the
+    byte->sample view for soundfile/ffmpeg output and the Arrow batch
+    path, whole-batch numpy vectorization, and typed per-frame output
+    contract are unchanged.
+
+    Integer arithmetic end to end, so the DuckDB oracle mirrors it
+    exactly. Frames are non-overlapping; trailing partial frames are
+    dropped (a doc shorter than one frame emits nothing).
+    """
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = list(pdf["payload"])
+            ids = pdf["doc_id"].to_numpy()
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            nf = lens // frame
+            total = int(nf.sum())
+            if total == 0:
+                continue
+            # concatenate only the frame-aligned prefixes, then one
+            # reshape gives every frame of every row — no per-doc loop
+            data = np.frombuffer(
+                b"".join(p[: int(k) * frame] for p, k in zip(payloads, nf)),
+                dtype=np.uint8,
+            )
+            m = data.astype(np.int64).reshape(total, frame) - 128
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(ids, nf),
+                    "frame_idx": (
+                        np.arange(total) - np.repeat(np.cumsum(nf) - nf, nf)
+                    ).astype(np.int32),
+                    "energy": (m * m).sum(axis=1),
+                    "peak": np.abs(m).max(axis=1).astype(np.int32),
+                }
+            )
+
+    return binary_df.mapInPandas(op, schema=AUDIO_SCHEMA)

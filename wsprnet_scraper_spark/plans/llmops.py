@@ -1415,3 +1415,32 @@ def pipe_semdedup_e2e(spark, sf_dir):
     return d.join(keep, d.doc_id == keep.vec_id).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@register(
+    "mm_audio_energy",
+    """
+WITH fr AS (
+  SELECT doc_id, text, length(text) // 40 AS nf FROM documents
+  WHERE length(text) >= 40
+),
+s AS (
+  SELECT doc_id, CAST(f.g AS INT) AS frame_idx,
+         ascii(substr(text, f.g * 40 + t.i, 1)) - 128 AS v
+  FROM fr,
+       unnest(generate_series(0, nf - 1)) AS f(g),
+       unnest(generate_series(1, 40)) AS t(i)
+)
+SELECT doc_id, frame_idx, CAST(SUM(v * v) AS BIGINT) AS energy,
+       CAST(MAX(abs(v)) AS INT) AS peak
+FROM s GROUP BY doc_id, frame_idx
+""",
+)
+def mm_audio_energy(spark, sf_dir):
+    """Per-frame audio energy/peak over binary payloads through the
+    real mapInPandas path — the VAD/silence-trim shape (40-sample
+    non-overlapping frames, integer-exact; see
+    operators/multimodal.audio_energy)."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.audio_energy(payload, frame=40)
