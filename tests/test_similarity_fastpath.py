@@ -45,3 +45,25 @@ def test_ivf_scores_exact_and_self_first(spark):
         top = max(rows, key=lambda r: (r["cosine"], -r["vec_id"]))
         assert top["vec_id"] == qid
         assert math.isclose(top["cosine"], 1.0, rel_tol=1e-12)
+
+
+def test_assign_cells_pandas_matches_expression_path(spark):
+    # the GEMM assignment must place every vector in the same cell as
+    # the inlined-expression path (tie-free synthetic data), and the
+    # full semantic_dedup result must be identical through either
+    from wsprnet_scraper_spark.operators import similarity
+    from wsprnet_scraper_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    expr_rows = sorted(
+        (r["vec_id"], r["cell"], r["dup_of"], r["n_near"])
+        for r in similarity.semantic_dedup(emb, cache_key=sf).collect()
+    )
+    gemm_rows = sorted(
+        (r["vec_id"], r["cell"], r["dup_of"], r["n_near"])
+        for r in similarity.semantic_dedup(
+            emb, cache_key=sf, assign="pandas"
+        ).collect()
+    )
+    assert expr_rows == gemm_rows

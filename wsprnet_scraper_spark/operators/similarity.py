@@ -360,12 +360,57 @@ def train_kmeans_codebook(
     return out
 
 
+def assign_cells_pandas(
+    emb: DataFrame, cents: list[tuple[int, list[float], float]]
+) -> DataFrame:
+    """(vec_id, v, n2, cell) via one numpy GEMM per Arrow batch —
+    the large-k counterpart of `_argmax_cell`: the inlined-expression
+    assignment is O(k) codegen terms per row, which is the measured
+    bottleneck once num_centroids scales with the corpus (SCALE.md,
+    SemDeDup dial). A (batch × k) GEMM amortizes that to BLAS speed.
+    Ties go to the lowest cid (np.argmax first-hit over cid-sorted
+    centroids — the same rule as _argmax_cell); cosine magnitudes
+    match the fold path up to float summation order, so use the
+    expression path where bit-reproducibility against another engine
+    matters and this one for throughput.
+    """
+    import numpy as np
+
+    cents = sorted(cents)
+    c_ids = np.array([cid for cid, _, _ in cents], dtype=np.int64)
+    cm = np.array([c for _, c, _ in cents], dtype=np.float64)
+    cn = np.sqrt(np.array([cn2 for _, _, cn2 in cents], dtype=np.float64))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(list(pdf["embedding"]), dtype=np.float64)
+            n2 = (vm * vm).sum(axis=1)
+            cos = (vm @ cm.T) / np.outer(np.sqrt(n2), cn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": list(vm),
+                    "n2": n2,
+                    "cell": c_ids[cos.argmax(axis=1)],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, v array<double>, n2 double, cell long"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.2,
     num_centroids: int = 8,
     iters: int = 2,
     cache_key: str | None = None,
+    assign: str = "expr",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster embeddings with the
     trained k-means codebook, then find near-duplicates ONLY within
@@ -386,15 +431,24 @@ def semantic_dedup(
     of train_kmeans_codebook (mirrored CTE-for-CTE in the oracle),
     assignment and pair cosines are fixed-order left folds —
     bit-identical doubles in both engines.
+
+    assign="pandas" swaps the inlined-expression assignment for the
+    `assign_cells_pandas` GEMM kernel — the throughput path once
+    num_centroids scales with the corpus (the expression tree is O(k)
+    codegen terms per row; measured in SCALE.md). Same cells on
+    tie-free data; keep "expr" where oracle bit-parity matters.
     """
     cents = train_kmeans_codebook(emb, num_centroids, iters, cache_key)
-    ranked = _argmax_cell(F.col("v"), F.col("n2"), cents)
-    cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
-    base = (
-        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-        .withColumn("n2", _norm2(F.col("v")))
-        .withColumn("cell", cell)
-    )
+    if assign == "pandas":
+        base = assign_cells_pandas(emb, cents)
+    else:
+        ranked = _argmax_cell(F.col("v"), F.col("n2"), cents)
+        cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
+        base = (
+            emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+            .withColumn("n2", _norm2(F.col("v")))
+            .withColumn("cell", cell)
+        )
     a, b = base.alias("a"), base.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (
         F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))
