@@ -157,3 +157,17 @@ def test_weighted_sample_is_map_only(spark):
     plan = _plan(QUERIES["pipe_sample_weighted"](spark, SF))
     data_shuffles = re.findall(r"Exchange (?:hash|range)partitioning", plan)
     assert not data_shuffles, plan
+
+
+def test_bloom_prefilter_is_scan_side(spark):
+    # the inlined-bitmap membership test must evaluate below any
+    # exchange on the fact side: the Filter containing element_at
+    # sits directly over the parquet scan in the same codegen stage
+    plan = _plan(QUERIES["join_bloom_pruned"](spark, SF))
+    assert "element_at" in plan, plan
+    # tree prints parents first, so "below any exchange" textually
+    # means: between the bloom Filter and its child scan there is no
+    # Exchange (nothing reshuffles the fact side before the filter)
+    filt = plan.index("element_at")
+    scan = plan.index("Scan parquet", filt)
+    assert "Exchange" not in plan[filt:scan], plan[filt:scan]

@@ -211,3 +211,42 @@ def count_min_topk(
             F.col("cm_estimate").cast("long").alias("cm_estimate"),
         )
     )
+
+
+def bloom_might_contain(
+    keys: DataFrame, key_col: str, probe_col, m_bits: int = 4096, k: int = 3
+):
+    """Boolean Column: `probe_col` might be among `keys` — an explicit
+    Bloom runtime filter (what spark.sql.optimizer.runtime.bloomFilter
+    injects, made a first-class operator for pre-join pruning).
+
+    The bitmap relation (m_bits/32 words) is aggregated distributedly
+    by bloom_build, then collected and inlined as a literal array — a
+    fixed m_bits/8-byte driver hop, the same justified-collect class
+    as the IVF codebook — so the membership test is a pure projection
+    on the probe side: ZERO shuffle, evaluated inside the scan's
+    codegen stage, rows dropped before any exchange reaches them.
+    One-sided: a true key always passes (same _hexpos arithmetic as
+    the build); false positives pass the prefilter and die in the
+    real join, so correctness never depends on the filter — only the
+    shuffled row count does.
+
+    The per-position mask is pow(2, pos%32) — exact powers of two in
+    IEEE doubles, cast back to long — because shiftleft() in the DSL
+    takes only literal shift counts.
+    """
+    words = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_build(keys, key_col, m_bits, k).collect()
+    }
+    arr = F.array(
+        *[F.lit(words.get(w, 0)).cast("long") for w in range(m_bits // 32)]
+    )
+    test = F.lit(True)
+    for j in range(k):
+        pos = _hexpos(probe_col, str(j), 3) % F.lit(m_bits)
+        word_idx = ((pos - pos % 32) / F.lit(32)).cast("int") + F.lit(1)
+        mask = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+        hit = F.element_at(arr, word_idx).bitwiseAND(mask) != 0
+        test = test & hit
+    return test

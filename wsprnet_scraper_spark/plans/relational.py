@@ -751,3 +751,47 @@ def xform_session_extract(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
     )
+
+
+@register(
+    "join_bloom_pruned",
+    """
+SELECT o.o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c
+  ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
+GROUP BY 1
+""",
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Fact⋈dim join with an EXPLICIT Bloom runtime filter on the
+    fact side (operators/sketch.bloom_might_contain): the dim's key
+    set is sketched into a 4096-bit bitmap, inlined as literals, and
+    applied as a zero-shuffle projection inside the fact scan's
+    codegen stage — rows that cannot match die before any exchange.
+    The oracle is the PLAIN join: Bloom false positives pass the
+    prefilter and are removed by the real join, so the result is
+    exactly the unfiltered join's at any false-positive rate — only
+    the shuffled/broadcast-probed row count changes. This is Spark's
+    runtime.bloomFilter rewrite made first-class, which matters at
+    100 TB when the filter must survive across stages the optimizer
+    won't inject it into (e.g. ahead of a repartition or a UDF)."""
+    from ..operators.sketch import bloom_might_contain
+
+    o = load(spark, sf_dir, "orders", parallel="never")
+    c = load(spark, sf_dir, "customer", parallel="never")
+    dim = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    pre = o.filter(bloom_might_contain(dim, "c_custkey", F.col("o_custkey")))
+    return (
+        pre.join(F.broadcast(dim), pre.o_custkey == dim.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
