@@ -718,3 +718,47 @@ def agg_zscore_outliers(spark, sf_dir):
         )
         .filter(F.abs(F.col("z")) > 2.0)
     )
+
+
+@register(
+    "agg_equidepth_hist",
+    """
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST((rn - 1) * 8 // n AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       min(v) AS lo, max(v) AS hi
+FROM r GROUP BY 1
+""",
+)
+def agg_equidepth_hist(spark, sf_dir):
+    """Equi-depth (quantile) 8-bucket histogram of extended price —
+    the optimizer-statistics / data-profiling shape. Bucket
+    assignment is (rank-1)*B div n over the EXACT global rank from
+    ranking.with_global_rank (range repartition + per-cell
+    row_number + broadcast offsets), so no single-task window ever
+    sees the fact table; the oracle's ROW_NUMBER() OVER () states the
+    same total order. Tie-free via the (price, orderkey, linenumber)
+    composite; per-bucket min/max/count is one map-side-combined
+    aggregation."""
+    from ..operators import ranking
+
+    li = load(spark, sf_dir, "lineitem", parallel="never").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = ranking.with_global_rank(
+        li, ["v", "l_orderkey", "l_linenumber"], rank_col="rn", total_col="n"
+    )
+    bucket = F.expr("CAST((rn - 1) * 8 DIV n AS INT)")
+    return (
+        ranked.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
