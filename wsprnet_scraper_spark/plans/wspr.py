@@ -486,3 +486,49 @@ def win_batch_boundary_gap(spark, sf_dir):
     return b.withColumn(
         "boundary_gap", F.col("first_spot") - F.lag("last_spot", 1).over(w) - 1
     )
+
+
+@register(
+    "agg_geo_grid",
+    f"""
+WITH spots AS ({{SYNTH}}),
+ll AS (
+  SELECT CAST("dB" AS INT) AS db,
+    {{LAT}} AS lat, {{LON}} AS lon
+  FROM spots
+)
+SELECT CAST(floor((lat + 90) / 10) AS INT) AS cell_lat,
+       CAST(floor((lon + 180) / 10) AS INT) AS cell_lon,
+       CAST(count(*) AS BIGINT) AS n_spots,
+       CAST(SUM(db) AS BIGINT) AS sum_db,
+       CAST(min(db) AS INT) AS min_db, CAST(max(db) AS INT) AS max_db
+FROM ll GROUP BY 1, 2
+""".format(SYNTH=SYNTH_SPOTS_SQL, LAT=_sql_lat('"Grid"'), LON=_sql_lon('"Grid"')),
+)
+def agg_geo_grid(spark, sf_dir):
+    """Propagation heatmap: spots per 10°x10° geographic cell with
+    SNR stats — the 'activity by grid square' rollup WSPR users run
+    against the sink DB (the map view on wsprnet.org). Locator
+    decode (functions/locator.py, ref wsprnet_azi_calc.py:77-90) is
+    a pure projection, the cell id is integer floor arithmetic over
+    it, and the single shuffle is the map-side-combined cell
+    aggregation — at 100 TB this is scan + one sketch-small
+    exchange (at most 18x36 cells survive)."""
+    from ..functions.locator import grid_lat, grid_lon
+
+    spots = synth_spots(spark, sf_dir)
+    lat, lon = grid_lat(F.col("Grid")), grid_lon(F.col("Grid"))
+    return (
+        spots.select(
+            F.col("dB").cast("int").alias("db"),
+            F.floor((lat + 90) / 10).cast("int").alias("cell_lat"),
+            F.floor((lon + 180) / 10).cast("int").alias("cell_lon"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            F.count(F.lit(1)).alias("n_spots"),
+            F.sum("db").cast("long").alias("sum_db"),
+            F.min("db").alias("min_db"),
+            F.max("db").alias("max_db"),
+        )
+    )
