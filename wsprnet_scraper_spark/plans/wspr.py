@@ -532,3 +532,38 @@ def agg_geo_grid(spark, sf_dir):
             F.max("db").alias("max_db"),
         )
     )
+
+
+@register(
+    "agg_band_activity",
+    f"""
+WITH spots AS ({{SYNTH}})
+SELECT {{BAND}} AS band,
+       CAST("Date" // 600 * 600 AS BIGINT) AS bucket_s,
+       CAST(count(*) AS BIGINT) AS n_spots,
+       CAST(count(DISTINCT "Reporter") AS BIGINT) AS n_reporters
+FROM spots GROUP BY 1, 2
+""".format(SYNTH=SYNTH_SPOTS_SQL, BAND=_sql_band_case('"MHz"')),
+)
+def agg_band_activity(spark, sf_dir):
+    """Band-activity time series: spots and distinct reporters per
+    (band, 10-minute bucket) — wsprnet.org's other canonical view
+    (activity-per-band chart). Band derivation is the literal-map
+    projection (zero shuffle, ref wsprnet_azi_calc.py:55-75), the
+    bucket is integer epoch arithmetic, and the one exchange is the
+    map-side-combined rollup whose output is #bands x #buckets."""
+    from ..functions import band_from_mhz
+
+    s = synth_spots(spark, sf_dir)
+    return (
+        s.select(
+            band_from_mhz(F.col("MHz")).alias("band"),
+            (F.expr("Date DIV 600") * 600).cast("long").alias("bucket_s"),
+            "Reporter",
+        )
+        .groupBy("band", "bucket_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_spots"),
+            F.count_distinct("Reporter").alias("n_reporters"),
+        )
+    )
