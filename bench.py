@@ -55,6 +55,7 @@ HEADLINE = [
     "text_lm_score",       # corpus-self-trained bigram LM scoring
     "dedup_semantic",      # SemDeDup: k-means cells + in-cell cosine
     "pipe_bloom_decontam", # Bloom-filter decontamination scan
+    "join_bloom_pruned",   # explicit Bloom runtime filter ahead of a join
 ]
 
 
