@@ -45,3 +45,96 @@ def test_pack_offsets_and_bins_consistent(spark):
         cum = by_src.get(r.source, 0)
         assert r.bin == cum // 2048 and r.offset_in_bin == cum % 2048, r
         by_src[r.source] = cum + r.n_tokens
+
+
+def test_chunk_overlap_geometry(spark):
+    docs = {
+        r.doc_id: len(r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = QUERIES["text_chunk_overlap"](spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        n = docs[doc_id]
+        chunks.sort(key=lambda r: r.chunk_idx)
+        k = 1 if n <= 120 else (n - 120 + 79) // 80 + 1
+        assert [c.chunk_idx for c in chunks] == list(range(k))
+        # full windows everywhere; the last chunk may be a tail stub
+        for c in chunks[:-1]:
+            assert c.chunk_len == 120
+        last = chunks[-1]
+        assert last.chunk_len == min(120, n - (k - 1) * 80)
+        # stride-80 windows cover every character up to the end
+        assert (k - 1) * 80 + last.chunk_len == n
+
+
+def test_pack_segments_reassemble(spark):
+    rows = QUERIES["pipe_pack_segments"](spark, SF).collect()
+    docs = {}
+    for r in rows:
+        assert 0 <= r.seg_begin < r.seg_end <= 256, r
+        docs.setdefault((r.source, r.doc_id), []).append(r)
+    for (_, _), segs in docs.items():
+        segs.sort(key=lambda r: r.bin)
+        # segments tile the document's token range without gaps
+        assert segs[0].tok_from == 0
+        covered = 0
+        for i, s in enumerate(segs):
+            assert s.tok_from == covered
+            covered += s.seg_end - s.seg_begin
+            if i:  # continuation segments start at a fresh bin boundary
+                assert s.bin == segs[i - 1].bin + 1
+                assert s.seg_begin == 0
+                assert segs[i - 1].seg_end == 256
+    # packing is dense per source: every bin except a source's last is full
+    by_src_bin = {}
+    for r in rows:
+        key = (r.source, r.bin)
+        by_src_bin[key] = by_src_bin.get(key, 0) + (r.seg_end - r.seg_begin)
+    for src in {s for s, _ in by_src_bin}:
+        bins = sorted(b for s, b in by_src_bin if s == src)
+        assert bins == list(range(len(bins)))
+        for b in bins[:-1]:
+            assert by_src_bin[(src, b)] == 256, (src, b)
+
+
+def test_gram_matches_numpy_exactly(spark):
+    import numpy as np
+
+    emb = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    q = np.floor(emb * 1000).astype(np.int64)
+    want = q.T @ q
+    rows = QUERIES["emb_gram"](spark, SF).collect()
+    d = emb.shape[1]
+    assert len(rows) == d * (d + 1) // 2
+    for r in rows:
+        assert r.i <= r.j
+        assert r.sum_q == want[r.i, r.j], (r.i, r.j)
+        assert r.n == emb.shape[0]
+        assert r.moment == r.sum_q / (r.n * 1000000)
+
+
+def test_gram_shuffles_only_partials(spark):
+    plan = _plan(QUERIES["emb_gram"](spark, SF))
+    # once AQE finalizes, the string repeats the plan under
+    # "== Initial Plan ==" — audit the executed section only
+    plan = plan.split("== Initial Plan ==")[0]
+    # one scan, embedding-only read, and the single exchange sits on
+    # the sketch-sized partial rows produced by mapInPandas
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "vec_id" not in scan.split("ReadSchema:")[1], scan
+    assert "label" not in scan.split("ReadSchema:")[1], scan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "MapInPandas" in plan, plan

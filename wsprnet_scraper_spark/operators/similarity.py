@@ -717,3 +717,55 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "approx_cos")
     )
+
+
+def gram_matrix(df, vec_col: str = "embedding", quant: int = 1000):
+    """Distributed second-moment (Gram) matrix of a vector column:
+    upper-triangle cells (i, j, sum_q, n) where sum_q = Σ_rows
+    q_i·q_j over components quantized to floor(x·quant) BIGINTs
+    (float32→double is exact, so quantization is identical in every
+    engine and the integer sums are order-independent).
+
+    This is the reduce step of distributed PCA / covariance /
+    whitening: each Arrow batch contributes a dense d×d partial
+    via one numpy int64 GEMM (Mᵀ·M), a partition emits at most
+    d(d+1)/2 rows, and the only shuffle is that sketch-sized
+    partial set — at 100 TB the data never moves, only d² integers
+    per partition do. Overflow headroom: |q| ≲ quant, so a partial
+    supports ~2^63/quant² ≈ 9e12 rows per partition at quant=1000.
+    """
+    import numpy as np
+    import pandas as pd
+
+    schema = "i INT, j INT, sum_q BIGINT, n BIGINT"
+
+    def part(batches):
+        acc = None
+        cnt = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * quant
+            ).astype(np.int64)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+            cnt += len(pdf)
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype("int32"),
+                "j": iu[1].astype("int32"),
+                "sum_q": acc[iu],
+                "n": np.full(len(iu[0]), cnt, dtype="int64"),
+            }
+        )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(part, schema)
+        .groupBy("i", "j")
+        .agg(F.sum("sum_q").alias("sum_q"), F.sum("n").alias("n"))
+    )

@@ -1444,3 +1444,163 @@ def mm_audio_energy(spark, sf_dir):
     d = load(spark, sf_dir, "documents", parallel="always")
     payload = multimodal.with_binary_payload(d, "doc_id", "text")
     return multimodal.audio_energy(payload, frame=40)
+
+
+@register(
+    "text_chunk_overlap",
+    """
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+k AS (
+  SELECT doc_id, text,
+    CASE WHEN n <= 120 THEN 1 ELSE (n - 120 + 79) // 80 + 1 END AS nk
+  FROM t
+)
+SELECT doc_id, CAST(c.g AS INT) AS chunk_idx,
+  CAST(length(substr(text, CAST(c.g AS BIGINT) * 80 + 1, 120)) AS INT) AS chunk_len,
+  md5(substr(text, CAST(c.g AS BIGINT) * 80 + 1, 120)) AS chunk_md5
+FROM k, unnest(generate_series(0, nk - 1)) AS c(g)
+""",
+)
+def text_chunk_overlap(spark, sf_dir):
+    """RAG chunking: each document explodes into overlapping
+    character windows (120 chars, stride 80 → 40-char overlap), the
+    retrieval-index preprocessing step. Pure zero-shuffle projection:
+    sequence+explode+substr all stay in whole-stage codegen, the
+    chunk count is derived per-row, and chunks are emitted as
+    (length, md5) so the wide text column never fans out."""
+    d = load(spark, sf_dir, "documents")
+    win, stride = 120, 80
+    n = F.length("text")
+    # integer floor division via div keeps the chunk count exact
+    nk = F.when(n <= win, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"(length(text) - {win} + {stride - 1}) div {stride} + 1")
+    )
+    e = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), nk - 1)).alias("chunk_idx"),
+    )
+    chunk = F.col("text").substr(
+        F.col("chunk_idx") * stride + 1, F.lit(win).cast("bigint")
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+@register(
+    "pipe_pack_segments",
+    """
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS strt
+  FROM t
+)
+SELECT doc_id, source, CAST(b.g AS BIGINT) AS bin,
+  CAST(GREATEST(strt, b.g * 256) - b.g * 256 AS BIGINT) AS seg_begin,
+  CAST(LEAST(strt + n_tokens, (b.g + 1) * 256) - b.g * 256 AS BIGINT) AS seg_end,
+  CAST(GREATEST(strt, b.g * 256) - strt AS BIGINT) AS tok_from
+FROM c, unnest(generate_series(strt // 256, (strt + n_tokens - 1) // 256)) AS b(g)
+""",
+)
+def pipe_pack_segments(spark, sf_dir):
+    """The packed-sequence manifest: pipe_pack's concat-and-chunk
+    assignment exploded to one row per (document, training bin) with
+    the token sub-range each bin takes — documents crossing a
+    256-token boundary split into segments, exactly how GPT-style
+    packing cuts the concatenated stream. One partitioned integer
+    running-sum window (the same single shuffle as pipe_pack), then
+    sequence+explode arithmetic that never leaves codegen; a doc
+    spanning k bins emits k rows, so output is Σ ceil(len/256)+1
+    rows — linear, no join."""
+    d = load(spark, sf_dir, "documents")
+    bsz = 256  # small enough that docs routinely straddle bins at test SF
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "strt", F.col("cum") - F.col("n_tokens")
+    )
+    e = c.select(
+        "doc_id",
+        "source",
+        "strt",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"strt div {bsz}"),
+                F.expr(f"(strt + n_tokens - 1) div {bsz}"),
+            )
+        ).alias("bin"),
+    )
+    binlo = F.col("bin") * bsz
+    return e.select(
+        "doc_id",
+        "source",
+        "bin",
+        (F.greatest(F.col("strt"), binlo) - binlo).alias("seg_begin"),
+        (
+            F.least(F.col("strt") + F.col("n_tokens"), binlo + bsz) - binlo
+        ).alias("seg_end"),
+        (F.greatest(F.col("strt"), binlo) - F.col("strt")).alias("tok_from"),
+    )
+
+
+@register(
+    "emb_gram",
+    """
+WITH q AS (
+  SELECT vec_id, CAST(t.i AS INT) - 1 AS p,
+         CAST(floor(embedding[t.i] * 1000) AS BIGINT) AS qv
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT a.p AS i, b.p AS j,
+  CAST(SUM(a.qv * b.qv) AS BIGINT) AS sum_q,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(a.qv * b.qv) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000) AS moment
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.p <= b.p
+GROUP BY a.p, b.p
+""",
+)
+def emb_gram(spark, sf_dir):
+    """Distributed Gram / second-moment matrix of the embedding
+    corpus — the reduce behind PCA, covariance and whitening. The
+    engine computes it as one numpy int64 GEMM per Arrow batch with
+    a sketch-sized (d(d+1)/2-row) shuffle of exact integer partials
+    (operators/similarity.gram_matrix); the oracle restates it as
+    the quadratic posexplode self-join, which is the shape that
+    would NOT survive 100 TB — the mapInPandas partial-aggregate
+    path exists precisely to avoid it. Quantization follows the
+    emb_centroid discipline (floor(x*1000), float32→double exact),
+    so sums match bit-for-bit and the single final division is
+    IEEE-identical in both engines."""
+    e = load(spark, sf_dir, "embeddings", parallel="never")
+    g = similarity.gram_matrix(e, "embedding", quant=1000)
+    return g.select(
+        "i",
+        "j",
+        "sum_q",
+        "n",
+        (
+            F.col("sum_q").cast("double")
+            / (F.col("n") * F.lit(1000000)).cast("double")
+        ).alias("moment"),
+    )
