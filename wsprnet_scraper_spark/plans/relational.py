@@ -802,3 +802,130 @@ def join_bloom_pruned(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "join_nation_volume",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+  CAST(SUM(vol) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+    CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+    {_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')}) AS vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE n1.n_name < n2.n_name
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def join_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between ordered nation pairs
+    by ship-year. The nation dimension joins twice (supplier side and
+    customer side) — both broadcast, so the only shuffles are the
+    fact-side equi-joins; the pair filter n1 < n2 prunes before the
+    aggregate and money math stays in DECIMAL until one final cast."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
+    c = load(spark, sf_dir, "customer", parallel="never")
+    s = load(spark, sf_dir, "supplier", parallel="never")
+    n = load(spark, sf_dir, "nation", parallel="never")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    vol = dec("l_extendedprice") * (one() - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            vol.alias("vol"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "agg_market_share",
+    f"""
+SELECT o_year,
+  CAST(COALESCE(SUM(vol) FILTER (WHERE supp_nation = 'NATION_3'), 0)
+       AS DOUBLE)
+    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+  CAST(SUM(vol) AS DOUBLE) AS total_vol
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+    n1.n_name AS supp_nation,
+    {_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')}) AS vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+GROUP BY o_year
+""",
+)
+def agg_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of revenue to
+    ASIA-region customers per order-year. Numerator and denominator
+    are exact DECIMAL sums in the SAME aggregation pass (a
+    conditional sum, the FILTER-clause idiom), divided once as
+    doubles — no second scan, no join-back. The region filter
+    reaches the customer side through broadcast dimensions before
+    the fact shuffles."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
+    c = load(spark, sf_dir, "customer", parallel="never")
+    s = load(spark, sf_dir, "supplier", parallel="never")
+    n = load(spark, sf_dir, "nation", parallel="never")
+    r = load(spark, sf_dir, "region", parallel="never")
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    asia = n2.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n2.c_rk == F.col("r_regionkey"),
+    ).select("c_nk")
+    vol = dec("l_extendedprice") * (one() - dec("l_discount"))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "supp_nation",
+            vol.alias("vol"),
+        )
+    )
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("vol")))
+    den = F.sum("vol")
+    return base.groupBy("o_year").agg(
+        (
+            F.coalesce(num, F.lit(0)).cast("double") / den.cast("double")
+        ).alias("mkt_share"),
+        den.cast("double").alias("total_vol"),
+    )
