@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_semantic",      # SemDeDup: k-means cells + in-cell cosine
     "pipe_bloom_decontam", # Bloom-filter decontamination scan
     "join_bloom_pruned",   # explicit Bloom runtime filter ahead of a join
+    "emb_gram",            # Arrow-GEMM second-moment matrix, partial-agg shuffle
+    "join_nation_volume",  # Q7-shape double-dimension join + decimal agg
 ]
 
 

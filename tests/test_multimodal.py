@@ -70,3 +70,31 @@ def test_pil_kernel_gates_cleanly(spark):
 def test_unknown_kernel_rejected(spark):
     with pytest.raises(KeyError):
         multimodal.decode_metadata(_payload_df(spark, [b"x"]), kernel="libav")
+
+
+def test_perceptual_hash_matches_reimplementation(spark):
+    import hashlib
+
+    import numpy as np
+
+    from wsprnet_scraper_spark.operators import multimodal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    payload = multimodal.with_binary_payload(docs, "doc_id", "text")
+    got = {r.doc_id: r.phash for r in multimodal.perceptual_hash(payload).collect()}
+
+    def ref(raw: bytes) -> str:
+        h = np.zeros(64, dtype=np.int64)
+        for byte in raw:
+            h[byte % 64] += 1
+        nxt = np.append(h[1:], 0)
+        bits = "".join("1" if a > b else "0" for a, b in zip(h, nxt))
+        return hashlib.md5(bits.encode()).hexdigest()
+
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r.doc_id] == ref(r.text.encode()), r.doc_id
+
+    # permuting bytes preserves the hash (distribution-based by design)
+    a = ref(b"abcabcxyz")
+    assert a == ref(b"zyxcbacba")
+    assert a != ref(b"abcabcxyy")

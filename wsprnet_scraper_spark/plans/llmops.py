@@ -1604,3 +1604,55 @@ def emb_gram(spark, sf_dir):
             / (F.col("n") * F.lit(1000000)).cast("double")
         ).alias("moment"),
     )
+
+
+@register(
+    "mm_phash_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+),
+b AS (
+  SELECT doc_id, ascii(substr(text, t.i, 1)) % 64 AS bin
+  FROM d, unnest(generate_series(1, n)) AS t(i)
+),
+h AS (
+  SELECT doc_id, bin, count(*) AS c FROM b GROUP BY doc_id, bin
+),
+g AS (
+  SELECT dd.doc_id, gs.g AS bin, COALESCE(h.c, 0) AS c
+  FROM d dd
+  CROSS JOIN unnest(generate_series(0, 63)) AS gs(g)
+  LEFT JOIN h ON h.doc_id = dd.doc_id AND h.bin = gs.g
+),
+p AS (
+  SELECT doc_id,
+    md5(string_agg(CASE WHEN c > next_c THEN '1' ELSE '0' END, ''
+                   ORDER BY bin)) AS phash
+  FROM (SELECT doc_id, bin, c,
+               LEAD(c, 1, 0) OVER (PARTITION BY doc_id ORDER BY bin) AS next_c
+        FROM g)
+  GROUP BY doc_id
+)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM p GROUP BY phash
+""",
+)
+def mm_phash_dedup(spark, sf_dir):
+    """Perceptual-hash dedup of media payloads: fingerprint each blob
+    with a distribution-based dHash (operators/multimodal.
+    perceptual_hash) and collapse colliding payloads to (hash, count,
+    keeper) — the media-dedup shape where byte-identical files are a
+    subset of each collision group. The engine hashes in one Arrow
+    pass (the blob never leaves its partition; only 16-byte hash rows
+    shuffle); the oracle rebuilds the same histogram relationally via
+    per-character explode — the shape that would NOT survive 100 TB
+    and exists only to pin the kernel's arithmetic."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    hashed = multimodal.perceptual_hash(payload)
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("keep_id"),
+    )
