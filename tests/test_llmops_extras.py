@@ -138,3 +138,32 @@ def test_gram_shuffles_only_partials(spark):
     assert "label" not in scan.split("ReadSchema:")[1], scan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_dedup_incremental_statuses(spark):
+    # sf0.01 exercises all three statuses; replay the semantics in
+    # plain python against the raw table
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
+    import hashlib
+
+    fp = {r.doc_id: hashlib.md5(r.text[:120].encode()).hexdigest() for r in docs}
+    corpus = {m for d, m in fp.items() if d % 2 == 0}
+    batch = sorted(d for d in fp if d % 2 == 1)
+    want = {}
+    seen = set()
+    for d in batch:
+        m = fp[d]
+        if m in corpus:
+            want[d] = "dup_of_corpus"
+        elif m in seen:
+            want[d] = "dup_in_batch"
+        else:
+            want[d] = "new_unique"
+        seen.add(m)
+    got = {
+        r.doc_id: r.status
+        for r in QUERIES["dedup_incremental"](spark, sf).collect()
+    }
+    assert got == want
+    assert len(set(got.values())) == 3  # degenerate data would hide branches

@@ -1656,3 +1656,61 @@ def mm_phash_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("keep_id"),
     )
+
+
+@register(
+    "dedup_incremental",
+    """
+WITH batch AS (
+  SELECT doc_id, md5(substr(text, 1, 120)) AS m FROM documents WHERE doc_id % 2 = 1
+),
+corpus AS (
+  SELECT DISTINCT md5(substr(text, 1, 120)) AS m FROM documents WHERE doc_id % 2 <> 1
+),
+r AS (
+  SELECT b.doc_id, b.m,
+    ROW_NUMBER() OVER (PARTITION BY b.m ORDER BY b.doc_id) AS rn,
+    (c.m IS NOT NULL) AS in_corpus
+  FROM batch b LEFT JOIN corpus c ON b.m = c.m
+)
+SELECT doc_id, m AS text_md5,
+  CASE WHEN in_corpus THEN 'dup_of_corpus'
+       WHEN rn > 1 THEN 'dup_in_batch'
+       ELSE 'new_unique' END AS status
+FROM r
+""",
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental ingestion dedup: a new crawl batch (odd doc_id
+    stands in for 'today') is deduped against the standing corpus
+    AND within itself on a 120-char-prefix fingerprint (the
+    boilerplate/prefix-dedup key), emitting per-document status
+    (new_unique / dup_of_corpus / dup_in_batch). The 100 TB shape:
+    the huge corpus side is reduced to fingerprints and SEMI-joined
+    against the broadcast batch fingerprints — the corpus streams
+    through one scan, nothing wide shuffles, and the join output is
+    at most |batch| rows; the in-batch window partitions on the
+    fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 2 == 1
+    batch = d.filter(is_batch).select("doc_id", F.md5(F.substring("text", 1, 120)).alias("m"))
+    corpus_m = d.filter(~is_batch).select(F.md5(F.substring("text", 1, 120)).alias("m"))
+    # corpus streams; batch fingerprints broadcast; output ≤ |batch|
+    hits = (
+        corpus_m.join(F.broadcast(batch.select("m").distinct()), "m", "leftsemi")
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    w = W.partitionBy("m").orderBy("doc_id")
+    return (
+        batch.join(F.broadcast(hits), "m", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("m").alias("text_md5"),
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new_unique"))
+            .alias("status"),
+        )
+    )
