@@ -80,3 +80,28 @@ def test_pq_codes_deterministic_and_bounded(clustered):
     assert a == b
     assert len(a) == 6  # k rows per query
     assert all(-1.0001 <= s <= 1.0001 for _, _, s in a)
+
+
+def test_ivfpq_recall_and_self_hit(spark):
+    from wsprnet_scraper_spark.operators import similarity
+    from wsprnet_scraper_spark.sources import load
+
+    sf = "/root/testdata/sf0.001"
+    emb = load(spark, sf, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {(r.qid, r.vec_id) for r in similarity.cosine_topk(emb, qids, k=3).collect()}
+    got = similarity.ivfpq_topk(emb, qids, k=3, cache_key=sf).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(qids)
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        # the query's own vector survives coarse routing AND wins ADC
+        assert max(rows, key=lambda r: (r.approx_cos, -r.vec_id)).vec_id == qid
+    pairs = {(r.qid, r.vec_id) for r in got}
+    # probing 2/8 cells must not collapse recall vs brute force
+    assert len(exact & pairs) / len(exact) >= 0.3
+    # and must match what unfiltered PQ finds on this corpus
+    pq = {(r.qid, r.vec_id) for r in similarity.pq_topk(emb, qids, k=3, cache_key=sf).collect()}
+    assert pairs == pq

@@ -606,6 +606,51 @@ def lsh_bucket_topk(
     )
 
 
+def _pq_encode(
+    emb: DataFrame,
+    num_centroids: int,
+    m: int,
+    iters: int,
+    dim: int | None,
+    cache_key: str | None,
+):
+    """Shared PQ encoding stage: train one k-means codebook per
+    subspace slice and project every vector to its quantized
+    subvectors (`vq{j}`), their exact norms (`qn2_{j}`), and nearest
+    sub-centroid codes (`code{j}`). Returns (codes_df, books, qcols).
+    Pure projection over inlined literal codebooks — zero shuffle."""
+    if dim is None:
+        row = emb.select(F.size("embedding").alias("d")).limit(1).collect()
+        dim = int(row[0]["d"]) if row else 0
+    sub = dim // m
+    spans = [(j * sub + 1, sub if j < m - 1 else dim - j * sub) for j in range(m)]
+
+    books = []
+    for j, (lo, ln) in enumerate(spans):
+        sub_emb = emb.select(
+            "vec_id", F.slice(F.col("embedding"), lo, ln).alias("embedding")
+        )
+        ck = f"{cache_key}#pq{j}_{m}" if cache_key is not None else None
+        books.append(train_kmeans_codebook(sub_emb, num_centroids, iters, ck))
+
+    codes = emb.select("vec_id", "embedding")
+    qcols = []
+    for j, (lo, ln) in enumerate(spans):
+        vq = F.transform(
+            _as_double(F.slice(F.col("embedding"), lo, ln)),
+            lambda x: F.floor(x * 1000).cast("long").cast("double"),
+        )
+        codes = codes.withColumn(f"vq{j}", vq).withColumn(
+            f"qn2_{j}", _norm2(F.col(f"vq{j}"))
+        )
+        ranked = _argmax_cell(F.col(f"vq{j}"), F.col(f"qn2_{j}"), books[j])
+        codes = codes.withColumn(
+            f"code{j}", (-F.element_at(ranked, 1)["negc"]).cast("long")
+        )
+        qcols.append(j)
+    return codes, books, qcols
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -640,36 +685,7 @@ def pq_topk(
     centroid-norm folds are fixed-order left folds; assignment ties go
     to the lowest centroid id; ranking ties to the lowest vec_id.
     """
-    if dim is None:
-        row = emb.select(F.size("embedding").alias("d")).limit(1).collect()
-        dim = int(row[0]["d"]) if row else 0
-    sub = dim // m
-    spans = [(j * sub + 1, sub if j < m - 1 else dim - j * sub) for j in range(m)]
-
-    books = []
-    for j, (lo, ln) in enumerate(spans):
-        sub_emb = emb.select(
-            "vec_id", F.slice(F.col("embedding"), lo, ln).alias("embedding")
-        )
-        ck = f"{cache_key}#pq{j}_{m}" if cache_key is not None else None
-        books.append(train_kmeans_codebook(sub_emb, num_centroids, iters, ck))
-
-    base = emb.select("vec_id", "embedding")
-    codes = base
-    qcols = []
-    for j, (lo, ln) in enumerate(spans):
-        vq = F.transform(
-            _as_double(F.slice(F.col("embedding"), lo, ln)),
-            lambda x: F.floor(x * 1000).cast("long").cast("double"),
-        )
-        codes = codes.withColumn(f"vq{j}", vq).withColumn(
-            f"qn2_{j}", _norm2(F.col(f"vq{j}"))
-        )
-        ranked = _argmax_cell(F.col(f"vq{j}"), F.col(f"qn2_{j}"), books[j])
-        codes = codes.withColumn(
-            f"code{j}", (-F.element_at(ranked, 1)["negc"]).cast("long")
-        )
-        qcols.append(j)
+    codes, books, qcols = _pq_encode(emb, num_centroids, m, iters, dim, cache_key)
 
     spark = emb.sparkSession
     cb_frames = []
@@ -768,4 +784,94 @@ def gram_matrix(df, vec_col: str = "embedding", quant: int = 1000):
         .mapInPandas(part, schema)
         .groupBy("i", "j")
         .agg(F.sum("sum_q").alias("sum_q"), F.sum("n").alias("n"))
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 2,
+    iters: int = 2,
+    dim: int | None = None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (FAISS's IndexIVFPQ).
+    A trained full-dimension coarse quantizer routes each vector to
+    an inverted-list cell; queries probe their `nprobe` nearest
+    cells; candidates inside probed cells are scored by PQ
+    asymmetric distance (ADC) against per-subspace codebooks instead
+    of their raw vectors.
+
+    Composition of the two existing stages, both zero-shuffle
+    projections over inlined/broadcast codebooks: coarse assignment
+    (ivf_topk's trained `train_kmeans_codebook` + `_argmax_cell`)
+    and PQ encoding (`_pq_encode`). At 100 TB the corpus is touched
+    by exactly one scan — cell id and PQ codes come from the same
+    projection — the probe filter drops ~(1 - nprobe/num_centroids)
+    of it against the broadcast query set, and the only shuffle is
+    the final per-query top-k over probed-cell survivors. ADC means
+    the survivors ship m小 codes, not d floats.
+
+    Exactness discipline is inherited unchanged: coarse assignment
+    compares raw-double cosines against quantized-space centroids
+    (scale-invariant, same fold order both engines); PQ scoring is
+    the sim_pq contract. Ties: lowest cell id, lowest vec_id.
+    """
+    cents = train_kmeans_codebook(emb, num_centroids, iters, cache_key)
+    codes, books, qcols = _pq_encode(emb, num_centroids, m, iters, dim, cache_key)
+
+    v = _as_double(F.col("embedding"))
+    codes = codes.withColumn("v", v).withColumn("n2", _norm2(F.col("v")))
+    ranked = _argmax_cell(F.col("v"), F.col("n2"), cents)
+    cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
+    probe = F.transform(
+        F.slice(ranked, 1, nprobe), lambda t: (-t["negc"]).cast("long")
+    )
+    codes = codes.withColumn("cell", cell)
+
+    q = codes.filter(F.col("vec_id").isin([int(i) for i in query_ids])).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"vq{j}").alias(f"qv{j}") for j in qcols],
+        sum([F.col(f"qn2_{j}") for j in qcols[1:]], F.col("qn2_0")).alias("qn2"),
+        probe.alias("probe"),
+    )
+
+    spark = emb.sparkSession
+    cb_frames = []
+    for j, cb in enumerate(books):
+        cb_frames.append(
+            spark.createDataFrame(
+                [(int(cid), list(cv), float(cn2)) for cid, cv, cn2 in cb],
+                f"cid{j} long, cv{j} array<double>, cn2_{j} double",
+            )
+        )
+
+    enc = codes.select("vec_id", "cell", *[f"code{j}" for j in qcols])
+    for j in range(m):
+        enc = enc.join(
+            F.broadcast(cb_frames[j]), enc[f"code{j}"] == cb_frames[j][f"cid{j}"]
+        ).drop(f"cid{j}")
+
+    approx_dot = None
+    cn2_sum = None
+    for j in range(m):
+        d = _dot(F.col(f"qv{j}"), F.col(f"cv{j}"))
+        approx_dot = d if approx_dot is None else approx_dot + d
+        c = F.col(f"cn2_{j}")
+        cn2_sum = c if cn2_sum is None else cn2_sum + c
+    pairs = enc.join(
+        F.broadcast(q), F.array_contains(F.col("probe"), F.col("cell"))
+    ).select(
+        "qid",
+        "vec_id",
+        (approx_dot / (F.sqrt(F.col("qn2")) * F.sqrt(cn2_sum))).alias("approx_cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("approx_cos"), F.col("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "approx_cos")
     )

@@ -1714,3 +1714,72 @@ def dedup_incremental(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+@register(
+    "sim_ivfpq",
+    f"""
+WITH {_COS_SQL.replace("scored AS", "scored_unused AS").strip()},
+{_KMEANS_SQL.strip()},
+cents AS (SELECT cid, cv, cn2 FROM c2),
+sims AS (
+  SELECT b.vec_id, c.cid,
+    list_reduce(list_transform(list_zip(b.v, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(b.n2) * sqrt(c.cn2)) AS sim
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, cid AS pcell FROM assign WHERE vec_id < 5 AND rn <= 2),
+{_pq_kmeans_chain('p1_', 1, 32).strip()},
+{_pq_kmeans_chain('p2_', 33, 64).strip()},
+pqq AS (
+  SELECT b1.vec_id AS qid, b1.vq AS qv1, b2.vq AS qv2,
+         b1.qn2 + b2.qn2 AS qn2
+  FROM p1_bqn b1 JOIN p2_bqn b2 ON b1.vec_id = b2.vec_id
+  WHERE b1.vec_id < 5
+),
+cand AS (
+  SELECT p.qid, cl.vec_id
+  FROM cells cl JOIN probes p ON cl.cell = p.pcell
+),
+adc AS (
+  SELECT q.qid, c1.vec_id,
+    ({_PQ_DOT.format(a='q.qv1', b='k1.cv')}
+     + {_PQ_DOT.format(a='q.qv2', b='k2.cv')})
+      / (sqrt(q.qn2) * sqrt(k1.cn2 + k2.cn2)) AS approx_cos
+  FROM cand ca
+  JOIN p1_code c1 ON ca.vec_id = c1.vec_id
+  JOIN p2_code c2 ON c2.vec_id = c1.vec_id
+  JOIN p1_c2 k1 ON c1.cell = k1.cid
+  JOIN p2_c2 k2 ON c2.cell = k2.cid
+  JOIN pqq q ON ca.qid = q.qid
+),
+ranked AS (
+  SELECT qid, vec_id, approx_cos,
+    row_number() OVER (PARTITION BY qid ORDER BY approx_cos DESC, vec_id) AS rn
+  FROM adc
+)
+SELECT qid, vec_id, approx_cos FROM ranked WHERE rn <= 3
+""",
+)
+def sim_ivfpq(spark, sf_dir):
+    """IVF-PQ, the production ANN index (FAISS IndexIVFPQ shape):
+    sim_ivf's trained coarse quantizer routes vectors to inverted
+    cells and picks each query's 2 probe cells; inside probed cells,
+    candidates are scored by sim_pq's asymmetric distance against
+    the two per-subspace codebooks instead of their raw vectors.
+    Cell id and PQ codes come out of ONE corpus scan (both are
+    zero-shuffle projections over driver-trained literal codebooks),
+    so at 100 TB the index build touches each row once and scoring
+    ships m codes, not d floats. Oracle composes the same CTE chains
+    the two parents pin."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2, m=2,
+        iters=2, cache_key=sf_dir,
+    )
