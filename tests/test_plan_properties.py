@@ -171,3 +171,18 @@ def test_bloom_prefilter_is_scan_side(spark):
     filt = plan.index("element_at")
     scan = plan.index("Scan parquet", filt)
     assert "Exchange" not in plan[filt:scan], plan[filt:scan]
+
+
+def test_disjunctive_pred_pushes_to_both_scans(spark):
+    # Q19 shape: the OR-of-ANDs must decompose into per-relation OR
+    # filters pushed into BOTH parquet scans
+    from wsprnet_scraper_spark.plans import QUERIES
+
+    df = QUERIES["join_disjunctive_pred"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 2, plan
+    li_scan = next(s for s in scans if "l_quantity" in s)
+    p_scan = next(s for s in scans if "p_size" in s)
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(" in li_scan, li_scan
+    assert "PushedFilters: [IsNotNull(p_partkey), Or(" in p_scan, p_scan

@@ -929,3 +929,44 @@ def agg_market_share(spark, sf_dir):
         ).alias("mkt_share"),
         den.cast("double").alias("total_vol"),
     )
+
+
+@register(
+    "join_disjunctive_pred",
+    f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE
+  (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+  OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+  OR (p_type = 'PROMO' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)
+""",
+)
+def join_disjunctive_pred(spark, sf_dir):
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. The single-side conjuncts are weakened into per-relation
+    OR filters that Catalyst pushes below the join on BOTH inputs
+    (brand/type/size prune part at the scan; quantity prunes
+    lineitem), so the join sees pre-filtered inputs and the full
+    disjunction re-checks only the survivors — the predicate
+    pushdown pattern that matters when the OR arms each drop 90% of
+    a 100 TB fact."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    p = load(spark, sf_dir, "part", parallel="never")
+    price, disc = dec("l_extendedprice"), dec("l_discount")
+    b = F.col("p_brand")
+    ty = F.col("p_type")
+    sz = F.col("p_size")
+    q = F.col("l_quantity")
+    arm1 = (b == "Brand#15") & sz.between(1, 15) & q.between(1, 20)
+    arm2 = (b == "Brand#23") & sz.between(10, 30) & q.between(10, 35)
+    arm3 = (ty == "PROMO") & sz.between(20, 50) & q.between(25, 50)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(price * (one() - disc)).cast("double").alias("revenue"),
+        )
+    )
