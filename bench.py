@@ -58,6 +58,7 @@ HEADLINE = [
     "join_bloom_pruned",   # explicit Bloom runtime filter ahead of a join
     "emb_gram",            # Arrow-GEMM second-moment matrix, partial-agg shuffle
     "join_nation_volume",  # Q7-shape double-dimension join + decimal agg
+    "pipe_train_ready_e2e", # score->filter->dedup->split->pack, two shuffles
 ]
 
 

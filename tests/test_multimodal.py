@@ -98,3 +98,37 @@ def test_perceptual_hash_matches_reimplementation(spark):
     a = ref(b"abcabcxyz")
     assert a == ref(b"zyxcbacba")
     assert a != ref(b"abcabcxyy")
+
+
+def test_voiced_spans_islands(spark):
+    from wsprnet_scraper_spark.operators import multimodal
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    payload = multimodal.with_binary_payload(docs, "doc_id", "text")
+    frames = {
+        (r.doc_id, r.frame_idx): r.energy
+        for r in multimodal.audio_energy(payload, frame=40).collect()
+    }
+    spans = multimodal.voiced_spans(payload, frame=40, threshold=80_000).collect()
+    # replay gaps-and-islands in python
+    want = {}
+    for doc_id in {d for d, _ in frames}:
+        idxs = sorted(i for (d, i), e in frames.items() if d == doc_id and e > 80_000)
+        runs = []
+        for i in idxs:
+            if runs and i == runs[-1][-1] + 1:
+                runs[-1].append(i)
+            else:
+                runs.append([i])
+        want[doc_id] = [
+            (run[0], run[-1], len(run), sum(frames[(doc_id, j)] for j in run))
+            for run in runs
+        ]
+    got = {}
+    for r in sorted(spans, key=lambda r: (r.doc_id, r.span_id)):
+        got.setdefault(r.doc_id, []).append(
+            (r.start_frame, r.end_frame, r.n_frames, r.span_energy)
+        )
+    assert got == {d: v for d, v in want.items() if v}
+    # data must actually alternate: some doc has >1 span, some frames silent
+    assert any(len(v) > 1 for v in got.values())

@@ -317,3 +317,49 @@ def perceptual_hash(binary_df: DataFrame, num_bins: int = 64) -> DataFrame:
             )
 
     return binary_df.mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+SPAN_SCHEMA = "doc_id long, span_id int, start_frame int, end_frame int, n_frames long, span_energy long"
+
+
+def voiced_spans(
+    binary_df: DataFrame, frame: int = 40, threshold: int = 80_000
+) -> DataFrame:
+    """VAD-style silence trimming: frames above the energy threshold
+    are 'voiced'; consecutive voiced frames collapse to spans
+    (gaps-and-islands over the frame index). The downstream shape of
+    every speech pipeline: keep the utterances, drop the silence.
+
+    Composition: `audio_energy` (Arrow batch kernel, integer-exact)
+    -> threshold filter -> per-document islands window -> span
+    rollup. The islands window partitions by doc_id over FRAMES
+    (≤ len/frame rows per doc, bounded by payload size), and the
+    rollup is map-side combined — at 100 TB the audio bytes are
+    touched once in the kernel and never shuffle; only frame
+    summaries move.
+    """
+    frames = audio_energy(binary_df, frame=frame)
+    from pyspark.sql import Window
+
+    voiced = frames.filter(F.col("energy") > threshold)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    grp = (F.col("frame_idx") - F.row_number().over(w)).alias("grp")
+    spans = (
+        voiced.select("doc_id", "frame_idx", "energy", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_idx").alias("start_frame"),
+            F.max("frame_idx").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("energy").alias("span_energy"),
+        )
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(ws).cast("int").alias("span_id"),
+        F.col("start_frame").cast("int"),
+        F.col("end_frame").cast("int"),
+        "n_frames",
+        F.col("span_energy").cast("long"),
+    )

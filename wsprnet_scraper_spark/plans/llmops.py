@@ -1869,3 +1869,52 @@ def pipe_train_ready_e2e(spark, sf_dir):
             ((F.col("cum") - F.col("n_tokens")) % 512).alias("offset_in_bin"),
         )
     )
+
+
+@register(
+    "mm_silence_trim",
+    """
+WITH fr AS (
+  SELECT doc_id, text, length(text) // 40 AS nf FROM documents
+  WHERE length(text) >= 40
+),
+s AS (
+  SELECT doc_id, CAST(f.g AS INT) AS frame_idx,
+         ascii(substr(text, f.g * 40 + t.i, 1)) - 128 AS v
+  FROM fr,
+       unnest(generate_series(0, nf - 1)) AS f(g),
+       unnest(generate_series(1, 40)) AS t(i)
+),
+e AS (
+  SELECT doc_id, frame_idx, CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, frame_idx
+),
+voiced AS (SELECT * FROM e WHERE energy > 80000),
+g AS (
+  SELECT doc_id, frame_idx, energy,
+    frame_idx - row_number() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS grp
+  FROM voiced
+),
+sp AS (
+  SELECT doc_id, grp, MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+    CAST(COUNT(*) AS BIGINT) AS n_frames, CAST(SUM(energy) AS BIGINT) AS span_energy
+  FROM g GROUP BY doc_id, grp
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) AS INT) AS span_id,
+  CAST(start_frame AS INT) AS start_frame, CAST(end_frame AS INT) AS end_frame,
+  n_frames, span_energy
+FROM sp
+""",
+)
+def mm_silence_trim(spark, sf_dir):
+    """VAD-style silence trimming over audio payloads: per-frame
+    energies (the mm_audio_energy kernel) thresholded to voiced
+    frames, collapsed to contiguous spans via gaps-and-islands —
+    the keep-the-utterances step of every speech data pipeline.
+    Audio bytes are touched once in the Arrow kernel and never
+    shuffle; the islands window runs over frame summaries bounded
+    by payload length (operators/multimodal.voiced_spans)."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    return multimodal.voiced_spans(payload, frame=40, threshold=80_000)
