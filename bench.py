@@ -59,6 +59,7 @@ HEADLINE = [
     "emb_gram",            # Arrow-GEMM second-moment matrix, partial-agg shuffle
     "join_nation_volume",  # Q7-shape double-dimension join + decimal agg
     "pipe_train_ready_e2e", # score->filter->dedup->split->pack, two shuffles
+    "mm_silence_trim",     # audio frames -> threshold -> gaps-and-islands
 ]
 
 

@@ -762,3 +762,59 @@ def agg_equidepth_hist(spark, sf_dir):
             F.max("v").alias("hi"),
         )
     )
+
+
+@register(
+    "diag_key_skew",
+    """
+WITH f AS (
+  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM f
+)
+SELECT key, CAST(cnt AS BIGINT) AS cnt,
+  CAST(cnt AS DOUBLE) / n_rows AS share,
+  CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_factor
+FROM (
+  SELECT f.key, f.cnt, t.n_keys, t.n_rows,
+    row_number() OVER (ORDER BY f.cnt DESC, f.key) AS rn
+  FROM f CROSS JOIN t
+) WHERE rn <= 10
+""",
+)
+def diag_key_skew(spark, sf_dir):
+    """Join-key skew report: the 10 heaviest l_suppkey values with
+    their row share and skew factor (count × #keys / #rows — 1.0 is
+    perfectly uniform). The pre-flight diagnostic that decides
+    whether a join needs salting (operators/skew.py) before it runs
+    for hours: one map-side-combined count per key, a 1-row totals
+    aggregate broadcast back, and a top-10 over the already-reduced
+    key frame — the fact table is scanned once, shuffled only as
+    key counts."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    f = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    t = f.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    w = W.orderBy(F.desc("cnt"), F.col("key"))
+    # top-10 window runs over the aggregated key frame (bounded by
+    # the key cardinality), never the fact table; sanctioned by the
+    # same audit note as ranking's summary window
+    ranked = f.crossJoin(F.broadcast(t)).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return ranked.filter(F.col("rn") <= 10).select(
+        "key",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+        (
+            F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows")
+        ).alias("skew_factor"),
+    )
