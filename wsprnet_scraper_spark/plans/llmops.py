@@ -1918,3 +1918,77 @@ def mm_silence_trim(spark, sf_dir):
     d = load(spark, sf_dir, "documents", parallel="always")
     payload = multimodal.with_binary_payload(d, "doc_id", "text")
     return multimodal.voiced_spans(payload, frame=40, threshold=80_000)
+
+
+@register(
+    "text_quality_gopher",
+    """
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+    length(replace(text, ' ', ''))::DOUBLE
+      / len(regexp_split_to_array(text, '\\s+')) AS mean_tok_len,
+    CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS stop_hits,
+    (length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')))::DOUBLE
+      / len(regexp_split_to_array(text, '\\s+')) AS punct_per_tok,
+    len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      / len(string_split(text, ' ')) AS alpha_frac
+  FROM documents
+)
+SELECT doc_id, n_tok, mean_tok_len, stop_hits,
+  (n_tok >= 50) AS ok_len,
+  (mean_tok_len >= 4 AND mean_tok_len <= 10) AS ok_mean_len,
+  (stop_hits >= 2) AS ok_stop,
+  (punct_per_tok <= 0.2) AS ok_punct,
+  (alpha_frac >= 0.8) AS ok_alpha,
+  (n_tok >= 50 AND mean_tok_len >= 4 AND mean_tok_len <= 10
+   AND stop_hits >= 2 AND punct_per_tok <= 0.2 AND alpha_frac >= 0.8) AS keep
+FROM m
+""",
+)
+def text_quality_gopher(spark, sf_dir):
+    """The Gopher-style quality rule suite (Rae et al. 2021 §A1.1
+    shape): per-document pass/fail flags for token count, mean token
+    length, stop-word presence, punctuation density, and
+    alphabetic-word fraction, plus the conjunctive keep decision.
+    Pure projection — every rule is a Catalyst expression over the
+    token array, zero shuffle at any scale; rules stay visible as
+    columns (not pre-folded into one boolean) because corpus-quality
+    work audits WHICH rule fired, not just the verdict."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.split(t, " ")
+    n_tok = text.ws_token_count(t).cast("bigint")
+    mean_len = F.length(F.replace(t, F.lit(" "), F.lit(""))).cast("double") / text.ws_token_count(t)
+    stop = text.stopword_hits(t).cast("bigint")
+    punct = text.punct_count(t).cast("double") / text.ws_token_count(t)
+    alpha = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / F.size(toks)
+    )
+    m = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        mean_len.alias("mean_tok_len"),
+        stop.alias("stop_hits"),
+        punct.alias("punct_per_tok"),
+        alpha.alias("alpha_frac"),
+    )
+    ok_len = F.col("n_tok") >= 50
+    ok_mean = (F.col("mean_tok_len") >= 4) & (F.col("mean_tok_len") <= 10)
+    ok_stop = F.col("stop_hits") >= 2
+    ok_punct = F.col("punct_per_tok") <= 0.2
+    ok_alpha = F.col("alpha_frac") >= 0.8
+    return m.select(
+        "doc_id",
+        "n_tok",
+        "mean_tok_len",
+        "stop_hits",
+        ok_len.alias("ok_len"),
+        ok_mean.alias("ok_mean_len"),
+        ok_stop.alias("ok_stop"),
+        ok_punct.alias("ok_punct"),
+        ok_alpha.alias("ok_alpha"),
+        (ok_len & ok_mean & ok_stop & ok_punct & ok_alpha).alias("keep"),
+    )
