@@ -48,8 +48,17 @@ def pagerank_quantized(
     counts, checkpoint ranks every few rounds to truncate lineage —
     semantics unchanged.
     """
+    if persist_edges:
+        # one materialization of the (possibly expensive) edge
+        # derivation; everything below reads the cache
+        edges = edges.persist()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    ed = edges.join(deg, "src").select("src", "dst", "deg")
+    if persist_edges:
+        # node-sized; read twice (degree attach + rank init)
+        deg = deg.persist()
+    # degree attach broadcasts the node-sized deg — the edge relation
+    # itself never shuffles to acquire its out-degrees
+    ed = edges.join(F.broadcast(deg), "src").select("src", "dst", "deg")
     if persist_edges:
         ed = ed.persist()
     ranks = deg.select(
