@@ -818,3 +818,57 @@ def diag_key_skew(spark, sf_dir):
             F.col("cnt").cast("double") * F.col("n_keys") / F.col("n_rows")
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "evt_pattern_match",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+    lead(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_id,
+    lead(ts, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+  FROM events
+)
+SELECT user_id, event_id AS start_id, end_id,
+  CAST(date_diff('second', ts, end_ts) AS BIGINT) AS span_s
+FROM o
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+""",
+)
+def evt_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style contiguous event-pattern detection:
+    per-user occurrences of the exact view → click → purchase
+    sequence (no intervening events — stricter than evt_funnel's
+    ordered-within-window semantics). One window shuffle keyed by
+    user; the pattern test is two lead() columns compared in the
+    same pass, so an n-step pattern costs n-1 leads over one sorted
+    partition, never a self-join per step."""
+    e = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("event_id", 2).over(w).alias("end_id"),
+        F.lead("ts", 2).over(w).alias("end_ts"),
+    )
+    return (
+        o.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("start_id"),
+            "end_id",
+            (
+                F.unix_timestamp("end_ts") - F.unix_timestamp("ts")
+            ).cast("bigint").alias("span_s"),
+        )
+    )
