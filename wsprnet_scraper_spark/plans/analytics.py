@@ -872,3 +872,37 @@ def evt_pattern_match(spark, sf_dir):
             ).cast("bigint").alias("span_s"),
         )
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+WITH b AS (
+  SELECT event_type, user_id // 63 AS word,
+    bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits
+  FROM events GROUP BY event_type, user_id // 63
+)
+SELECT event_type, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct
+FROM b GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) via a distributed bitmap index: each
+    63-key block becomes one BIGINT word (bit_or of 1<<pos), so the
+    first aggregation's output is bounded by keyspace/64 words per
+    group — not by row count — and the distinct count is an exact
+    popcount sum. The warehouse bitmap trick: fully map-side
+    combinable (bit_or and sum are both associative), integer-exact,
+    and mergeable across partitions/segments without the row-level
+    re-shuffle that exact count-distinct expansion costs; contrast
+    agg_count_distinct (expand) and agg_kmv_distinct (approx)."""
+    e = load_events(spark, sf_dir)
+    word = F.expr("user_id div 63")
+    bit = F.expr("shiftleft(cast(1 as bigint), cast(pmod(user_id, 63) as int))")
+    return (
+        e.select("event_type", word.alias("word"), bit.alias("bit"))
+        .groupBy("event_type", "word")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("bits")).alias("n_distinct"))
+    )

