@@ -2005,3 +2005,60 @@ def text_quality_gopher(spark, sf_dir):
         ok_alpha.alias("ok_alpha"),
         (ok_len & ok_mean & ok_stop & ok_punct & ok_alpha).alias("keep"),
     )
+
+
+@register(
+    "text_ngram_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+  SELECT 1 AS n, u.g AS gram FROM toks, unnest(t) AS u(g)
+),
+bi AS (
+  SELECT 2 AS n, t[i.x] || ' ' || t[i.x + 1] AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS i(x)
+),
+cnt AS (
+  SELECT n, gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+  GROUP BY n, gram
+)
+SELECT n, gram, cnt FROM (
+  SELECT n, gram, cnt,
+    row_number() OVER (PARTITION BY n ORDER BY cnt DESC, gram) AS rn
+  FROM cnt
+) WHERE rn <= 5
+""",
+)
+def text_ngram_topk(spark, sf_dir):
+    """Corpus-level top-5 unigrams and bigrams — the boilerplate /
+    contamination-analysis staple (and wordcount at scale). Grams
+    are generated in-row (explode for unigrams, zip_with of the two
+    shifted slices for bigrams — no self-join), counted with one
+    map-side-combined aggregation per the union, and the top-k
+    window runs over the aggregated gram frame partitioned by n —
+    never the raw gram stream."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    uni = d.select(
+        F.lit(1).alias("n"), F.explode(toks).alias("gram")
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bi = d.select(F.lit(2).alias("n"), F.explode(bigrams).alias("gram"))
+    cnt = (
+        uni.unionAll(bi)
+        .groupBy("n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("n").orderBy(F.desc("cnt"), F.col("gram"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("n", "gram", "cnt")
+    )
