@@ -2062,3 +2062,50 @@ def text_ngram_topk(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("n", "gram", "cnt")
     )
+
+
+@register(
+    "mm_scene_change",
+    """
+WITH fr AS (
+  SELECT doc_id, text, length(text) // 40 AS nf FROM documents
+  WHERE length(text) >= 40
+),
+s AS (
+  SELECT doc_id, CAST(f.g AS INT) AS frame_idx,
+         ascii(substr(text, f.g * 40 + t.i, 1)) - 128 AS v
+  FROM fr,
+       unnest(generate_series(0, nf - 1)) AS f(g),
+       unnest(generate_series(1, 40)) AS t(i)
+),
+e AS (
+  SELECT doc_id, frame_idx, CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, frame_idx
+),
+d AS (
+  SELECT doc_id, frame_idx, energy,
+    energy - lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS delta
+  FROM e
+)
+SELECT doc_id, frame_idx, energy, CAST(delta AS BIGINT) AS delta
+FROM d WHERE delta IS NULL OR abs(delta) > 15000
+""",
+)
+def mm_scene_change(spark, sf_dir):
+    """Keyframe selection by content delta — the video scene-change
+    shape: a frame is a keyframe when its energy jumps more than the
+    threshold from its predecessor (or it opens the clip). Same
+    media discipline as mm_silence_trim: bytes pass through the
+    Arrow kernel once, the lag window runs over bounded per-doc
+    frame summaries, and a real decoder would swap the energy proxy
+    for a luma-histogram distance without touching the plan."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    payload = multimodal.with_binary_payload(d, "doc_id", "text")
+    frames = multimodal.audio_energy(payload, frame=40)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    delta = F.col("energy") - F.lag("energy").over(w)
+    return (
+        frames.select("doc_id", "frame_idx", "energy", delta.alias("delta"))
+        .filter(F.col("delta").isNull() | (F.abs("delta") > 15000))
+        .select("doc_id", "frame_idx", "energy", F.col("delta").cast("bigint").alias("delta"))
+    )

@@ -970,3 +970,43 @@ def join_disjunctive_pred(spark, sf_dir):
             F.sum(price * (one() - disc)).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    """
+WITH a AS (
+  SELECT nullif(event_type, 'error') AS k, CAST(count(*) AS BIGINT) AS n_a
+  FROM events WHERE event_id % 2 = 0 GROUP BY nullif(event_type, 'error')
+),
+b AS (
+  SELECT nullif(event_type, 'error') AS k, CAST(count(*) AS BIGINT) AS n_b
+  FROM events WHERE event_id % 2 = 1 GROUP BY nullif(event_type, 'error')
+)
+SELECT a.k, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL
+    key buckets MATCH instead of silently dropping — the semantics
+    CDC merge keys and sentinel-coded dimensions need. Both sides
+    pre-aggregate to key level first, so the null-safe hash join
+    runs on reduced inputs — and unlike `=`, Spark can still plan
+    <=> as an equi-join (it hashes the null bucket like any key)
+    rather than falling back to nested-loop."""
+    from ..sources import load_events
+
+    e = load_events(spark, sf_dir)
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    a = (
+        e.filter(F.col("event_id") % 2 == 0)
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        e.filter(F.col("event_id") % 2 == 1)
+        .groupBy(k.alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_a", "n_b")
