@@ -2109,3 +2109,52 @@ def mm_scene_change(spark, sf_dir):
         .filter(F.col("delta").isNull() | (F.abs("delta") > 15000))
         .select("doc_id", "frame_idx", "energy", F.col("delta").cast("bigint").alias("delta"))
     )
+
+
+@register(
+    "pipe_oversample",
+    """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY lang
+),
+m AS (SELECT max(cnt) AS mx FROM c),
+f AS (
+  SELECT lang, cnt, CAST((mx + cnt - 1) // cnt AS BIGINT) AS factor
+  FROM c CROSS JOIN m
+)
+SELECT d.doc_id, d.lang, f.factor, CAST(i.g AS INT) AS copy_idx
+FROM documents d
+JOIN f ON d.lang = f.lang,
+unnest(generate_series(0, f.factor - 1)) AS i(g)
+""",
+)
+def pipe_oversample(spark, sf_dir):
+    """Minority-class oversampling for class-balanced training:
+    every language's documents are replicated ceil(max_count/count)
+    times (deterministic integer replication with a copy index — no
+    RNG, so the balanced corpus is reproducible). The per-class
+    factor comes from a class-count aggregate joined back as a
+    broadcast (classes are few); replication is sequence+explode in
+    the row, so the only shuffle is the tiny class count — the big
+    side is scanned once and fans out in place, output bounded by
+    #classes × max_count."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.agg(F.max("cnt").alias("mx"))
+    f = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "cnt",
+        F.expr("(mx + cnt - 1) div cnt").alias("factor"),
+    )
+    return (
+        d.join(F.broadcast(f), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "factor",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"), F.col("factor") - 1)
+            ).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+    )
