@@ -906,3 +906,49 @@ def agg_bitmap_distinct(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.sum(F.bit_count("bits")).alias("n_distinct"))
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    """
+WITH firsts AS (
+  SELECT event_type, user_id,
+    min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id
+),
+daily AS (
+  SELECT event_type, first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day, new_users,
+  CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+FROM daily
+""",
+)
+def win_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per event_type by day — the growth
+    curve. A naive running COUNT(DISTINCT) OVER (ORDER BY ts) is
+    unbounded state over raw events; this is the scalable
+    re-expression: distinct-user first-seen dates (one exact
+    aggregate), daily new-user counts (second, already tiny), and a
+    running sum windowed over the aggregated (type × day) frame —
+    the window input is bounded by days × types, never events."""
+    e = load_events(spark, sf_dir)
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", F.col("ts")))).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
