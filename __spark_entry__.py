@@ -36,6 +36,13 @@ def _tune(spark: SparkSession) -> SparkSession:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.ansi.enabled": "false",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # The driver's generator has shipped events.ts as TIMESTAMP(NANOS)
+        # (round 1) and naive timestamp[us] (rounds 2-3). The naive shape
+        # reads as TIMESTAMP_NTZ under Spark 4 defaults, which breaks
+        # unix_micros / window() / watermarks; force plain TIMESTAMP (the
+        # session is UTC, so wall-clock matches the DuckDB oracle's naive
+        # read). load_events casts as a backstop if this conf can't be set.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),

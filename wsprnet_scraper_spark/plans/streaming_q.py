@@ -22,6 +22,25 @@ from .registry import register
 _money = "CAST(value AS DECIMAL(12,2))"
 
 
+def _norm_ts(stream, raw_schema):
+    """Normalize events.ts to TimestampType on a (streaming) frame.
+
+    The driver's generator has shipped ts as TIMESTAMP(NANOS)->Long
+    (nanosAsLong), naive timestamp[us]->TIMESTAMP_NTZ (a session
+    missing the inferTimestampNTZ=false conf), or plain TIMESTAMP.
+    Watermarks/windows need TIMESTAMP; the UTC session makes the NTZ
+    reinterpretation wall-clock-exact vs the DuckDB oracle.
+    """
+    from pyspark.sql import types as T
+
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return stream
+
+
 @register(
     "strm_tumbling",
     f"""
@@ -137,8 +156,7 @@ def strm_microbatch(spark, sf_dir):
     # rejects ("Option 'basePath' must be a directory"); a glob leaves
     # basePath at the parent directory
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _norm_ts(stream, raw_schema)
     agg = stream.groupBy(F.window("ts", "2 minutes").alias("w")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -177,8 +195,7 @@ def strm_watermark(spark, sf_dir):
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _norm_ts(stream, raw_schema)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "2 minutes").alias("w"))
@@ -222,8 +239,7 @@ def strm_dedup_watermark(spark, sf_dir):
         s = spark.readStream.schema(raw_schema).parquet(
             f"{sf_dir}/events.parque[t]"
         )
-        if isinstance(raw_schema["ts"].dataType, T.LongType):
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _norm_ts(s, raw_schema)
         return s.select(
             "event_id", (F.col("ts") + F.expr(f"INTERVAL {shift_s} SECONDS")).alias("ts")
         )
@@ -350,8 +366,7 @@ def strm_stream_join(spark, sf_dir):
         s = spark.readStream.schema(raw_schema).parquet(
             f"{sf_dir}/events.parque[t]"
         )
-        if isinstance(raw_schema["ts"].dataType, T.LongType):
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _norm_ts(s, raw_schema)
         return (
             s.filter(F.col("event_type") == event_type)
             .select(
@@ -464,8 +479,7 @@ def strm_rollup_merge(spark, sf_dir):
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # [t] glob keeps FileStreamSource's basePath at the parent dir
     stream = spark.readStream.schema(raw_schema).parquet(f"{sf_dir}/events.parque[t]")
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _norm_ts(stream, raw_schema)
     stream = stream.withColumn(
         "value_milli", F.floor(F.col("value") * 1000).cast("long")
     )
@@ -516,8 +530,7 @@ def strm_static_join(spark, sf_dir):
     stream = spark.readStream.schema(raw_schema).parquet(
         f"{sf_dir}/events.parque[t]"
     )
-    if isinstance(raw_schema["ts"].dataType, T.LongType):
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _norm_ts(stream, raw_schema)
     cust = F.broadcast(
         spark.read.parquet(f"{sf_dir}/customer.parquet").select(
             "c_custkey", "c_mktsegment"

@@ -106,6 +106,14 @@ def load_events(
     spark: SparkSession, sf_dir: str, parallel: str = "auto"
 ) -> DataFrame:
     df = load(spark, sf_dir, "events", parallel=parallel)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Naive parquet timestamp read as NTZ (a session without the
+        # inferTimestampNTZ=false conf, e.g. a driver-owned session where
+        # the runtime set was too late for a cached catalog entry). The
+        # session runs UTC, so NTZ -> TIMESTAMP is a wall-clock-preserving
+        # reinterpretation and matches DuckDB's UTC-naive read.
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
