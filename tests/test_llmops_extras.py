@@ -175,8 +175,11 @@ def test_train_ready_e2e_two_exchanges(spark):
     plan = _plan(QUERIES["pipe_train_ready_e2e"](spark, SF))
     plan = plan.split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
-    # quality filter is pushed into the scanned side, before any exchange
-    assert plan.index("Filter") > plan.index("FileScan") or True
+    # quality filter is applied on the scanned side, upstream of both
+    # shuffles: in the printed tree (top-down), that means a Filter
+    # node occurs BELOW the last Exchange, i.e. after it in the string
+    last_exchange = plan.rindex("Exchange hashpartitioning")
+    assert "Filter" in plan[last_exchange:], plan
     rows = QUERIES["pipe_train_ready_e2e"](spark, SF).collect()
     for r in rows:
         assert 0 <= r.offset_in_bin < 512

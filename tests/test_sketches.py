@@ -90,3 +90,38 @@ def test_semantic_dedup_pairs_subset_of_exact(spark):
     assert got, "no semantic near-dups marked at sf0.001"
     for pair in got:
         assert pair in exact, pair
+
+
+def test_bloom_decontaminate_duplicate_input_rows(spark):
+    # The one-sided guarantee must hold for ANY caller input, not just
+    # pre-distincted shingles: duplicated (doc, shingle) rows replay
+    # the same hash outcomes and must not dilute the all-k-bits-hit
+    # membership test (regression: a sum-based n_bits_hit became a
+    # multiple of k on duplicates and true overlaps went unflagged).
+    from wsprnet_scraper_spark.operators import dedup, sketch
+    from wsprnet_scraper_spark.sources import load
+    from pyspark.sql import functions as F
+
+    d = load(spark, SF, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    corpus = sh.filter(F.col("doc") % 97 != 0)
+    ev = sh.filter(F.col("doc") % 97 == 0)
+    clean = sketch.bloom_decontaminate(corpus, ev, m_bits=4096, k=3).collect()
+    doubled = sketch.bloom_decontaminate(
+        corpus.union(corpus), ev, m_bits=4096, k=3
+    ).collect()
+    assert sorted(map(tuple, clean)) == sorted(map(tuple, doubled))
+    assert any(r["n_bloom_hits"] > 0 for r in clean)  # non-degenerate
+
+
+def test_bloom_digits_cover_large_filters(spark):
+    import pytest
+
+    from wsprnet_scraper_spark.operators.sketch import _bloom_digits
+
+    assert _bloom_digits(4096) == 3  # historical recipe unchanged
+    assert _bloom_digits(512) == 3
+    assert _bloom_digits(1 << 16) == 4  # no silent fold onto 4096 bits
+    assert _bloom_digits(1 << 20) == 5
+    with pytest.raises(ValueError):
+        _bloom_digits(1000)  # non-power-of-two would be modulo-biased

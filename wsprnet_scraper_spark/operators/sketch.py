@@ -43,10 +43,23 @@ def _xxpos(col, seed: int, m_bits: int):
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
 
 
+def _bloom_digits(m_bits: int) -> int:
+    """Hex digits so 16^digits is a multiple of m_bits — zero modulo
+    bias and full coverage of every bit position. Requires power-of-two
+    m_bits (16^d is a power of two, so anything else is biased by
+    construction). The floor of 3 keeps positions bit-identical to the
+    historical recipe (and the oracle SQL mirrors) for m_bits <= 4096;
+    larger filters get more digits instead of silently folding onto
+    the first 4096 positions."""
+    if m_bits <= 0 or m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    return max(3, -(-(m_bits.bit_length() - 1) // 4))
+
+
 def _positions(col, j: int, m_bits: int, hash_fn: str):
     if hash_fn == "xxhash":
         return _xxpos(col, j, m_bits)
-    return _hexpos(col, str(j), 3) % F.lit(m_bits)
+    return _hexpos(col, str(j), _bloom_digits(m_bits)) % F.lit(m_bits)
 
 
 def bloom_build(
@@ -106,35 +119,47 @@ def bloom_decontaminate(
             eval_shingles.select("shingle").distinct(), "shingle", m_bits, k
         )
     )
+    # Each probe row carries its hash index j so membership is "every
+    # one of the k hash functions hit", counted as DISTINCT j — robust
+    # to a caller passing non-distinct (doc, shingle) rows (duplicates
+    # replay the same (j, hit) outcomes and collapse in the distinct)
+    # AND to two hash functions colliding on one bit position (each j
+    # still counts separately, where distinct-on-position would
+    # under-count and break the never-under-report guarantee).
     probes = corpus_shingles.select(
         "doc",
         "shingle",
         F.explode(
             F.array(
                 *[
-                    (_hexpos(F.col("shingle"), str(j), 3) % F.lit(m_bits)).alias(
-                        f"p{j}"
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            _hexpos(F.col("shingle"), str(j), _bloom_digits(m_bits))
+                            % F.lit(m_bits)
+                        ).alias("pos"),
                     )
                     for j in range(k)
                 ]
             )
-        ).alias("pos"),
+        ).alias("h"),
     ).select(
         "doc",
         "shingle",
-        F.expr("pos DIV 32").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").alias("mask"),
+        F.col("h.j").alias("j"),
+        F.expr("h.pos DIV 32").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h.pos % 32 AS INT))").alias("mask"),
     )
     hits = (
         probes.join(ev, "word", "left")
         .groupBy("doc", "shingle")
         .agg(
-            F.sum(
+            F.count_distinct(
                 F.when(
                     F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
                     != 0,
-                    1,
-                ).otherwise(0)
+                    F.col("j"),
+                )
             ).alias("n_bits_hit")
         )
     )
