@@ -76,3 +76,53 @@ def test_stream_join_equals_batch_join(spark):
         .collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_pagerank_bucketed_bit_identical_to_broadcast(spark):
+    e0 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    bc = {r.nid: r.rank_q for r in pagerank_quantized(edges, 3).collect()}
+    bk = {
+        r.nid: r.rank_q
+        for r in pagerank_quantized(edges, 3, strategy="bucketed").collect()
+    }
+    assert bc == bk == {1: 629187, 2: 1741625, 3: 629187}
+
+
+def test_pagerank_bucketed_never_broadcasts_ranks(spark):
+    # the whole point of the bucketed dial: nothing node-sized may be
+    # broadcast, even after AQE replanning (the SHUFFLE_HASH hint pins
+    # it) — check the FINAL adaptive plan, post-execution
+    df = QUERIES["graph_pagerank_bucketed"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the edge DERIVATION (orders ⋈ lineitem) may legitimately
+    # broadcast at this SF — AQE sizes that at runtime — but no join
+    # against the rank relation (right key nid) may ever be broadcast,
+    # and the supersteps must run as shuffled hash joins: deg attach +
+    # one per iteration
+    assert not re.search(r"BroadcastHashJoin \[[^\]]*\], \[nid#", plan), plan
+    assert len(re.findall(r"ShuffledHashJoin", plan)) >= 4, plan
+
+
+def test_pagerank_bucketed_checkpoint_truncates_lineage(spark):
+    e0 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    def rank_joins(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # a superstep's signature: shuffled hash join whose right
+        # (build) key is the rank relation's nid
+        return plan, len(re.findall(r"ShuffledHashJoin \[[^\]]*\], \[nid#", plan))
+
+    plan_ck, n_ck = rank_joins(
+        pagerank_quantized(edges, 6, strategy="bucketed", checkpoint_every=2)
+    )
+    _, n_full = rank_joins(
+        pagerank_quantized(edges, 6, strategy="bucketed", checkpoint_every=0)
+    )
+    # checkpoints at rounds 2 and 4 cut the unrolled lineage: the
+    # final plan is rooted at the materialized RDD and holds only the
+    # post-checkpoint rounds, never all 6
+    assert "ExistingRDD" in plan_ck, plan_ck
+    assert n_full >= 6, n_full
+    assert n_ck <= 2, plan_ck

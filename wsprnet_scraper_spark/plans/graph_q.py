@@ -66,8 +66,24 @@ def graph_pagerank(spark, sf_dir):
     """Three-round damped PageRank over the undirected
     customer–supplier graph; integer-quantized supersteps (see
     operators/graph.py for the scale shape and the exactness
-    argument)."""
+    argument). Broadcast-rank strategy — right while nodes fit the
+    broadcast threshold; the 100× configuration is judged separately
+    as graph_pagerank_bucketed."""
     return pagerank_quantized(_edges(spark, sf_dir), _ITERATIONS)
+
+
+@register("graph_pagerank_bucketed", _pagerank_oracle(_ITERATIONS))
+def graph_pagerank_bucketed(spark, sf_dir):
+    """The same PageRank under the strategy that survives a
+    billion-node graph: no node-sized relation is ever broadcast —
+    SHUFFLE_HASH-pinned rank joins against the once-shuffled,
+    persisted edge relation (see operators/graph.py). The integer
+    quantization makes the result bit-identical to the broadcast
+    plan, so this entry shares graph_pagerank's oracle — the gate
+    proves the scale plan computes the same ranks."""
+    return pagerank_quantized(
+        _edges(spark, sf_dir), _ITERATIONS, strategy="bucketed"
+    )
 
 
 @register(
