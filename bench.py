@@ -60,6 +60,12 @@ HEADLINE = [
     "join_nation_volume",  # Q7-shape double-dimension join + decimal agg
     "pipe_train_ready_e2e", # score->filter->dedup->split->pack, two shuffles
     "mm_silence_trim",     # audio frames -> threshold -> gaps-and-islands
+    "mm_scene_change",     # frame-diff keyframe pick over binary clips
+    "text_ngram_topk",     # corpus top-k n-grams (explode + two-level agg)
+    "dedup_incremental",   # ingest-batch vs standing-corpus dedup join
+    "sim_ivfpq",           # IVF coarse cells + PQ ADC re-rank
+    "dedup_semantic_scaled", # SemDeDup at the scale dial (k∝n, GEMM assign)
+    "graph_pagerank_bucketed", # PageRank with shuffle-join rank supersteps
 ]
 
 

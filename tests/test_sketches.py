@@ -125,3 +125,45 @@ def test_bloom_digits_cover_large_filters(spark):
     assert _bloom_digits(1 << 20) == 5
     with pytest.raises(ValueError):
         _bloom_digits(1000)  # non-power-of-two would be modulo-biased
+
+
+def test_hll_no_predistinct_needed(spark):
+    # duplicates must be absorbed by max(rho), never inflate the
+    # estimate — THE property that lets HLL skip the dedup shuffle
+    from wsprnet_scraper_spark.operators.sketch import hll_distinct
+    from wsprnet_scraper_spark.sources import load_events
+
+    ev = load_events(spark, SF).select("event_type", "user_id")
+    once = sorted(map(tuple, hll_distinct(ev, "event_type", "user_id").collect()))
+    thrice = sorted(
+        map(
+            tuple,
+            hll_distinct(ev.union(ev).union(ev), "event_type", "user_id").collect(),
+        )
+    )
+    assert once == thrice
+
+
+def test_hll_estimate_tracks_exact(spark):
+    from wsprnet_scraper_spark.operators.sketch import hll_distinct
+    from wsprnet_scraper_spark.sources import load_events
+
+    ev = load_events(spark, SF).select("event_type", "user_id")
+    rows = hll_distinct(ev, "event_type", "user_id").collect()
+    assert rows
+    for r in rows:
+        # m=64 raw estimator (no small-range correction by design):
+        # relative error within ~3 sigma of 1.04/sqrt(64)
+        assert abs(r.hll_est - r.n_exact) / r.n_exact < 0.4, tuple(r)
+        assert 0 < r.n_buckets_hit <= 64
+
+
+def test_hll_rejects_biased_bucket_count(spark):
+    import pytest
+
+    from wsprnet_scraper_spark.operators.sketch import hll_distinct
+    from wsprnet_scraper_spark.sources import load_events
+
+    ev = load_events(spark, SF)
+    with pytest.raises(ValueError):
+        hll_distinct(ev, "event_type", "user_id", m_buckets=48)

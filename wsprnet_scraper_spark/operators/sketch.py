@@ -303,3 +303,115 @@ def bloom_might_contain(
         hit = F.element_at(arr, word_idx).bitwiseAND(mask) != 0
         test = test & hit
     return test
+
+
+def hll_distinct(
+    rows: DataFrame,
+    group_col: str,
+    key_col: str,
+    m_buckets: int = 64,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate (Flajolet et al.
+    2007) alongside the exact count — deterministic md5 arithmetic so
+    the whole sketch is reproducible in any engine (no engine HLL
+    internals, no RNG). THE 100 TB distinct-counter: the sketch state
+    is m integers per group, the per-bucket max(rho) combines
+    map-side, and the shuffle carries ≤ m rows per group per
+    partition regardless of corpus size — no pre-distinct of the key
+    column is ever needed (kmv/bitmap here both require one).
+
+    Hash layout per key (h = md5('hll|' || key), hex):
+    * bucket  = int(h[0:2]) % m   (256 % m == 0 -> unbiased)
+    * tail    = h[2:12] (10 nibbles = 40 bits)
+    * rho     = 1 + leading zero BITS of tail (string-exact: leading
+      '0' nibbles via ltrim + a 4-way CASE on the first nonzero
+      nibble; all-zero tail -> 41)
+
+    The harmonic sum is EXACT integer arithmetic: each bucket
+    contributes 2^(41-max_rho) (empty bucket: 2^41), so engines can't
+    disagree on float accumulation order; the final
+    alpha*m^2*2^41/S estimate is one double expression. The standard
+    LinearCounting small-range correction (raw E <= 2.5m and empty
+    buckets present -> m*ln(m/V)) IS applied, but ln() never runs in
+    either engine: ln(m/V) for V = 1..m-1 is a table of double
+    literals precomputed once in Python and inlined into both the
+    Spark plan and the SQL mirror — bit-identical constants, no libm
+    rounding divergence.
+
+    Output: (group, n_exact, n_buckets_hit, s_q41, hll_est).
+    """
+    if m_buckets <= 0 or 256 % m_buckets:
+        raise ValueError("m_buckets must divide 256 for unbiased bucketing")
+    alpha = 0.709  # standard HLL alpha for m=64
+    q41 = 1 << 41
+
+    h = F.md5(F.concat(F.lit("hll|"), F.col(key_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % m_buckets
+    tail = F.substring(h, 3, 10)
+    trimmed = F.expr(
+        f"trim(LEADING '0' FROM substring(md5(concat('hll|', "
+        f"cast({key_col} as string))), 3, 10))"
+    )
+    z_nibbles = F.lit(10) - F.length(trimmed)
+    v = F.conv(F.substring(trimmed, 1, 1), 16, 10).cast("int")
+    extra = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    rho = F.when(F.length(trimmed) == 0, F.lit(41)).otherwise(
+        z_nibbles * 4 + extra + 1
+    )
+
+    per_bucket = (
+        rows.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bkt"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "bkt")
+        .agg(F.max("rho").alias("mr"))
+    )
+    per_group = per_bucket.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_hit"),
+        # 2^(41-mr) as a BIGINT shift — no float anywhere in the sum
+        F.sum(F.expr(f"shiftright(cast({q41} as bigint), mr)"))
+        .cast("long")
+        .alias("hit_sum"),
+    )
+    exact = rows.groupBy(F.col(group_col).alias("grp2")).agg(
+        F.count_distinct(F.col(key_col)).cast("long").alias("n_exact")
+    )
+    s_q41 = (
+        F.col("hit_sum")
+        + (F.lit(m_buckets) - F.col("n_buckets_hit")) * F.lit(q41)
+    ).cast("long")
+    e_raw = (
+        F.lit(alpha)
+        * F.lit(float(m_buckets * m_buckets))
+        * F.lit(float(q41))
+        / s_q41.cast("double")
+    )
+    v_empty = (F.lit(m_buckets) - F.col("n_buckets_hit")).cast("int")
+    ln_table = F.array(*[F.lit(x) for x in hll_ln_table(m_buckets)])
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m_buckets)) & (v_empty > 0),
+        F.floor(F.lit(float(m_buckets)) * F.element_at(ln_table, v_empty)),
+    ).otherwise(F.floor(e_raw))
+    return (
+        per_group.join(F.broadcast(exact), F.col("grp") == F.col("grp2"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_exact",
+            "n_buckets_hit",
+            s_q41.alias("s_q41"),
+            est.cast("long").alias("hll_est"),
+        )
+    )
+
+
+def hll_ln_table(m_buckets: int) -> list[float]:
+    """ln(m/V) for V = 1..m-1 — the LinearCounting lookup shared by
+    the Spark plan and the SQL mirror so neither engine evaluates
+    ln() itself (repr() round-trips each double exactly in both)."""
+    import math
+
+    return [math.log(m_buckets / v) for v in range(1, m_buckets)]

@@ -952,3 +952,50 @@ def win_cumulative_distinct(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "win_time_range_avg",
+    """
+WITH t AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+)
+SELECT event_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_win,
+  CAST(SUM(v) OVER w AS DOUBLE) AS sum_val,
+  CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS BIGINT) AS avg_val
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_time_range_avg(spark, sf_dir):
+    """Time-RANGE window frame (trailing 10 minutes per user): the
+    frame is defined by the ORDER-BY value, not row offsets — rows
+    with equal timestamps share identical frames in both engines, and
+    the DECIMAL sum keeps the aggregate order-independent, so the
+    result is exact without any tie-break column. Spark's
+    rangeBetween on epoch micros == the oracle's integer RANGE
+    frame."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, W.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("long")
+    s = F.sum("v").over(w).cast("double")
+    return t.select(
+        "event_id",
+        n.alias("n_in_win"),
+        s.alias("sum_val"),
+        (s / n).alias("avg_val"),
+    )

@@ -350,3 +350,66 @@ def agg_kmv_distinct(spark, sf_dir):
         )
         .alias("kmv_estimate"),
     )
+
+
+_HLL_HX = "md5('hll|' || CAST(user_id AS VARCHAR))"
+
+# ln(64/V) literals shared with the Spark plan (sketch.hll_ln_table):
+# repr() round-trips each double exactly, so neither engine runs ln()
+from ..operators.sketch import hll_ln_table as _hll_ln_table
+
+_HLL_LN_LIST = "[" + ", ".join(repr(x) for x in _hll_ln_table(64)) + "]"
+
+
+@register(
+    "agg_hll_distinct",
+    f"""
+WITH r AS (
+  SELECT event_type,
+    ({_hex_sql(_HLL_HX, 2)}) % 64 AS bkt,
+    ltrim(substr({_HLL_HX}, 3, 10), '0') AS tr
+  FROM events
+),
+rho AS (
+  SELECT event_type, bkt,
+    CASE WHEN length(tr) = 0 THEN 41
+         ELSE (10 - length(tr)) * 4 +
+           CASE WHEN strpos('0123456789abcdef', substr(tr, 1, 1)) - 1 >= 8 THEN 0
+                WHEN strpos('0123456789abcdef', substr(tr, 1, 1)) - 1 >= 4 THEN 1
+                WHEN strpos('0123456789abcdef', substr(tr, 1, 1)) - 1 >= 2 THEN 2
+                ELSE 3 END + 1
+    END AS rho
+  FROM r
+),
+mb AS (SELECT event_type, bkt, max(rho) AS mr FROM rho GROUP BY 1, 2),
+pg AS (
+  SELECT event_type, count(*) AS nbh, SUM(2199023255552 >> mr) AS hs
+  FROM mb GROUP BY 1
+),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
+est AS (
+  SELECT event_type, nbh,
+    CAST(hs + (64 - nbh) * 2199023255552 AS BIGINT) AS s_q41,
+    CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(2199023255552 AS DOUBLE)
+      / CAST(hs + (64 - nbh) * 2199023255552 AS DOUBLE) AS e_raw,
+    CAST(64 - nbh AS INT) AS v_empty
+  FROM pg
+)
+SELECT est.event_type, CAST(n_exact AS BIGINT) AS n_exact,
+  CAST(nbh AS BIGINT) AS n_buckets_hit, s_q41,
+  CAST(CASE WHEN e_raw <= 160.0 AND v_empty > 0
+       THEN floor(CAST(64 AS DOUBLE) * ({_HLL_LN_LIST}::DOUBLE[])[v_empty])
+       ELSE floor(e_raw) END AS BIGINT) AS hll_est
+FROM est JOIN ex USING (event_type)
+""",
+)
+def agg_hll_distinct(spark, sf_dir):
+    """Per-event-type HyperLogLog distinct-user estimate next to the
+    exact count (operators/sketch.hll_distinct) — the third distinct
+    sketch (after KMV and bitmap) and the only one that needs NO
+    pre-distinct shuffle: per-bucket max(rho) combines map-side, so
+    the shuffle is <= 64 rows per group per partition at any scale.
+    Integer-exact harmonic sum (2^(41-rho) BIGINT terms) keeps the
+    sketch bit-identical across engines."""
+    ev = load_events(spark, sf_dir)
+    return sketch.hll_distinct(ev, "event_type", "user_id", m_buckets=64)

@@ -1010,3 +1010,60 @@ def join_null_safe(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
     return a.join(b, a.k.eqNullSafe(b.k)).select(a.k.alias("k"), "n_a", "n_b")
+
+
+@register(
+    "join_interval_overlap",
+    """
+WITH c AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s FROM events
+  WHERE event_type = 'click'
+),
+e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS s FROM events
+  WHERE event_type = 'error'
+)
+SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+  CAST(greatest(c.s, e.s) AS BIGINT) AS ov_start_us,
+  CAST(least(c.s + 300000000, e.s + 300000000) AS BIGINT) AS ov_end_us
+FROM c JOIN e ON c.user_id = e.user_id
+  AND c.s <= e.s + 300000000 AND e.s <= c.s + 300000000
+""",
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (5-minute activity windows around each
+    click vs each error, per user) via bucket decomposition
+    (operators/intervals.py): explode intervals onto fixed-width
+    buckets, hash-join on (user, bucket), post-filter true overlap,
+    and emit each pair only in its overlap-start bucket — an
+    EQUI-join plan where the naive form is a broadcast nested loop.
+    The oracle states the plain theta join; the decomposition must
+    reproduce it pair-for-pair."""
+    from ..operators.intervals import interval_overlap_join
+
+    win = 300_000_000  # 5 minutes in micros
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("s")
+    )
+
+    def side(etype):
+        return ev.filter(F.col("event_type") == etype).select(
+            "event_id",
+            "user_id",
+            F.col("s").alias("start"),
+            (F.col("s") + win).alias("end"),
+        )
+
+    out = interval_overlap_join(
+        side("click"),
+        side("error"),
+        on=["user_id"],
+        bucket_width=win,
+    )
+    return out.select(
+        "user_id",
+        F.col("a_event_id").alias("click_id"),
+        F.col("b_event_id").alias("error_id"),
+        F.col("ov_start").cast("long").alias("ov_start_us"),
+        F.col("ov_end").cast("long").alias("ov_end_us"),
+    )
