@@ -413,3 +413,123 @@ def agg_hll_distinct(spark, sf_dir):
     sketch bit-identical across engines."""
     ev = load_events(spark, sf_dir)
     return sketch.hll_distinct(ev, "event_type", "user_id", m_buckets=64)
+
+
+_KMV_HA = "md5(CAST(user_id AS VARCHAR))"
+
+
+@register(
+    "agg_kmv_setops",
+    f"""
+WITH a AS (
+  SELECT DISTINCT {_hex_sql(_KMV_HA, 8)} AS hv FROM events
+  WHERE event_type = 'click' AND event_id % 2 = 0
+),
+b AS (
+  SELECT DISTINCT {_hex_sql(_KMV_HA, 8)} AS hv FROM events
+  WHERE event_type = 'purchase' AND event_id % 3 = 0
+),
+ska AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM a) WHERE rn <= 8),
+skb AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM b) WHERE rn <= 8),
+m AS (
+  SELECT hv FROM (
+    SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+    FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+  ) WHERE rn <= 8
+),
+th AS (SELECT max(hv) AS theta, count(*) AS n_m FROM m),
+com AS (
+  SELECT count(*) AS n_common
+  FROM ska JOIN skb USING (hv), th
+  WHERE hv <= th.theta
+),
+exact AS (
+  SELECT
+    (SELECT count(*) FROM (SELECT hv FROM a UNION SELECT hv FROM b)) AS n_union_exact,
+    (SELECT count(*) FROM a JOIN b USING (hv)) AS n_inter_exact
+),
+est AS (
+  SELECT
+    CASE WHEN n_m < 8 THEN CAST(n_m AS DOUBLE)
+         ELSE 7.0 * 4294967296.0 / CAST(theta AS DOUBLE) END AS union_est,
+    n_common
+  FROM th, com
+)
+SELECT CAST(n_union_exact AS BIGINT) AS n_union_exact,
+  CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+  union_est AS kmv_union_est,
+  CAST(n_common AS DOUBLE) / 8.0 * union_est AS kmv_inter_est
+FROM exact, est
+""",
+)
+def agg_kmv_setops(spark, sf_dir):
+    """Set ALGEBRA on mergeable KMV sketches (the theta-sketch trick,
+    Dasgupta et al. 2016): estimate |A∪B| and |A∩B| from two k=8
+    sketches alone — union = k smallest of the merged sketches with
+    theta = its kth value, intersection = (common hashes under theta)
+    / k x union estimate. This is what makes sketch-based distinct
+    counting COMPOSABLE at 100 TB: per-partition/per-day sketches
+    merge associatively, and set overlaps between cohorts never
+    rescan raw data. Exact counts ride along to expose the error;
+    every hash is the same md5 arithmetic as agg_kmv_distinct, so the
+    whole derivation is engine-exact."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    hv = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv")
+    )
+
+    def hashes(etype, mod):
+        return (
+            ev.filter(
+                (F.col("event_type") == etype) & (F.col("event_id") % mod == 0)
+            )
+            .select(hv)
+            .distinct()
+        )
+
+    a, b = hashes("click", 2), hashes("purchase", 3)
+
+    def sketch_of(df):
+        w = W.orderBy("hv")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 8)
+            .select("hv")
+        )
+
+    ska, skb = sketch_of(a), sketch_of(b)
+    m = sketch_of(ska.union(skb).distinct())
+    th = m.agg(
+        F.max("hv").alias("theta"), F.count(F.lit(1)).alias("n_m")
+    )
+    com = (
+        ska.join(skb, "hv")
+        .crossJoin(F.broadcast(th.select("theta")))
+        .filter(F.col("hv") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = (
+        a.union(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_union_exact"))
+        .crossJoin(a.join(b, "hv").agg(F.count(F.lit(1)).alias("n_inter_exact")))
+    )
+    union_est = F.when(
+        F.col("n_m") < 8, F.col("n_m").cast("double")
+    ).otherwise(F.lit(7.0) * F.lit(4294967296.0) / F.col("theta").cast("double"))
+    return (
+        th.crossJoin(com)
+        .crossJoin(exact)
+        .select(
+            F.col("n_union_exact").cast("long").alias("n_union_exact"),
+            F.col("n_inter_exact").cast("long").alias("n_inter_exact"),
+            union_est.alias("kmv_union_est"),
+            (F.col("n_common").cast("double") / F.lit(8.0) * union_est).alias(
+                "kmv_inter_est"
+            ),
+        )
+    )

@@ -278,3 +278,48 @@ def snk_cdc_apply(spark, sf_dir):
             F.col("fin.price").cast("double").alias("price"),
         )
     )
+
+
+@register(
+    "src_parquet_merge_schema",
+    """
+WITH unioned AS (
+  SELECT event_id, value, NULL AS event_type FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT event_id, NULL AS value, event_type FROM events WHERE event_id % 2 = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(value) AS BIGINT) AS n_with_value,
+  CAST(count(event_type) AS BIGINT) AS n_with_type,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM unioned
+""",
+)
+def src_parquet_merge_schema(spark, sf_dir):
+    """Schema evolution on read: two parquet generations with
+    DIFFERENT columns (gen1: event_id+value, gen2: event_id+
+    event_type) land in one dataset directory; a mergeSchema scan
+    reconciles them into the union schema with NULLs for the columns
+    each generation lacks — exactly how a years-long 100 TB table
+    accretes columns without rewriting history. The aggregate pins
+    both the row totals and the per-column NULL structure. (Schema
+    merging is a one-time footer pass over file metadata, not data;
+    on a real lake the merged schema comes from the table catalog.)"""
+    work = tempfile.mkdtemp(prefix="wspr_evolve_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev = load_events(spark, sf_dir)
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.mode(
+        "overwrite"
+    ).parquet(f"{work}/data/gen=1")
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type"
+    ).write.mode("overwrite").parquet(f"{work}/data/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(f"{work}/data")
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.count("event_type").alias("n_with_type"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        F.count_distinct("event_type").alias("n_types"),
+    )

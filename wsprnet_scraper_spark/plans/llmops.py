@@ -2269,3 +2269,61 @@ def pipe_oversample(spark, sf_dir):
         )
         .withColumn("copy_idx", F.col("copy_idx").cast("int"))
     )
+
+
+@register(
+    "pipe_bpe_merge_step",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks WHERE len(tok) >= 2 GROUP BY tok),
+pairs AS (
+  SELECT substr(tok, i, 2) AS pair, SUM(n) AS cnt
+  FROM vocab, unnest(generate_series(1, len(tok) - 1)) AS t(i)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rn
+  FROM pairs
+)
+SELECT pair, CAST(cnt AS BIGINT) AS cnt, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 20
+""",
+)
+def pipe_bpe_merge_step(spark, sf_dir):
+    """One BPE-training merge step: the top-20 adjacent character
+    pairs over the corpus, weighted by token frequency — the inner
+    loop of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016). The 100 TB shape is the two-level rollup: raw tokens
+    collapse to a VOCABULARY-sized (token, count) relation first
+    (map-side combinable), and pair explosion runs over the
+    vocabulary, not the corpus — pair counting cost is O(vocab x
+    token_len) regardless of corpus size. Deterministic (cnt DESC,
+    pair) tie-break keeps the merge choice engine-exact."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab = (
+        toks.filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        vocab.select(
+            F.col("n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    w = W.orderBy(F.desc("cnt"), "pair")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("pair", F.col("cnt").cast("long").alias("cnt"), F.col("rn").cast("long").alias("rn"))
+    )
