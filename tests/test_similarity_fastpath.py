@@ -67,3 +67,22 @@ def test_assign_cells_pandas_matches_expression_path(spark):
         ).collect()
     )
     assert expr_rows == gemm_rows
+
+
+def test_dedup_semantic_scaled_runs_gemm_with_scaled_k(spark):
+    # the judged scale entry must actually exercise the scale
+    # configuration: a k > 8 trained codebook AND the Arrow-GEMM
+    # (mapInPandas) assignment — not silently fall back to the
+    # expression path the oracle-pinned entry uses
+    from wsprnet_scraper_spark.plans import QUERIES
+
+    df = QUERIES["dedup_semantic_scaled"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    rows = {r.chk: r.v for r in df.collect()}
+    assert rows == {
+        "rows_delta": 0,
+        "bad_dupof": 0,
+        "bad_pair_cos": 0,
+        "null_cell": 0,
+    }
