@@ -60,6 +60,26 @@ def _size_to_bytes(value, default: int = 128 << 20) -> int:
         return default
 
 
+def _dataset_bytes(path: str) -> int | None:
+    """Total data bytes of a local dataset path — a plain file's size,
+    or the sum of data files under a directory dataset (Spark-written
+    parquet is a DIRECTORY; os.path.getsize on it returns the inode
+    size, ~4 KB, which silently disabled the under-parallel-scan heal
+    for multi-file datasets and left e.g. a 10-file 140 MB table
+    running 10-wide on 32 cores). None = not statable (non-local)."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(root, f))
+        return total
+    except OSError:
+        return None
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, parallel: str = "auto"
 ) -> DataFrame:
@@ -82,9 +102,8 @@ def load(
     # leave the timed run paying JIT for the real shape).
     if parallel == "auto" and os.environ.get("SPARK_GRAFT_FORCE_HEAL"):
         parallel = "always"
-    try:
-        nbytes = os.path.getsize(path)
-    except OSError:
+    nbytes = _dataset_bytes(path)
+    if nbytes is None:
         return df  # non-local path: trust the scan's own layout
     if parallel == "auto" and nbytes < _PARALLELIZE_MIN_BYTES:
         return df
