@@ -66,6 +66,10 @@ HEADLINE = [
     "sim_ivfpq",           # IVF coarse cells + PQ ADC re-rank
     "dedup_semantic_scaled", # SemDeDup at the scale dial (k∝n, GEMM assign)
     "graph_pagerank_bucketed", # PageRank with shuffle-join rank supersteps
+    "agg_hll_distinct",    # HyperLogLog distinct sketch over events
+    "join_interval_overlap", # bucketed interval-overlap equi-join
+    "win_time_range_avg",  # trailing-10-min RANGE frame per user
+    "pipe_bpe_merge_step", # BPE pair counting over the vocabulary relation
 ]
 
 

@@ -45,6 +45,13 @@ def _eq(a, b):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="bare SparkSession + __spark_entry__._tune() only — the "
+        "driver-harness context (no engine session confs). The r2 "
+        "TIMESTAMP_NTZ regression was visible ONLY in this mode.",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -57,7 +64,22 @@ def main() -> int:
     oracle = entrymod.oracle_sql()
     names = args.names or sorted(queries)
 
-    spark = get_session("oracle-gate")
+    if args.vanilla:
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+        spark = (
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName("oracle-gate-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        # queries() wraps every call in _tune(); nothing else applied
+    else:
+        spark = get_session("oracle-gate")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
