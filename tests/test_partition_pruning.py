@@ -44,3 +44,25 @@ def test_pruned_read_equals_filtered_full_read(spark, band_archive):
     assert pruned.count() > 0  # the fixture actually has band-20 spots
     # round-trip: partition column survives as a readable column
     assert set(pruned.select("Band").distinct().toPandas()["Band"]) == {20}
+
+
+def test_day_partitioned_prune_judged_layout(spark, tmp_path):
+    # the src_partitioned_prune judged query's layout: events
+    # partitioned by day; a day IN (...) filter must be a
+    # PartitionFilter (directory prune), not a data filter
+    from wsprnet_scraper_spark.sources import load_events
+
+    ev = load_events(spark, SF)
+    out = str(tmp_path / "by_day")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).parquet(out)
+    part = spark.read.parquet(out)
+    days = [r.day for r in part.select("day").distinct().orderBy("day").limit(3).collect()]
+    df = part.filter(F.col("day").isin(days))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters" in scan and "day#" in scan.split("PartitionFilters")[1], scan
+    assert df.count() == ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).filter(
+        F.col("day").isin(days)
+    ).count()

@@ -323,3 +323,48 @@ def src_parquet_merge_schema(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "src_partitioned_prune",
+    """
+WITH t AS (
+  SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events
+),
+days AS (SELECT day FROM t GROUP BY day ORDER BY day LIMIT 3)
+SELECT day, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM t WHERE day IN (SELECT day FROM days)
+GROUP BY day
+""",
+)
+def src_partitioned_prune(spark, sf_dir):
+    """Hive-style partitioned layout + partition pruning: events are
+    written partitioned by day (partitionBy -> day=... directories),
+    then a 3-day filter must scan ONLY those directories — at 100 TB
+    partition pruning is the first petabyte-saver, ahead of row-group
+    stats. The pruning is structural (directory listing against the
+    partition filter, before any data IO); `PartitionFilters` in the
+    scan is asserted in tests/test_partition_pruning.py for this
+    exact layout. The aggregate proves the pruned read still sees
+    every row of the selected days."""
+    work = tempfile.mkdtemp(prefix="wspr_part_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev = load_events(spark, sf_dir)
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(f"{work}/by_day")
+    part = spark.read.parquet(f"{work}/by_day")
+    days = [
+        r.day
+        for r in part.select("day").distinct().orderBy("day").limit(3).collect()
+    ]
+    return (
+        part.filter(F.col("day").isin(days))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "n", "n_users")
+    )

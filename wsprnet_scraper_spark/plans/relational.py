@@ -1067,3 +1067,49 @@ def join_interval_overlap(spark, sf_dir):
         F.col("ov_start").cast("long").alias("ov_start_us"),
         F.col("ov_end").cast("long").alias("ov_end_us"),
     )
+
+
+@register(
+    "agg_null_semantics",
+    """
+WITH t AS (
+  SELECT l_returnflag AS g,
+    NULLIF(l_quantity, 1.0) AS q,
+    NULLIF(l_linestatus, l_linestatus) AS always_null
+  FROM lineitem
+)
+SELECT g,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(q) AS BIGINT) AS n_nonnull,
+  CAST(count(always_null) AS BIGINT) AS n_all_null,
+  CAST(SUM(CAST(always_null AS DOUBLE)) AS DOUBLE) AS sum_all_null,
+  CAST(count(DISTINCT q) AS BIGINT) AS n_distinct_nonnull,
+  CAST(min(q) AS DOUBLE) AS min_q,
+  CAST(SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+FROM t GROUP BY g
+""",
+)
+def agg_null_semantics(spark, sf_dir):
+    """SQL NULL-handling parity sweep, pinned against the oracle:
+    count(*) counts NULL rows, count(col) / count(DISTINCT col) /
+    min() skip them, SUM over an all-NULL column is NULL (not 0) —
+    the semantics the reference's permissive pipeline (and ANSI-off
+    Spark) relies on. NULLs are injected deterministically with
+    NULLIF so both engines see identical null patterns."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    t = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.nullif(F.col("l_quantity"), F.lit(1.0)).alias("q"),
+        F.nullif(F.col("l_linestatus"), F.col("l_linestatus")).alias("always_null"),
+    )
+    return t.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("q").alias("n_nonnull"),
+        F.count("always_null").alias("n_all_null"),
+        F.sum(F.col("always_null").cast("double")).alias("sum_all_null"),
+        F.count_distinct("q").alias("n_distinct_nonnull"),
+        F.min("q").cast("double").alias("min_q"),
+        F.sum(F.when(F.col("q").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+    )
