@@ -494,11 +494,19 @@ def agg_kmv_setops(spark, sf_dir):
     a, b = hashes("click", 2), hashes("purchase", 3)
 
     def sketch_of(df):
-        w = W.orderBy("hv")
+        # two-phase k-smallest, never a global single-task window:
+        # per-partition top-8 (parallel window on partition id), then
+        # ONE aggregate collapses the <=8*P survivors into a sorted
+        # 8-array — partial-agg combinable, policy-clean at any scale
+        w_local = W.partitionBy("_pid").orderBy("hv")
         return (
-            df.withColumn("rn", F.row_number().over(w))
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("rn", F.row_number().over(w_local))
             .filter(F.col("rn") <= 8)
-            .select("hv")
+            .agg(
+                F.slice(F.array_sort(F.collect_list("hv")), 1, 8).alias("top")
+            )
+            .select(F.explode("top").alias("hv"))
         )
 
     ska, skb = sketch_of(a), sketch_of(b)
