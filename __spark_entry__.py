@@ -32,9 +32,15 @@ def _tune(spark: SparkSession) -> SparkSession:
     TIMESTAMP(NANOS) otherwise), AQE + broadcast threshold for the
     join-heavy queries.
     """
+    import os
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     conf = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.ansi.enabled": "false",
+        # a driver-owned session keeps Spark's 200-partition default;
+        # size the shuffle to the machine (AQE coalesces the rest)
+        "spark.sql.shuffle.partitions": str(cpus),
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # The driver's generator has shipped events.ts as TIMESTAMP(NANOS)
         # (round 1) and naive timestamp[us] (rounds 2-3). The naive shape

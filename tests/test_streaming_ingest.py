@@ -186,3 +186,32 @@ def test_mirror_fanout_two_sinks(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "sink")).count() == 7
     m = spark.read.parquet(mirror_dir)
     assert m.count() == 7 and set(m.columns) == {"Spotnum", "wd_band"}
+
+
+def test_rate_limited_stream_runs_bounded_microbatches(spark):
+    # maxFilesPerTrigger=1 over a 4-file dataset must process in 4
+    # bounded micro-batches (availableNow drains them all), and the
+    # result must equal the one-shot batch aggregate — rate limiting
+    # changes scheduling, never results
+    from wsprnet_scraper_spark.plans import QUERIES
+    from wsprnet_scraper_spark.plans.streaming_q import strm_rate_limited
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.win_start_s, r.n)
+        for r in QUERIES["strm_rate_limited"](spark, sf).collect()
+    }
+    assert strm_rate_limited.last_progress_batches >= 4
+    from pyspark.sql import functions as F
+
+    from wsprnet_scraper_spark.sources import load_events
+
+    ev = load_events(spark, sf)
+    want = {
+        (r.win_start_s, r.n)
+        for r in ev.groupBy(F.window("ts", "2 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("w.start").alias("win_start_s"), "n")
+        .collect()
+    }
+    assert got == want

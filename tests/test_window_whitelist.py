@@ -30,6 +30,7 @@ _STREAM_BUILDS = {
     "strm_session",
     "strm_dedup_watermark",
     "strm_atleastonce_dedup",
+    "strm_rate_limited",
 }
 
 

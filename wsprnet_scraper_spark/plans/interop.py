@@ -368,3 +368,55 @@ def src_partitioned_prune(spark, sf_dir):
         )
         .select(F.col("day").cast("string").alias("day"), "n", "n_users")
     )
+
+
+@register(
+    "src_json_corrupt",
+    """
+SELECT CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+  CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+  CAST(SUM(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS good_chars
+FROM documents
+""",
+)
+def src_json_corrupt(spark, sf_dir):
+    """Malformed-record tolerance on the JSON source: an NDJSON
+    landing file where every 7th record is truncated garbage (the
+    reference's scrape bodies arrive over flaky HTTP —
+    wsprnet-scraper.sh retries exactly because of this). PERMISSIVE
+    mode parses good lines and routes bad ones to _corrupt_record
+    instead of failing the batch — the only mode that works when one
+    poison record must not kill a 100 TB backfill. The aggregate pins
+    the good/corrupt split and that good rows parse completely."""
+    work = tempfile.mkdtemp(prefix="wspr_corrupt_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('{"doc_id": '),
+                F.col("doc_id").cast("string"),
+                F.lit(", TRUNC"),
+            ),
+        )
+        .otherwise(F.to_json(F.struct("doc_id", "n_chars")))
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(f"{work}/landing")
+    parsed = spark.read.schema(
+        "doc_id LONG, n_chars LONG, _corrupt_record STRING"
+    ).json(f"{work}/landing")
+    return parsed.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars")).otherwise(0)
+        )
+        .cast("long")
+        .alias("good_chars"),
+    )

@@ -551,3 +551,56 @@ def strm_static_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "strm_rate_limited",
+    """
+SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS win_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def strm_rate_limited(spark, sf_dir):
+    """Source rate limiting: the events table split into 4 files and
+    streamed with maxFilesPerTrigger=1 — four bounded micro-batches
+    instead of one unbounded gulp, which is how a backfill over years
+    of landed files keeps state and executor memory flat (the
+    reference's scrape loop is naturally rate-limited to one batch
+    per cycle; this is the Spark knob with the same effect). The
+    windowed counts in COMPLETE mode must equal the one-shot batch
+    aggregate exactly — rate limiting changes scheduling, never
+    results. tests/test_streaming_ingest.py asserts the batch count.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="wspr_rate_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev = load_events(spark, sf_dir, parallel="never")
+    ev.select("event_id", "ts").repartition(4).write.mode("overwrite").parquet(
+        f"{work}/files"
+    )
+    raw_schema = spark.read.parquet(f"{work}/files").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/files")
+    )
+    agg = stream.groupBy(F.window("ts", "2 minutes").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"strm_rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    strm_rate_limited.last_progress_batches = len(q.recentProgress)
+    return spark.table(name).select(
+        F.unix_timestamp("w.start").alias("win_start_s"), "n"
+    )
