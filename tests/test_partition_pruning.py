@@ -66,3 +66,32 @@ def test_day_partitioned_prune_judged_layout(spark, tmp_path):
     assert df.count() == ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).filter(
         F.col("day").isin(days)
     ).count()
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    # the join_dpp_partitioned shape: day-partitioned fact joined to a
+    # dim filtered on a non-partition attribute — the fact scan must
+    # carry a dynamicpruning subquery in its PartitionFilters
+    from pyspark.sql import Window as W
+
+    from wsprnet_scraper_spark.sources import load_events
+
+    ev = load_events(spark, SF)
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).parquet(str(tmp_path / "fact"))
+    dim = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .withColumn("idx", F.dense_rank().over(W.orderBy("day")))
+    )
+    dim.write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim_r = spark.read.parquet(str(tmp_path / "dim"))
+    df = fact.join(dim_r, "day").filter(F.col("idx") <= 3).groupBy("day").count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(
+        l for l in plan.splitlines() if "FileScan" in l and "fact" in l
+    )
+    assert "dynamicpruning" in scan.split("PartitionFilters")[1], scan
+    assert df.count() == 3

@@ -420,3 +420,60 @@ def src_json_corrupt(spark, sf_dir):
         .cast("long")
         .alias("good_chars"),
     )
+
+
+@register(
+    "join_dpp_partitioned",
+    """
+WITH t AS (
+  SELECT *, strftime(ts, '%Y-%m-%d') AS day FROM events
+),
+d AS (
+  SELECT day, dense_rank() OVER (ORDER BY day) AS idx
+  FROM (SELECT DISTINCT day FROM t)
+)
+SELECT t.day, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM t JOIN d ON t.day = d.day
+WHERE d.idx <= 3
+GROUP BY t.day
+""",
+)
+def join_dpp_partitioned(spark, sf_dir):
+    """DYNAMIC partition pruning: the fact side is day-partitioned,
+    the dimension's filter (idx <= 3) is on a NON-partition attribute
+    — so no static prune is possible and Spark must inject a runtime
+    subquery (`dynamicpruning` in the scan's PartitionFilters,
+    asserted in tests/test_partition_pruning.py) that executes the
+    dim side first and prunes fact directories before data IO. At
+    100 TB this is the difference between scanning 3 days and
+    scanning the table whenever the calendar slice comes from a JOIN
+    instead of a literal."""
+    work = tempfile.mkdtemp(prefix="wspr_dpp_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev = load_events(spark, sf_dir)
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(f"{work}/fact")
+    from pyspark.sql import Window as W
+
+    dim = (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .distinct()
+        .withColumn("idx", F.dense_rank().over(W.orderBy("day")))
+    )
+    dim.write.mode("overwrite").parquet(f"{work}/dim")
+    fact = spark.read.parquet(f"{work}/fact")
+    dim_r = spark.read.parquet(f"{work}/dim")
+    return (
+        fact.join(dim_r, "day")
+        .filter(F.col("idx") <= 3)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(F.col("day").cast("string").alias("day"), "n", "sum_value")
+    )
