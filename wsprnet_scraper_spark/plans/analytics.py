@@ -999,3 +999,90 @@ def win_time_range_avg(spark, sf_dir):
         s.alias("sum_val"),
         (s / n).alias("avg_val"),
     )
+
+
+@register(
+    "agg_ddsketch_quantile",
+    """
+WITH x AS (
+  SELECT event_type AS g,
+         GREATEST(CAST(floor(value * 1000) AS BIGINT), 1) AS v
+  FROM events
+),
+hb AS (
+  SELECT g,
+    4 * (length(h) - 1)
+      + CASE WHEN s >= 8 THEN 3 WHEN s >= 4 THEN 2 WHEN s >= 2 THEN 1
+             ELSE 0 END AS b
+  FROM (SELECT g, h, strpos('123456789ABCDEF', substr(h, 1, 1)) AS s
+        FROM (SELECT g, to_hex(v) AS h FROM x))
+),
+c AS (SELECT g, b, count(*) AS cnt FROM hb GROUP BY 1, 2),
+w AS (
+  SELECT g, b, cnt,
+    SUM(cnt) OVER (PARTITION BY g ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM c
+)
+SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+  pow(2, CAST(min(CASE WHEN 2 * cum >= n THEN b END) AS INT) + 1) / 1000.0 AS p50_le,
+  pow(2, CAST(min(CASE WHEN 20 * cum >= 19 * n THEN b END) AS INT) + 1) / 1000.0 AS p95_le,
+  pow(2, CAST(min(CASE WHEN 100 * cum >= 99 * n THEN b END) AS INT) + 1) / 1000.0 AS p99_le
+FROM w GROUP BY g
+""",
+)
+def agg_ddsketch_quantile(spark, sf_dir):
+    """Mergeable log-bucket quantile sketch (DDSketch family, gamma=2:
+    bucket = MSB position of the milli-quantized value) — the
+    quantile counterpart of the HLL/KMV/Count-Min set: per-group
+    bucket counts are map-side combinable and the shuffle carries
+    <= 64 rows per group at ANY corpus size, where the exact
+    equi-depth histogram needs a global rank. Quantile answers are
+    bucket upper bounds (relative error bounded by the bucket factor).
+    The MSB is extracted from the HEX STRING of the value — integer-
+    exact in both engines, immune to the libm log2() boundary
+    divergence that floor(log2(2^k)) would risk. Cumulative window
+    runs over the <= 64 aggregated bucket rows per group, never raw
+    events."""
+    ev = load_events(spark, sf_dir)
+    x = ev.select(
+        F.col("event_type").alias("g"),
+        F.greatest(
+            F.floor(F.col("value") * 1000).cast("long"), F.lit(1).cast("long")
+        ).alias("v"),
+    )
+    h = F.hex(F.col("v"))
+    s = F.expr("instr('123456789ABCDEF', substring(hex(v), 1, 1))")
+    b = (
+        F.lit(4) * (F.length(h) - 1)
+        + F.when(s >= 8, 3).when(s >= 4, 2).when(s >= 2, 1).otherwise(0)
+    )
+    c = x.select("g", b.alias("b")).groupBy("g", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = (
+        W.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wg = W.partitionBy("g")
+    w = c.select(
+        "g",
+        "b",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wg).alias("n"),
+    )
+
+    def q_bucket(cond):
+        return (
+            F.pow(F.lit(2.0), F.min(F.when(cond, F.col("b"))).cast("int") + 1)
+            / F.lit(1000.0)
+        )
+
+    return w.groupBy("g").agg(
+        F.max("n").cast("long").alias("n"),
+        q_bucket(2 * F.col("cum") >= F.col("n")).alias("p50_le"),
+        q_bucket(20 * F.col("cum") >= 19 * F.col("n")).alias("p95_le"),
+        q_bucket(100 * F.col("cum") >= 99 * F.col("n")).alias("p99_le"),
+    ).select(F.col("g").alias("event_type"), "n", "p50_le", "p95_le", "p99_le")

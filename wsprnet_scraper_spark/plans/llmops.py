@@ -2327,3 +2327,70 @@ def pipe_bpe_merge_step(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("pair", F.col("cnt").cast("long").alias("cnt"), F.col("rn").cast("long").alias("rn"))
     )
+
+
+@register(
+    "sim_knn_graph",
+    """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nbr,
+    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+  FROM base a JOIN base b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vid, nbr, cosine,
+    row_number() OVER (PARTITION BY vid ORDER BY cosine DESC, nbr) AS rn
+  FROM pairs
+)
+SELECT vid AS vec_id, nbr AS nbr_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def sim_knn_graph(spark, sf_dir):
+    """k-nearest-neighbor GRAPH (k=3, every vector gets its 3 nearest
+    cluster-mates by cosine) — the substrate of graph-based semantic
+    dedup, diversity sampling, and label propagation. Judged in the
+    exact all-pairs configuration (cosines are fixed-order folds, so
+    the whole graph is engine-exact); the per-query top-k window
+    partitions by the query vector, never globally. The 100 TB dial
+    is candidate generation: swap the all-pairs join for the
+    LSH-bucketed or IVF candidate streams (sim_lsh_bucketed /
+    sim_ivf) and keep this exact re-rank — the same
+    generate-then-verify split every ANN entry here uses."""
+    from ..operators.similarity import _as_double, _dot, _norm2
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", _norm2(F.col("v")))
+    a = base.select(
+        F.col("vec_id").alias("vid"), F.col("v").alias("av"), F.col("n2").alias("an2")
+    )
+    b = base.select(
+        F.col("vec_id").alias("nbr"), F.col("v").alias("bv"), F.col("n2").alias("bn2")
+    )
+    pairs = a.join(b, F.col("vid") != F.col("nbr")).select(
+        "vid",
+        "nbr",
+        (
+            _dot(F.col("av"), F.col("bv"))
+            / (F.sqrt(F.col("an2")) * F.sqrt(F.col("bn2")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vid").orderBy(F.desc("cosine"), "nbr")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("nbr").alias("nbr_id"),
+            "cosine",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
