@@ -38,6 +38,11 @@ TS_SENSITIVE = [
     "strm_dedup_watermark",
     "strm_session",
     "strm_stream_join",
+    # round-3 additions that touch events.ts the same ways
+    "win_time_range_avg",
+    "join_interval_overlap",
+    "strm_rate_limited",
+    "src_partitioned_prune",
 ]
 
 

@@ -44,8 +44,10 @@ def test_vanilla_session_runs_ts_queries():
         (l for l in proc.stdout.splitlines() if l.startswith("PARITY_RESULT ")), None
     )
     assert line, proc.stdout
+    from tests.driver_parity_child import TS_SENSITIVE
+
     counts = json.loads(line.removeprefix("PARITY_RESULT "))
-    assert len(counts) == 11
+    assert len(counts) == len(TS_SENSITIVE)
     # every family must produce rows at sf0.001 (all did in the
     # engine-session gate; zero rows here would mean a silent miss)
     for name, n in counts.items():
