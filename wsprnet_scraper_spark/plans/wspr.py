@@ -567,3 +567,56 @@ def agg_band_activity(spark, sf_dir):
             F.count_distinct("Reporter").alias("n_reporters"),
         )
     )
+
+
+_HAV = (
+    "2 * 6371.0 * asin(least(sqrt("
+    "sin((b.rx_lat - a.rx_lat) * 0.017453292519943295 / 2)"
+    " * sin((b.rx_lat - a.rx_lat) * 0.017453292519943295 / 2)"
+    " + cos(a.rx_lat * 0.017453292519943295)"
+    " * cos(b.rx_lat * 0.017453292519943295)"
+    " * sin((b.rx_lon - a.rx_lon) * 0.017453292519943295 / 2)"
+    " * sin((b.rx_lon - a.rx_lon) * 0.017453292519943295 / 2)"
+    "), 1.0))"
+)
+
+
+@register(
+    "join_geo_radius",
+    f"""
+WITH spots AS ({SYNTH_SPOTS_SQL}),
+rx AS (
+  SELECT "Spotnum" AS sid,
+    {_sql_lat('"ReporterGrid"')} AS rx_lat,
+    {_sql_lon('"ReporterGrid"')} AS rx_lon
+  FROM spots WHERE "Spotnum" % 23 = 0
+)
+SELECT a.sid AS a_id, b.sid AS b_id, {_HAV} AS dist_km
+FROM rx a JOIN rx b
+  ON a.sid < b.sid
+ AND abs(a.rx_lat - b.rx_lat) <= 3.0
+ AND abs(a.rx_lon - b.rx_lon) <= 3.0
+WHERE {_HAV} <= 300.0
+""",
+)
+def join_geo_radius(spark, sf_dir):
+    """Spatial neighbor self-join over receiver positions (decoded
+    from ReporterGrid): unordered station pairs within a 3-degree box
+    AND 300 km great-circle radius — "who can hear whom locally", the
+    geo query the reference's spot table invites. Runs as the
+    grid-cell bucketed EQUI-join of operators/spatial.py (3x3
+    neighborhood explode, one hash shuffle, emit-once by home cell,
+    no DISTINCT) where the naive form is a broadcast nested loop; the
+    oracle states the plain theta join with the identical haversine
+    operation order, so distances are bit-exact."""
+    from ..operators.spatial import geo_neighbor_join
+
+    s = synth_spots(spark, sf_dir).filter(F.col("Spotnum") % 23 == 0)
+    rx = s.select(
+        F.col("Spotnum").alias("sid"),
+        grid_lat(F.col("ReporterGrid")).alias("rx_lat"),
+        grid_lon(F.col("ReporterGrid")).alias("rx_lon"),
+    )
+    return geo_neighbor_join(
+        rx, "sid", "rx_lat", "rx_lon", cell_deg=3.0, radius_km=300.0
+    ).select(F.col("a_id").cast("long").alias("a_id"), F.col("b_id").cast("long").alias("b_id"), "dist_km")
