@@ -1086,3 +1086,39 @@ def agg_ddsketch_quantile(spark, sf_dir):
         q_bucket(20 * F.col("cum") >= 19 * F.col("n")).alias("p95_le"),
         q_bucket(100 * F.col("cum") >= 99 * F.col("n")).alias("p99_le"),
     ).select(F.col("g").alias("event_type"), "n", "p50_le", "p95_le", "p99_le")
+
+
+@register(
+    "evt_transition_matrix",
+    """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+l AS (
+  SELECT user_id, event_type AS dst,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src
+  FROM o
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+FROM l WHERE src IS NOT NULL
+GROUP BY src, dst
+""",
+)
+def evt_transition_matrix(spark, sf_dir):
+    """First-order Markov transition counts over per-user event
+    streams (what follows what): one lag window partitioned by user
+    (the engine's block-partitioned sequence discipline — never a
+    global order), then a 25-cell aggregate. The behavioral-analytics
+    complement of evt_funnel/evt_pattern_match: funnels ask "did this
+    path happen", the transition matrix asks "which paths dominate"."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    l = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    )
+    return (
+        l.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -2394,3 +2394,48 @@ def sim_knn_graph(spark, sf_dir):
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+@register(
+    "pipe_length_batching",
+    """
+WITH t AS (
+  SELECT doc_id, n_chars // 4 AS n_tokens_est FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens_est, n_tokens_est // 64 AS lbucket FROM t
+),
+r AS (
+  SELECT doc_id, n_tokens_est, lbucket,
+    row_number() OVER (PARTITION BY lbucket ORDER BY n_tokens_est, doc_id) - 1 AS rn
+  FROM b
+)
+SELECT doc_id, CAST(n_tokens_est AS BIGINT) AS n_tokens_est,
+  CAST(lbucket AS BIGINT) AS lbucket,
+  CAST(rn // 16 AS BIGINT) AS batch_idx,
+  CAST(rn % 16 AS BIGINT) AS slot
+FROM r
+""",
+)
+def pipe_length_batching(spark, sf_dir):
+    """Length-bucketed training-batch assembly: documents are grouped
+    into 64-token-wide length buckets and packed into batches of 16
+    within each bucket (ordered by length then id, so batches are
+    deterministic) — the standard padding-minimizer for sequence
+    training: a batch's members differ by < 64 estimated tokens, so
+    pad waste is bounded by the bucket width. One hash exchange on
+    the length bucket; the per-bucket window never sees more than a
+    bucket's population. Complements pipe_pack (concat-packing):
+    batching preserves document identity, packing merges them."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.expr("n_chars DIV 4").alias("n_tokens_est")
+    ).withColumn("lbucket", F.expr("n_tokens_est DIV 64"))
+    w = W.partitionBy("lbucket").orderBy("n_tokens_est", "doc_id")
+    return t.withColumn("rn", F.row_number().over(w) - 1).select(
+        "doc_id",
+        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
+        F.col("lbucket").cast("long").alias("lbucket"),
+        F.expr("rn DIV 16").cast("long").alias("batch_idx"),
+        (F.col("rn") % 16).cast("long").alias("slot"),
+    )
