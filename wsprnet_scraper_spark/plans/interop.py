@@ -477,3 +477,43 @@ def join_dpp_partitioned(spark, sf_dir):
         )
         .select(F.col("day").cast("string").alias("day"), "n", "sum_value")
     )
+
+
+@register(
+    "snk_rtbf_delete",
+    """
+WITH kept AS (
+  SELECT * FROM events WHERE user_id % 13 <> 0
+)
+SELECT event_type,
+  CAST((SELECT count(*) FROM events) AS BIGINT) AS rows_before,
+  CAST(count(*) AS BIGINT) AS n_after,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS users_after
+FROM kept GROUP BY event_type
+""",
+)
+def snk_rtbf_delete(spark, sf_dir):
+    """Right-to-be-forgotten deletion against immutable storage
+    (sources/sinks.delete_keys): events land in parquet, every
+    user_id divisible by 13 requests erasure, and the table is
+    rewritten WITHOUT those rows via broadcast anti-join + atomic
+    rename swap — parquet can't be edited in place, so deletion is a
+    filtered rewrite (a commit on a table format). One scan, zero
+    shuffle (the deletion set broadcasts). The judged aggregate reads
+    the post-delete table and proves exactly the requested keys are
+    gone and everything else survived."""
+    from ..sources.sinks import delete_keys
+
+    work = tempfile.mkdtemp(prefix="wspr_rtbf_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    path = f"{work}/events_store"
+    ev = load_events(spark, sf_dir)
+    ev.write.mode("overwrite").parquet(path)
+    doomed = ev.select("user_id").distinct().filter(F.col("user_id") % 13 == 0)
+    stats = delete_keys(spark, path, "user_id", doomed)
+    after = spark.read.parquet(path)
+    return after.groupBy("event_type").agg(
+        F.lit(stats["rows_before"]).cast("long").alias("rows_before"),
+        F.count(F.lit(1)).alias("n_after"),
+        F.count_distinct("user_id").alias("users_after"),
+    ).select("event_type", "rows_before", "n_after", "users_after")
