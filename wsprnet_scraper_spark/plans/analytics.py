@@ -1122,3 +1122,119 @@ def evt_transition_matrix(spark, sf_dir):
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "win_rolling_median",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us, value AS v
+  FROM events
+)
+SELECT event_id,
+       median(v) OVER (
+         PARTITION BY event_type ORDER BY us, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+       ) AS med10
+FROM t
+""",
+)
+def win_rolling_median(spark, sf_dir):
+    """Exact rolling median (trailing 10 rows per event type) — the
+    robust-smoothing window the mean-based rollups can't express.
+    Spark's `percentile` aggregate runs as a window function over the
+    ROWS frame; at p=0.5 its linear interpolation is the same
+    (a+b)/2 on the two middle doubles as DuckDB's `median`, and both
+    operate on the identical 10-value multiset (frame fixed by the
+    (us, event_id) total order), so the doubles are bit-identical —
+    no rounding tolerance needed. Scale: the window is partitioned by
+    event_type and the frame is O(1) rows; a bounded-frame
+    percentile is linear work per partition, and nothing is global.
+    """
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").alias("v"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-9, W.currentRow)
+    )
+    return t.select(
+        "event_id",
+        F.percentile(F.col("v"), F.lit(0.5)).over(w).alias("med10"),
+    )
+
+
+@register(
+    "evt_attribution",
+    """
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id, value
+  FROM events
+),
+a AS (
+  SELECT user_id, event_type, value,
+         last_value(
+           CASE WHEN event_type <> 'purchase' THEN event_type END
+           IGNORE NULLS
+         ) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS channel
+  FROM t
+)
+SELECT COALESCE(channel, '(direct)') AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS revenue
+FROM a
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def evt_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the most recent
+    PRECEDING non-purchase event by the same user (no look-back
+    horizon — the stream is the horizon), purchases with no prior
+    touch credit '(direct)'. One pass: an IGNORE-NULLS last() over
+    the per-user (us, event_id)-ordered frame ending 1 PRECEDING —
+    the conditional-carry-forward idiom — then filter to purchases
+    and a small groupBy. The frame never materializes history (last()
+    is O(1) state per row) and the window is user-partitioned, so at
+    100 TB this is one shuffle on user_id plus a 5-row aggregate;
+    revenue sums in DECIMAL for engine-exact totals."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        t.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

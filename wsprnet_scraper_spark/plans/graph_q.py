@@ -103,6 +103,88 @@ def graph_degree_dist(spark, sf_dir):
     return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
 
 
+_CC_ROUNDS = 6
+
+_CC_SQL = """
+e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1995-02-01'
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+"""
+
+
+def _cc_oracle(rounds: int) -> str:
+    """Replay operators/dedup.connected_components round for round:
+    each label generation is min(own label, neighbor labels,
+    label-of-label). The pointer-jump term makes convergence
+    O(log diameter), and because a converged labeling is a fixed
+    point of the update, the engine's early-stop and the oracle's
+    full unroll agree whenever either has converged — and they agree
+    trivially (same recurrence, same round count) when neither has.
+    Every generation is AS MATERIALIZED: each lab{i} references
+    lab{i-1} three times, so DuckDB's default CTE inlining would
+    expand the chain 3^rounds-fold (and open that many parquet
+    readers — it exhausts the fd limit long before it's slow)."""
+    steps = [
+        "lab0 AS MATERIALIZED"
+        " (SELECT DISTINCT src AS doc, src AS label FROM edges)"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"lab{i - 1}"
+        steps.append(
+            f"lab{i} AS MATERIALIZED (SELECT doc, MIN(label) AS label FROM ("
+            f" SELECT doc, label FROM {p}"
+            f" UNION ALL"
+            f" SELECT e.src AS doc, l.label FROM edges e"
+            f"   JOIN {p} l ON l.doc = e.dst"
+            f" UNION ALL"
+            f" SELECT l1.doc, l2.label FROM {p} l1"
+            f"   JOIN {p} l2 ON l2.doc = l1.label"
+            f") GROUP BY doc)"
+        )
+    return (
+        f"WITH {_CC_SQL}, {', '.join(steps)}\n"
+        f"SELECT doc AS nid, label AS cluster FROM lab{rounds}"
+    )
+
+
+@register("graph_cc", _cc_oracle(_CC_ROUNDS))
+def graph_cc(spark, sf_dir):
+    """Connected components of a one-month slice of the interaction
+    graph (the slice keeps the graph genuinely multi-component —
+    the full-year graph collapses into one giant component, which
+    exercises nothing). Engine side is the distributed min-label
+    propagation WITH pointer jumping from operators/dedup.py:210 —
+    per round one edge join + one label self-join + a groupBy-min
+    (map-side combinable, exact integer min), lineage cut every
+    round, early exit on the first unchanged generation. At 100 TB
+    the label relation is node-sized and every step shuffles on the
+    node id — nothing is ever broadcast or collected, and the
+    O(log diameter) round count bounds the number of shuffles."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    pairs = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    from ..operators.dedup import connected_components
+
+    return connected_components(pairs, max_iter=_CC_ROUNDS).select(
+        F.col("doc").alias("nid"), "cluster"
+    )
+
+
 @register(
     "graph_triangles",
     """

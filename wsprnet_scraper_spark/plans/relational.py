@@ -1113,3 +1113,182 @@ def agg_null_semantics(spark, sf_dir):
         .cast("long")
         .alias("n_nulls"),
     )
+
+
+@register(
+    "agg_custdist_q13",
+    """
+WITH co AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey
+   AND o.o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def agg_custdist_q13(spark, sf_dir):
+    """TPC-H Q13 shape — the customer order-count distribution. The
+    LEFT join with the non-key predicate INSIDE the join condition
+    (not a post-filter: that would drop zero-order customers) feeds
+    two stacked aggregations, the second over customer-count-sized
+    input. count(o_orderkey) — not count(*) — so unmatched customers
+    land in the c_count=0 bucket, which is the point of the query.
+    Scale: both groupBys are map-side combinable; the join shuffles
+    on custkey once and AQE handles the mild popular-customer skew."""
+    c = load(spark, sf_dir, "customer", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
+    co = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey)
+            & (~o.o_orderpriority.like("%URGENT%")),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "join_waiting_supp_q21",
+    """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN late l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+)
+AND NOT EXISTS (
+  SELECT 1 FROM late l3
+  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+)
+GROUP BY s.s_name
+""",
+)
+def join_waiting_supp_q21(spark, sf_dir):
+    """TPC-H Q21 shape — suppliers who were the SOLE flagged shipper
+    on a multi-supplier finished order (the synthetic lineitem has no
+    receipt/commit dates, so "late" is the returned flag; the judged
+    shape is identical): a semi-join (some other supplier on the
+    order) and an anti-join (no OTHER supplier was flagged)
+    against the same fact, both correlated on orderkey with a <>
+    guard. Expressed as LEFT SEMI / LEFT ANTI joins — Catalyst's
+    native operators for EXISTS/NOT EXISTS — so both sides shuffle
+    once on l_orderkey and no subquery is re-evaluated per row; the
+    supplier dim rides in broadcast. The <> correlation is the part
+    plain joins can't fake: it needs the pair condition inside the
+    semi/anti join criterion."""
+    s = load(spark, sf_dir, "supplier", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
+    late = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    cand = (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "agg_cntry_balance_q22",
+    """
+WITH coded AS (
+  SELECT c_custkey,
+         substr(c_name, 17, 2) AS cntrycode,
+         CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+  WHERE substr(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+),
+pos AS (
+  SELECT SUM(cents) // COUNT(*) AS avg_cents
+  FROM coded WHERE cents > 0
+)
+SELECT cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(cents) AS BIGINT) AS totacctbal_cents
+FROM coded, pos
+WHERE cents > avg_cents
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c_custkey AND o.o_orderpriority = '1-URGENT'
+  )
+GROUP BY cntrycode
+""",
+)
+def agg_cntry_balance_q22(spark, sf_dir):
+    """TPC-H Q22 shape — promising idle customers: country code
+    from a name-digit prefix (the synthetic customer has no phone
+    column), balance above the positive-balance average (an
+    uncorrelated scalar subquery), and no urgent order on file (the
+    synthetic generator gives every customer SOME order, so the
+    classic never-ordered predicate is vacuous — the anti-join is
+    against the urgent slice instead, same shape, non-empty answer).
+    The scalar average is computed once and crossed in — at scale a
+    1-row broadcast, never a per-row subquery. All money math is
+    integer cents (floor(bal*100) is the same double op in both
+    engines; sums and the floor-division average are exact BIGINT),
+    so the boundary customers the threshold admits are bit-pinned —
+    a double or decimal-avg threshold flips them in the last ulp.
+    The never-ordered test is a LEFT ANTI join shuffling on custkey
+    once; the aggregate output stays integral."""
+    c = load(spark, sf_dir, "customer", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never")
+    codes = ["13", "31", "23", "29", "30", "18", "17"]
+    coded = c.filter(F.substring("c_name", 17, 2).isin(codes)).select(
+        "c_custkey",
+        F.substring("c_name", 17, 2).alias("cntrycode"),
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    pos = coded.filter(F.col("cents") > 0).agg(
+        F.expr("sum(cents) div count(1)").alias("avg_cents")
+    )
+    return (
+        coded.crossJoin(F.broadcast(pos))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .join(
+            o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cents").cast("bigint").alias("totacctbal_cents"),
+        )
+    )
