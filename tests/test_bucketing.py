@@ -65,3 +65,18 @@ def test_bucketed_matches_plain(bucketed):
         .agg(F.sum("l_quantity").alias("qty"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_judged_bucketed_join_no_exchange(spark):
+    """The judged query (plans/interop.join_bucketed_colocated) must
+    run the no-exchange plan, not just any correct plan."""
+    from wsprnet_scraper_spark.plans import QUERIES
+
+    j = QUERIES["join_bucketed_colocated"](spark, "/root/testdata/sf0.001")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert "SortMergeJoin" in plan, plan
+    # the single permitted exchange feeds the final groupBy; the join
+    # inputs themselves are bucket-co-located
+    assert n_exchange <= 1, plan
+    assert j.count() > 0

@@ -517,3 +517,56 @@ def snk_rtbf_delete(spark, sf_dir):
         F.count(F.lit(1)).alias("n_after"),
         F.count_distinct("user_id").alias("users_after"),
     ).select("event_type", "rows_before", "n_after", "users_after")
+
+
+@register(
+    "join_bucketed_colocated",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       SUM(l_quantity) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """The repeated-big-big-join answer at 100 TB: both fact tables
+    written ONCE as bucketed layouts on the join key (8 buckets
+    here; thousands on a cluster), after which every subsequent
+    lineitem⋈orders is a zero-exchange local join — Spark reads
+    bucket i of each side into the same task, no shuffle of either
+    fact, ever again. The merge hint pins sort-merge so the bucketed
+    (and sortBy-presorted) layout is actually exploited rather than
+    broadcast hiding it at toy scale; test_bucketing.py asserts the
+    no-exchange plan property. The oracle answers from the plain
+    tables — the layout must not change a single row."""
+    import re
+
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/").split("/")[-1])
+    li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    cat = spark.catalog
+    if not cat.tableExists(li_t) or not cat.tableExists(o_t):
+        work = tempfile.mkdtemp(prefix="wspr_bkt_")
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
+        li = load(spark, sf_dir, "lineitem", parallel="never")
+        o = load(spark, sf_dir, "orders", parallel="never")
+        for df, key, name in [(li, "l_orderkey", li_t), (o, "o_orderkey", o_t)]:
+            (
+                df.write.mode("overwrite")
+                .option("path", f"{work}/{name}")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    return (
+        spark.table(li_t)
+        .join(
+            spark.table(o_t).hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
