@@ -126,3 +126,25 @@ def test_pagerank_bucketed_checkpoint_truncates_lineage(spark):
     assert "ExistingRDD" in plan_ck, plan_ck
     assert n_full >= 6, n_full
     assert n_ck <= 2, plan_ck
+
+
+def test_kcore_peels_to_known_core(spark):
+    """Triangle {1,2,3} plus a tail 3-4-5: the 2-core is exactly the
+    triangle (peeling removes 5, then 4), and every survivor keeps
+    degree 2. A second round after the fixed point changes nothing."""
+    from wsprnet_scraper_spark.operators.graph import kcore
+
+    e0 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r["nid"]: r["deg"] for r in kcore(sym, 2, rounds=5).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_k_too_high_empties(spark):
+    from wsprnet_scraper_spark.operators.graph import kcore
+
+    e0 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    assert kcore(sym, 3, rounds=4).count() == 0

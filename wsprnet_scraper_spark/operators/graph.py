@@ -196,3 +196,43 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.col("n_triangles").cast("bigint").alias("n_triangles"),
         )
     )
+
+
+def kcore(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core decomposition by iterative peeling: drop every node with
+    degree < k, recompute degrees, repeat. `edges_sym` is the
+    symmetrized edge list (both directions present), so degree is a
+    single groupBy(src) count. Returns (nid, deg) for the surviving
+    subgraph after `rounds` peels (or the earlier fixed point — a
+    round that removes nothing can never be followed by one that
+    does, so the early exit returns the same relation the full unroll
+    would).
+
+    Scale shape: each round is one map-side-combinable degree count
+    plus two LEFT SEMI joins of the edge relation against the
+    node-sized keep-set — everything shuffles on the node id, nothing
+    is broadcast or collected, and lineage is cut per round
+    (localCheckpoint here; reliable checkpoint on a cluster) so the
+    unrolled plan stays flat. Peeling rounds needed for a fixed k are
+    typically few; a full coreness ranking would iterate k upward
+    with the same primitive."""
+    e = edges_sym.localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(
+                keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_now = e.count()
+        if n_now == n_edges:
+            break
+        n_edges = n_now
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("src").alias("nid"), "deg"
+    )

@@ -1238,3 +1238,108 @@ def evt_attribution(spark, sf_dir):
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "evt_user_journey",
+    """
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+steps AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+)
+SELECT s1 || '>' || s2 || '>' || s3 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM steps WHERE s3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+""",
+)
+def evt_user_journey(spark, sf_dir):
+    """Top-20 three-step user journeys — the path-analysis staple one
+    step up from evt_transition_matrix's pairs. One lead() window per
+    user (block-partitioned, never global), then a path-cardinality-
+    bounded count and a 20-row deterministic top-k (count desc, path
+    asc — total order, so LIMIT is stable cross-engine). At 100 TB:
+    one user_id exchange; the aggregate input is capped at 125
+    distinct paths regardless of corpus size."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    )
+    return (
+        steps.filter(F.col("s3").isNotNull())
+        .select(F.concat_ws(">", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_mad_outliers",
+    """
+WITH t AS (
+  SELECT event_type, value AS v FROM events
+),
+med AS (
+  SELECT event_type, median(v) AS med FROM t GROUP BY event_type
+),
+mad AS (
+  SELECT t.event_type, median(abs(t.v - med.med)) AS mad
+  FROM t JOIN med ON t.event_type = med.event_type
+  GROUP BY t.event_type
+)
+SELECT t.event_type,
+       med.med AS med,
+       mad.mad AS mad,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN abs(t.v - med.med) > 3 * mad.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM t
+JOIN med ON t.event_type = med.event_type
+JOIN mad ON t.event_type = mad.event_type
+GROUP BY t.event_type, med.med, mad.mad
+""",
+)
+def agg_mad_outliers(spark, sf_dir):
+    """Robust outlier counts per event type via median absolute
+    deviation — the z-score family's answer when the mean itself is
+    polluted (agg_zscore_outliers is the parametric sibling). Two
+    grouped exact medians (percentile at 0.5 — both engines
+    interpolate the same two middle doubles, so med and mad are
+    bit-identical), each joined back as a group-count-sized broadcast,
+    then one counting pass with the |v - med| > 3·mad cut evaluated on
+    identical doubles. Three passes over the fact, zero unbounded
+    windows, every aggregate map-side combinable."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select("event_type", F.col("value").alias("v"))
+    med = t.groupBy("event_type").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("med")
+    )
+    dev = t.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("v") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        t.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )

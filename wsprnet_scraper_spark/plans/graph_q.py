@@ -230,3 +230,57 @@ def graph_triangles(spark, sf_dir):
     from ..operators.graph import triangle_count
 
     return triangle_count(pairs)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled peeling, MATERIALIZED per round (each e{i} is read
+    three times — degree count and both endpoint semi-joins)."""
+    steps = ["pe0 AS MATERIALIZED (SELECT src, dst FROM edges)"]
+    for i in range(1, rounds + 1):
+        p = f"pe{i - 1}"
+        steps.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM {p}"
+            f" GROUP BY src HAVING count(*) >= {k})"
+        )
+        steps.append(
+            f"pe{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {p} e"
+            f" JOIN k{i} a ON a.src = e.src"
+            f" JOIN k{i} b ON b.src = e.dst)"
+        )
+    return (
+        f"WITH {_CC_SQL}, {', '.join(steps)}\n"
+        f"SELECT src AS nid, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM pe{rounds} GROUP BY src"
+    )
+
+
+@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore(spark, sf_dir):
+    """3-core of the one-month interaction graph — iterative peeling
+    (drop degree-<3 nodes, recount, repeat): the subgraph where every
+    node keeps ≥3 neighbors, the classic dense-region extractor.
+    Shares graph_cc's edge slice; see operators/graph.kcore for the
+    per-round shuffle shape and the fixed-point early exit, and the
+    oracle docstring for why every unrolled round is MATERIALIZED."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    e0 = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    from ..operators.graph import kcore
+
+    return kcore(sym, _KCORE_K, _KCORE_ROUNDS)

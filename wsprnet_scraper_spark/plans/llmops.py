@@ -2439,3 +2439,88 @@ def pipe_length_batching(spark, sf_dir):
         F.expr("rn DIV 16").cast("long").alias("batch_idx"),
         (F.col("rn") % 16).cast("long").alias("slot"),
     )
+
+
+@register(
+    "sim_centroid_classify",
+    """
+WITH dims AS (
+  SELECT vec_id, label, i - 1 AS pos, CAST(floor(v[i] * 1000) AS BIGINT) AS xq
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       unnest(generate_series(1, len(v))) AS t(i)
+),
+cent AS (
+  SELECT label AS clabel, pos, SUM(xq) AS sum_q, COUNT(*) AS n
+  FROM dims GROUP BY 1, 2
+),
+scored AS (
+  SELECT d.vec_id, d.label AS true_label, c.clabel,
+         SUM((c.n * d.xq - c.sum_q) * (c.n * d.xq - c.sum_q)) AS num,
+         MAX(c.n) AS n
+  FROM dims d JOIN cent c ON c.pos = d.pos
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT vec_id, true_label, clabel AS pred_label,
+         row_number() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(num AS DOUBLE) / (n * n), clabel
+         ) AS rn
+  FROM scored
+)
+SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+FROM pred WHERE rn = 1
+GROUP BY 1, 2
+""",
+)
+def sim_centroid_classify(spark, sf_dir):
+    """Nearest-centroid classification of every embedding against the
+    per-label prototypes, reported as a confusion matrix — the
+    Rocchio / prototype baseline (and the health check run after any
+    embedding retrain). Engine-exactness is the emb_centroid
+    discipline taken one step further: with quantized integer
+    components, squared distance to the label MEAN s/n is compared as
+    the exact integer |n·x − s|² scaled by one n² division — so the
+    argmin (tie-broken by label) is bit-deterministic, never a float
+    accumulation race.
+
+    Scale shape: centroid build is one (label × dims)-keyed map-side-
+    combined aggregate; scoring fans each (vec, pos) cell across the
+    label-count-sized centroid relation (labels ≪ corpus — the join
+    input is dims-keyed, AQE broadcasts the centroid side), and the
+    argmin is a grouped min over a struct, not a window. Nothing is
+    collected; the d²-free formulation means no norms table either."""
+    e = load(spark, sf_dir, "embeddings", parallel="never")
+    dims = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.floor(F.col("x").cast("double") * 1000).cast("bigint").alias("xq"),
+    )
+    cent = dims.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.sum("xq").alias("sum_q"), F.count(F.lit(1)).alias("n")
+    )
+    diff = F.col("n") * F.col("xq") - F.col("sum_q")
+    scored = (
+        dims.join(cent, "pos")
+        .groupBy(
+            "vec_id", F.col("label").alias("true_label"), "clabel"
+        )
+        .agg(F.sum(diff * diff).alias("num"), F.max("n").alias("n"))
+        .select(
+            "vec_id",
+            "true_label",
+            "clabel",
+            (F.col("num").cast("double") / (F.col("n") * F.col("n"))).alias(
+                "dist"
+            ),
+        )
+    )
+    pred = scored.groupBy("vec_id", "true_label").agg(
+        F.min(F.struct("dist", "clabel")).getField("clabel").alias("pred_label")
+    )
+    return pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
