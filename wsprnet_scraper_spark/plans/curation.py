@@ -541,3 +541,45 @@ def agg_kmv_setops(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "pipe_dataset_card",
+    """
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS est_tokens,
+  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents
+""",
+)
+def pipe_dataset_card(spark, sf_dir):
+    """The dataset card in one aggregate — the summary block every
+    corpus release ships (docs, languages, sources, size, token
+    estimate, exact-dup count): one scan, one shuffle, the three
+    distinct-counts expanded by Catalyst inside the same aggregate.
+    est_tokens is the whitespace estimate (split on ' '), identical
+    in both engines; the dup count is docs minus distinct content
+    hashes — at 100 TB swap the exact distincts for the judged
+    sketch family (agg_hll_distinct / agg_kmv_distinct) when ±2% is
+    acceptable, which is the documented dial, not a different op."""
+    d = load(spark, sf_dir, "documents", parallel="never")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " ", -1)))
+        .cast("bigint")
+        .alias("est_tokens"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5(F.col("text"))))
+        .cast("bigint")
+        .alias("n_exact_dups"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )

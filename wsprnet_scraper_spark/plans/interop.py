@@ -570,3 +570,60 @@ def join_bucketed_colocated(spark, sf_dir):
             F.sum("l_quantity").alias("sum_qty"),
         )
     )
+
+
+@register(
+    "snk_dynamic_partition_overwrite",
+    """
+WITH d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events
+),
+first_day AS (SELECT min(day) AS fd FROM d)
+SELECT day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM d, first_day
+WHERE day <> fd OR event_type = 'purchase'
+GROUP BY day
+""",
+)
+def snk_dynamic_partition_overwrite(spark, sf_dir):
+    """Dynamic partition overwrite — the nightly-restatement idiom: a
+    corrected slice replaces ONLY the partitions it contains, while
+    every untouched partition survives byte-for-byte. Here the full
+    events table lands day-partitioned, then a corrected feed for the
+    first day (purchases only) is written with
+    partitionOverwriteMode=dynamic (per-WRITE option, not a session
+    mutation): static overwrite mode would truncate the whole table
+    first — the classic data-loss footgun this mode exists to remove.
+    The judged read-back aggregates the post-restatement table; the
+    oracle states the expected union (original days ∪ restated first
+    day) declaratively. At 100 TB the restatement touches exactly the
+    restated directories — IO ∝ corrected slice, not table size."""
+    work = tempfile.mkdtemp(prefix="wspr_dpo_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    path = f"{work}/by_day"
+    ev = load_events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    first_day = ev.agg(F.min("day")).collect()[0][0]
+    (
+        ev.filter(
+            (F.col("day") == first_day)
+            & (F.col("event_type") == "purchase")
+        )
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("string")
+        .cast("double")
+        .alias("sum_value"),
+    ).select(F.col("day").cast("string").alias("day"), "n", "sum_value")
