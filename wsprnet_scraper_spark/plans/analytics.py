@@ -1343,3 +1343,48 @@ def agg_mad_outliers(spark, sf_dir):
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "agg_dow_hour_heatmap",
+    """
+WITH t AS (
+  SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+         (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+         value
+  FROM events
+)
+SELECT dow, hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         AS sum_value
+FROM t GROUP BY dow, hour
+""",
+)
+def agg_dow_hour_heatmap(spark, sf_dir):
+    """Day-of-week × hour activity heatmap — the ops-dashboard
+    staple. Both coordinates are pure integer arithmetic on epoch
+    micros (epoch day 0 = Thursday, so (days+4) % 7 puts Sunday at 0)
+    — no calendar/locale functions, so the bucketing cannot diverge
+    between engines or timezones. One projection + one 168-cell
+    aggregate: map-side combined, nothing global."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.select(
+            F.expr(
+                "pmod(unix_micros(ts) div 86400000000 + 4, 7)"
+            ).cast("bigint").alias("dow"),
+            F.expr(
+                "pmod(unix_micros(ts), 86400000000) div 3600000000"
+            ).cast("bigint").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("string")
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

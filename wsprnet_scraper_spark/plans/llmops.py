@@ -2524,3 +2524,63 @@ def sim_centroid_classify(spark, sf_dir):
     return pred.groupBy("true_label", "pred_label").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "dedup_normalized",
+    """
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS group_sz
+  FROM norm
+)
+SELECT doc_id, lang, source,
+       CAST(group_sz AS BIGINT) AS group_sz,
+       rn = 1 AS keep
+FROM ranked
+""",
+)
+def dedup_normalized(spark, sf_dir):
+    """Normalization-collapsed exact dedup (the CCNet recipe): lower,
+    strip non-alphanumerics, collapse whitespace, hash — catching the
+    re-punctuated/re-cased copies exact dedup misses while staying a
+    pure hash groupBy (no candidate pairs, no thresholds). Keep the
+    smallest doc_id per normalized hash; group size is reported for
+    audit. One shuffle on the 32-byte hash; the windows run over
+    hash-partitioned groups whose size is the duplicate multiplicity,
+    never the corpus. The normalization is the documented dial —
+    plug stemming/number-masking in without touching the plan."""
+    d = load(spark, sf_dir, "documents", parallel="never")
+    h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.count(F.lit(1))
+            .over(W.partitionBy("h"))
+            .cast("bigint")
+            .alias("group_sz"),
+            (F.row_number().over(w) == 1).alias("keep"),
+            "h",
+        )
+        .select("doc_id", "lang", "source", "group_sz", "keep")
+    )
