@@ -89,3 +89,70 @@ def test_full_outer_joins_reduced_side(spark):
     # the events side is pre-aggregated below the join: the join input
     # is the groupBy output, not raw events
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_attribution_semantics_tiny_frame(spark):
+    """Hand-checked last-touch attribution: first-event purchases go
+    to (direct); the credited touch is the most recent PRECEDING
+    non-purchase, purchases never credit other purchases."""
+    from pyspark.sql import Window as W
+
+    rows = [
+        # user 1: view -> purchase -> purchase  (second purchase still
+        # credits 'view' — an intervening purchase is not a touch)
+        (1, "view", 1, 10.0, 100),
+        (1, "purchase", 2, 20.0, 101),
+        (1, "purchase", 3, 30.0, 102),
+        # user 2: purchase first -> (direct); then click -> purchase
+        (2, "purchase", 1, 5.0, 200),
+        (2, "click", 2, 0.0, 201),
+        (2, "purchase", 3, 7.0, 202),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, us long, value double, event_id long"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        (r["channel"], r["n"]): r["rev"]
+        for r in df.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("rev"))
+        .collect()
+    }
+    assert got == {("view", 2): 50.0, ("(direct)", 1): 5.0, ("click", 1): 7.0}
+
+
+def test_rolling_median_matches_brute_force(spark):
+    """win_rolling_median's frame median against a per-row Python
+    recomputation on a deterministic sample."""
+    import statistics
+
+    from wsprnet_scraper_spark.plans import QUERIES
+
+    out = QUERIES["win_rolling_median"](spark, SF).collect()
+    med = {r["event_id"]: r["med10"] for r in out}
+    ev = sorted(
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_id", "event_type", "unix_micros(ts) us", "value")
+        .collect(),
+        key=lambda r: (r["event_type"], r["us"], r["event_id"]),
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r)
+    checked = 0
+    for rows in by_type.values():
+        for i in range(0, len(rows), 97):
+            frame = [x["value"] for x in rows[max(0, i - 9) : i + 1]]
+            assert abs(med[rows[i]["event_id"]] - statistics.median(frame)) < 1e-12
+            checked += 1
+    assert checked >= 10

@@ -151,7 +151,11 @@ def _cc_oracle(rounds: int) -> str:
     )
 
 
-@register("graph_cc", _cc_oracle(_CC_ROUNDS))
+# cache_plans=False: connected_components executes EAGERLY at build
+# time (per-round localCheckpoint + convergence counts), so a cached
+# "plan" is really a materialized result — re-runs would time ~0 and
+# overstate steady-state throughput. Rebuild per call instead.
+@register("graph_cc", _cc_oracle(_CC_ROUNDS), cache_plans=False)
 def graph_cc(spark, sf_dir):
     """Connected components of a one-month slice of the interaction
     graph (the slice keeps the graph genuinely multi-component —
@@ -258,7 +262,8 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     )
 
 
-@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+# cache_plans=False for the same reason as graph_cc (eager peeling).
+@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS), cache_plans=False)
 def graph_kcore(spark, sf_dir):
     """3-core of the one-month interaction graph — iterative peeling
     (drop degree-<3 nodes, recount, repeat): the subgraph where every
