@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 from wsprnet_scraper_spark.plans import QUERIES
 
 SF = "/root/testdata/sf0.001"
