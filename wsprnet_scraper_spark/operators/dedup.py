@@ -235,10 +235,28 @@ def connected_components(
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # One materialization of the (possibly expensive) pair derivation:
+    # every round's message join re-executes `sym`'s lineage otherwise
+    # — the same iterative-DataFrame trap pagerank_quantized guards
+    # against with persist_edges (candidate pairs often sit on top of
+    # a shingle join far costlier than this CC pass itself).
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("doc")).distinct()
         .withColumn("label", F.col("doc"))
     )
+
+    def _label_sum(df) -> int:
+        # Convergence fingerprint: every node's label is non-increasing
+        # round over round (it is the min of a set containing its own
+        # label), so an UNCHANGED exact sum proves an elementwise fixed
+        # point — no join-back comparison needed. DECIMAL(38,0) keeps
+        # the sum exact at any node count / id magnitude.
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = None
     for _ in range(max_iter):
         msgs = sym.join(
             labels.withColumnRenamed("doc", "dst"), "dst"
@@ -253,23 +271,17 @@ def connected_components(
             )
             .select("doc", F.col("_ll").alias("label"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(msgs)
             .unionByName(jump)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc", F.col("label").alias("cluster"))
 
 
