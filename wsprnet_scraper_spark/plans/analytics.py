@@ -1388,3 +1388,61 @@ def agg_dow_hour_heatmap(spark, sf_dir):
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "evt_rfm_segments",
+    """
+WITH u AS (
+  SELECT user_id,
+         max(epoch_us(ts)) AS r_us,
+         count(*) AS f_n,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS m_cents
+  FROM events GROUP BY user_id
+),
+q AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY r_us, user_id) AS r_q,
+         ntile(5) OVER (ORDER BY f_n, user_id) AS f_q,
+         ntile(5) OVER (ORDER BY m_cents, user_id) AS m_q
+  FROM u
+)
+SELECT r_q || '-' || f_q || '-' || m_q AS segment,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM q GROUP BY 1
+""",
+)
+def evt_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles (bucket 5 = most recent / most active / highest spend),
+    125 possible segments counted. The fact table collapses to one
+    user-level row first (integer-cents monetary so the quintile
+    ordering is exact), then each dimension's ntile(5) runs through
+    the DISTRIBUTED global rank (operators/ranking.py: range
+    partition + local row_number + a cells-row offset summary) — the
+    audit-banned single-task ORDER BY window never touches the user
+    relation, which at 100 TB is itself billions of rows. Ordering
+    carries user_id as tiebreaker, so all three ranks (and the
+    oracle's plain ntile) are deterministic."""
+    from ..operators import ranking
+
+    ev = load_events(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("r_us"),
+        F.count(F.lit(1)).alias("f_n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("m_cents"),
+    )
+    for metric, q in [("r_us", "r_q"), ("f_n", "f_q"), ("m_cents", "m_q")]:
+        u = ranking.with_global_rank(
+            u, [metric, "user_id"], rank_col="_rn", total_col="_tot"
+        )
+        u = u.withColumn(
+            q, ranking.ntile_of(F.col("_rn"), F.col("_tot"), 5)
+        ).drop("_rn", "_tot")
+    return (
+        u.select(
+            F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
