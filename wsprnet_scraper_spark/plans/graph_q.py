@@ -116,6 +116,29 @@ edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
 """
 
 
+def _sliced_edges(spark, sf_dir):
+    """The one-month DIRECTED pair slice shared by graph_cc and
+    graph_kcore (and mirrored by _CC_SQL's e0): same orders⋈lineitem
+    derivation and *2 / *2+1 key encoding as _edges, restricted to
+    Jan-1995 orders so the graph stays genuinely multi-component.
+    Callers symmetrize as needed (connected_components does it
+    internally; kcore takes the symmetrized relation)."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01"))
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+
+
 def _cc_oracle(rounds: int) -> str:
     """Replay operators/dedup.connected_components round for round:
     each label generation is min(own label, neighbor labels,
@@ -168,25 +191,11 @@ def graph_cc(spark, sf_dir):
     the label relation is node-sized and every step shuffles on the
     node id — nothing is ever broadcast or collected, and the
     O(log diameter) round count bounds the number of shuffles."""
-    o = load(spark, sf_dir, "orders", parallel="never")
-    li = load(spark, sf_dir, "lineitem", parallel="never")
-    pairs = (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01"))
-            & (F.col("o_orderdate") < F.lit("1995-02-01"))
-        )
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
     from ..operators.dedup import connected_components
 
-    return connected_components(pairs, max_iter=_CC_ROUNDS).select(
-        F.col("doc").alias("nid"), "cluster"
-    )
+    return connected_components(
+        _sliced_edges(spark, sf_dir), max_iter=_CC_ROUNDS
+    ).select(F.col("doc").alias("nid"), "cluster")
 
 
 @register(
@@ -271,20 +280,7 @@ def graph_kcore(spark, sf_dir):
     Shares graph_cc's edge slice; see operators/graph.kcore for the
     per-round shuffle shape and the fixed-point early exit, and the
     oracle docstring for why every unrolled round is MATERIALIZED."""
-    o = load(spark, sf_dir, "orders", parallel="never")
-    li = load(spark, sf_dir, "lineitem", parallel="never")
-    e0 = (
-        o.filter(
-            (F.col("o_orderdate") >= F.lit("1995-01-01"))
-            & (F.col("o_orderdate") < F.lit("1995-02-01"))
-        )
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    e0 = _sliced_edges(spark, sf_dir)
     sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     from ..operators.graph import kcore
 

@@ -540,9 +540,15 @@ def join_bucketed_colocated(spark, sf_dir):
     broadcast hiding it at toy scale; test_bucketing.py asserts the
     no-exchange plan property. The oracle answers from the plain
     tables — the layout must not change a single row."""
+    import hashlib
     import re
 
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/").split("/")[-1])
+    # basename for readability + a full-path hash for identity: two
+    # different directories sharing a basename (…/a/sf0.01 vs
+    # …/b/sf0.01) must NOT share catalog tables — the registry's plan
+    # cache keys on the full sf_dir, so the tables must too.
+    base = re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/").split("/")[-1])
+    tag = f"{base}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     li_t, o_t = f"li_bkt_{tag}", f"o_bkt_{tag}"
     cat = spark.catalog
     if not cat.tableExists(li_t) or not cat.tableExists(o_t):
@@ -578,13 +584,15 @@ def join_bucketed_colocated(spark, sf_dir):
 WITH d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events
 ),
-first_day AS (SELECT min(day) AS fd FROM d)
+first_day AS (
+  SELECT min(day) AS fd FROM d WHERE event_type = 'purchase'
+)
 SELECT day,
        CAST(count(*) AS BIGINT) AS n,
        CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
          AS sum_value
 FROM d, first_day
-WHERE day <> fd OR event_type = 'purchase'
+WHERE fd IS NULL OR day <> fd OR event_type = 'purchase'
 GROUP BY day
 """,
 )
@@ -608,17 +616,28 @@ def snk_dynamic_partition_overwrite(spark, sf_dir):
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
-    first_day = ev.agg(F.min("day")).collect()[0][0]
-    (
-        ev.filter(
-            (F.col("day") == first_day)
-            & (F.col("event_type") == "purchase")
-        )
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(path)
+    # Restate the earliest day that HAS purchases: an empty corrected
+    # slice would make the dynamic overwrite a no-op (it touches no
+    # partitions) while a min(day)-based oracle would still drop that
+    # day's non-purchase rows — a divergence the day choice removes by
+    # construction. No purchases anywhere -> no restatement, and the
+    # oracle's fd IS NULL branch keeps every row to match.
+    first_day = (
+        ev.filter(F.col("event_type") == "purchase")
+        .agg(F.min("day"))
+        .collect()[0][0]
     )
+    if first_day is not None:
+        (
+            ev.filter(
+                (F.col("day") == first_day)
+                & (F.col("event_type") == "purchase")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(path)
+        )
     back = spark.read.parquet(path)
     return back.groupBy("day").agg(
         F.count(F.lit(1)).alias("n"),

@@ -2450,12 +2450,15 @@ WITH dims AS (
        unnest(generate_series(1, len(v))) AS t(i)
 ),
 cent AS (
-  SELECT label AS clabel, pos, SUM(xq) AS sum_q, COUNT(*) AS n
+  SELECT label AS clabel, pos,
+         CAST(SUM(xq) AS BIGINT) AS sum_q,
+         CAST(COUNT(*) AS BIGINT) AS n
   FROM dims GROUP BY 1, 2
 ),
 scored AS (
   SELECT d.vec_id, d.label AS true_label, c.clabel,
-         SUM((c.n * d.xq - c.sum_q) * (c.n * d.xq - c.sum_q)) AS num,
+         CAST(SUM((c.n * d.xq - c.sum_q) * (c.n * d.xq - c.sum_q))
+              AS BIGINT) AS num,
          MAX(c.n) AS n
   FROM dims d JOIN cent c ON c.pos = d.pos
   GROUP BY 1, 2, 3
@@ -2489,7 +2492,14 @@ def sim_centroid_classify(spark, sf_dir):
     label-count-sized centroid relation (labels ≪ corpus — the join
     input is dims-keyed, AQE broadcasts the centroid side), and the
     argmin is a grouped min over a struct, not a window. Nothing is
-    collected; the d²-free formulation means no norms table either."""
+    collected; the d²-free formulation means no norms table either.
+
+    Magnitude bound (both engines pinned to int64 by the explicit
+    BIGINT casts — DuckDB would otherwise drift into HUGEINT): with
+    quantized |xq| ≤ Q and n vectors per label, Σ_d (n·x − s)² ≤
+    d·(2nQ)², so 64 dims at Q≈4000 stays exact to n ≈ 2·10⁵ per
+    label. Past that, pre-divide the quantization scale or subsample
+    the centroid build — the dial, not a different operator."""
     e = load(spark, sf_dir, "embeddings", parallel="never")
     dims = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
