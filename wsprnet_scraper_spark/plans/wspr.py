@@ -617,6 +617,14 @@ def join_geo_radius(spark, sf_dir):
         grid_lat(F.col("ReporterGrid")).alias("rx_lat"),
         grid_lon(F.col("ReporterGrid")).alias("rx_lon"),
     )
+    # Lazy localCheckpoint: without it Catalyst fuses the Maidenhead
+    # decode tree into the 3×3-neighborhood join stage, replicating it
+    # past the whole-stage-codegen method limit — Spark then logs a
+    # CodeGenerator ERROR and runs the stage interpreted. Cutting the
+    # (tiny, filtered) point relation out of the fused stage keeps the
+    # join inside codegen; on a cluster this is the same "materialize
+    # decoded dimensions once" move a layout table would make.
+    rx = rx.localCheckpoint(eager=False)
     return geo_neighbor_join(
         rx, "sid", "rx_lat", "rx_lon", cell_deg=3.0, radius_km=300.0
     ).select(F.col("a_id").cast("long").alias("a_id"), F.col("b_id").cast("long").alias("b_id"), "dist_km")
