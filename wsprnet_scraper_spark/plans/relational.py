@@ -1292,3 +1292,82 @@ def agg_cntry_balance_q22(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("totacctbal_cents"),
         )
     )
+
+
+@register(
+    "win_pct_of_total",
+    """
+WITH t AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+g AS (
+  SELECT event_id, event_type, cents,
+         SUM(cents) OVER (PARTITION BY event_type) AS type_total
+  FROM t
+)
+SELECT event_id,
+       CAST(cents AS BIGINT) AS cents,
+       CAST(type_total AS BIGINT) AS type_total,
+       CAST(cents AS DOUBLE) / type_total AS pct_of_type
+FROM g
+""",
+)
+def win_pct_of_total(spark, sf_dir):
+    """Ratio-to-report: each event's share of its type's total — the
+    reporting idiom behind every '% of segment' column. The window is
+    an unordered PARTITION-only frame (one shuffle on event_type, no
+    ordering, no single-task risk) and the money math is integer
+    cents, so the group totals are exact and the single double
+    division is bit-identical in both engines."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("event_type")
+    total = F.sum("cents").over(w)
+    return t.select(
+        "event_id",
+        "cents",
+        total.cast("bigint").alias("type_total"),
+        (F.col("cents").cast("double") / total).alias("pct_of_type"),
+    )
+
+
+@register(
+    "sort_nulls_last",
+    """
+WITH t AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+              ELSE o_totalprice END AS sort_key
+  FROM orders
+)
+SELECT o_orderkey, sort_key
+FROM t
+ORDER BY sort_key ASC NULLS LAST, o_orderkey
+LIMIT 50
+""",
+)
+def sort_nulls_last(spark, sf_dir):
+    """NULL-ordering parity, pinned: Spark sorts NULLs FIRST on ASC
+    by default while DuckDB sorts them LAST — an ORDER BY that leaves
+    null placement implicit silently disagrees across engines, so the
+    engine's sort surface always states it (asc_nulls_last here). A
+    third of the keys are nulled to make the placement land inside
+    the LIMIT window if it were wrong; unique tiebreaker keeps the
+    cut deterministic. TakeOrderedAndProject does the global top-50
+    without a full sort."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    t = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority") == "3-MEDIUM", F.lit(None)
+        ).otherwise(F.col("o_totalprice")).alias("sort_key"),
+    )
+    return t.orderBy(
+        F.col("sort_key").asc_nulls_last(), "o_orderkey"
+    ).limit(50)
