@@ -583,3 +583,48 @@ def pipe_dataset_card(spark, sf_dir):
             "avg_chars"
         ),
     )
+
+
+@register(
+    "pipe_shard_manifest",
+    """
+WITH s AS (
+  SELECT doc_id, text,
+         CAST(strpos('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+              AS BIGINT) % 8 AS shard
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(CAST(strpos('0123456789abcdef',
+                            substr(md5(text), 1, 1)) - 1 AS BIGINT))
+            AS BIGINT) AS content_sig
+FROM s GROUP BY shard
+""",
+)
+def pipe_shard_manifest(spark, sf_dir):
+    """The dataset-release manifest: deterministic md5-bucket shard
+    assignment (shard = first md5 nibble of the id, mod 8 — stable
+    across engines, reruns, and cluster sizes, unlike repartition's
+    physical round-robin) plus per-shard row count, byte count, and
+    an order-independent content signature (sum of a per-doc content
+    hash) — what a consumer verifies before training on a published
+    shard set. One scan, one 8-row aggregate; at 100 TB the shard
+    column is also the partitionBy key for the actual write, so the
+    manifest and the layout derive from the same projection."""
+    d = load(spark, sf_dir, "documents", parallel="never")
+    nib = lambda c: (
+        F.conv(F.substring(F.md5(c), 1, 1), 16, 10).cast("bigint")
+    )
+    s = d.select(
+        "doc_id",
+        "text",
+        F.pmod(nib(F.col("doc_id").cast("string")), F.lit(8)).alias("shard"),
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+        F.sum(nib(F.col("text"))).cast("bigint").alias("content_sig"),
+    )
