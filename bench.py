@@ -74,6 +74,8 @@ HEADLINE = [
     "join_waiting_supp_q21", # Q21-shape <>-correlated semi + anti joins
     "agg_custdist_q13",    # Q13-shape outer join + stacked aggs
     "win_rolling_median",  # exact trailing-10-row percentile window
+    "evt_rfm_segments",    # three distributed-global-rank ntiles
+    "dedup_normalized",    # normalization-collapsed exact dedup
 ]
 
 
