@@ -1446,3 +1446,127 @@ def evt_rfm_segments(spark, sf_dir):
         .groupBy("segment")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "diag_quality_rules",
+    """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count(value) AS BIGINT) AS n_null_value,
+         CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_ids,
+         CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) AS n_neg,
+         CAST(count(*) FILTER (
+           WHERE event_type NOT IN
+             ('click', 'view', 'purchase', 'signup', 'error')
+         ) AS BIGINT) AS n_bad_type
+  FROM events
+)
+SELECT rule, observed, observed = 0 AS pass FROM (
+  SELECT 'value_not_null' AS rule, n_null_value AS observed FROM m
+  UNION ALL SELECT 'event_id_unique', n_dup_ids FROM m
+  UNION ALL SELECT 'value_non_negative', n_neg FROM m
+  UNION ALL SELECT 'event_type_in_domain', n_bad_type FROM m
+)
+""",
+)
+def diag_quality_rules(spark, sf_dir):
+    """The expectation-suite audit (the Deequ / Great Expectations
+    shape): completeness, uniqueness, range, and domain rules over
+    the fact table, each reported as (rule, violation count, pass).
+    All four rules evaluate in ONE aggregate pass — FILTER-clause
+    counters in a single hash aggregate, the distinct expanded by
+    Catalyst inside the same shuffle — then a 4-row pivot to rule
+    rows; at 100 TB the table is read once, and the audit's output
+    is constant-sized regardless of corpus."""
+    ev = load_events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    m = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null_value"),
+        (F.count(F.lit(1)) - F.count_distinct("event_id")).alias("n_dup_ids"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_neg"),
+        F.count(F.when(~F.col("event_type").isin(types), 1)).alias(
+            "n_bad_type"
+        ),
+    )
+    rules = [
+        ("value_not_null", "n_null_value"),
+        ("event_id_unique", "n_dup_ids"),
+        ("value_non_negative", "n_neg"),
+        ("event_type_in_domain", "n_bad_type"),
+    ]
+    out = None
+    for rule, col in rules:
+        r = m.select(
+            F.lit(rule).alias("rule"),
+            F.col(col).cast("bigint").alias("observed"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.select(
+        "rule", "observed", (F.col("observed") == 0).alias("pass")
+    )
+
+
+@register(
+    "diag_profile_columns",
+    """
+SELECT 'user_id' AS col,
+       CAST(count(user_id) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       CAST(min(user_id) AS DOUBLE) AS min_v,
+       CAST(max(user_id) AS DOUBLE) AS max_v
+FROM events
+UNION ALL
+SELECT 'value',
+       CAST(count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+FROM events
+UNION ALL
+SELECT 'event_type',
+       CAST(count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM events
+""",
+)
+def diag_profile_columns(spark, sf_dir):
+    """Column profiler — the optimizer-statistics / data-catalog
+    sweep (non-null count, distinct count, min/max per column). All
+    three columns profile in ONE aggregate pass over one scan (the
+    oracle restates it as a UNION of scans — the engine plan must
+    produce the same numbers from a single read); distincts expand
+    inside the same aggregate, numeric bounds cast to DOUBLE for a
+    uniform profile schema. The 100 TB swap is count_distinct →
+    approx/HLL (judged separately) once exactness stops being worth
+    a second shuffle."""
+    ev = load_events(spark, sf_dir)
+    m = ev.agg(
+        F.count("user_id").alias("u_n"),
+        F.count_distinct("user_id").alias("u_d"),
+        F.min("user_id").alias("u_min"),
+        F.max("user_id").alias("u_max"),
+        F.count("value").alias("v_n"),
+        F.count_distinct("value").alias("v_d"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+        F.count("event_type").alias("t_n"),
+        F.count_distinct("event_type").alias("t_d"),
+    )
+    rows = [
+        ("user_id", "u_n", "u_d", "u_min", "u_max"),
+        ("value", "v_n", "v_d", "v_min", "v_max"),
+        ("event_type", "t_n", "t_d", None, None),
+    ]
+    out = None
+    for col, n, d, lo, hi in rows:
+        r = m.select(
+            F.lit(col).alias("col"),
+            F.col(n).cast("bigint").alias("n_nonnull"),
+            F.col(d).cast("bigint").alias("n_distinct"),
+            (F.col(lo) if lo else F.lit(None)).cast("double").alias("min_v"),
+            (F.col(hi) if hi else F.lit(None)).cast("double").alias("max_v"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
