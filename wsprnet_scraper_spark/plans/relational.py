@@ -1371,3 +1371,60 @@ def sort_nulls_last(spark, sf_dir):
     return t.orderBy(
         F.col("sort_key").asc_nulls_last(), "o_orderkey"
     ).limit(50)
+
+
+@register(
+    "join_asof_tolerance",
+    """
+WITH base AS (
+  SELECT a.event_id,
+         max(CASE WHEN epoch_us(b.ts) >= epoch_us(a.ts) - 86400000000
+                  THEN epoch_us(b.ts) END) AS asof_us,
+         CAST(count(CASE WHEN epoch_us(b.ts) >= epoch_us(a.ts) - 86400000000
+                         THEN 1 END) > 0 AS BOOLEAN) AS matched
+  FROM events a
+  LEFT JOIN events b
+    ON b.user_id = a.user_id AND b.event_type = 'click'
+   AND (epoch_us(b.ts) < epoch_us(a.ts)
+        OR (epoch_us(b.ts) = epoch_us(a.ts) AND b.event_id < a.event_id))
+  WHERE a.event_type = 'purchase'
+  GROUP BY a.event_id
+)
+SELECT event_id, asof_us, matched FROM base
+""",
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH a staleness tolerance (pandas merge_asof's
+    `tolerance`): each purchase takes the latest prior click of the
+    same user only if it happened within the last 24 h — an older
+    click is noise, not context. Same single window pass as
+    join_asof (conditional IGNORE-NULLS last over the per-user
+    time-ordered stream — no range-join blowup, one user_id
+    shuffle); the tolerance is a post-window NULL-out, so the scale
+    shape is unchanged. `matched` makes the tolerance cut judged
+    explicitly, not just via NULLs."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_us"))
+    last_click = F.last(click_ts, ignorenulls=True).over(w)
+    tol = 86_400_000_000
+    return (
+        ev.withColumn("_lc", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.when(
+                F.col("_lc") >= F.col("ts_us") - tol, F.col("_lc")
+            ).alias("asof_us"),
+            (
+                F.col("_lc").isNotNull()
+                & (F.col("_lc") >= F.col("ts_us") - tol)
+            ).alias("matched"),
+        )
+    )
