@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..sources import load_events
@@ -603,4 +604,52 @@ def strm_rate_limited(spark, sf_dir):
     strm_rate_limited.last_progress_batches = len(q.recentProgress)
     return spark.table(name).select(
         F.unix_timestamp("w.start").alias("win_start_s"), "n"
+    )
+
+
+@register(
+    "strm_topk_window",
+    """
+WITH agg AS (
+  SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT)
+           AS win_start_s,
+         user_id,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT win_start_s, user_id, n,
+         row_number() OVER (
+           PARTITION BY win_start_s ORDER BY n DESC, user_id
+         ) AS rn
+  FROM agg
+)
+SELECT win_start_s, user_id, n, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+""",
+    cache_plans=True,  # pure batch window plan, no stream started at build
+)
+def strm_topk_window(spark, sf_dir):
+    """Windowed leaderboard: the top-3 most active users per hourly
+    tumbling window — the dashboard-refresh composite (streaming
+    windowed aggregation + per-window rank). In a live run the
+    windowed counts come from the UPDATE-mode aggregation and the
+    rank is foreachBatch post-processing over the window's bounded
+    rows (ranking inside the stream would need complete mode); as
+    batch semantics the composite is the windowed groupBy feeding a
+    win_start_s-partitioned row_number — the rank window's input is
+    already collapsed to (windows × users), and the (n DESC,
+    user_id) ordering makes the cut deterministic in both engines."""
+    ev = load_events(spark, sf_dir, parallel="never")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("w.start").alias("win_start_s"), "user_id", "n"
+        )
+    )
+    w = W.partitionBy("win_start_s").orderBy(F.col("n").desc(), "user_id")
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 3)
     )
