@@ -1390,9 +1390,13 @@ def agg_dow_hour_heatmap(spark, sf_dir):
     )
 
 
+# cache_plans=False: the per-rank localCheckpoints materialize on first
+# execution, so a cached plan would serve the frozen user relation and
+# time ~0 on re-runs (the graph_cc lesson); rebuild per call instead.
 @register(
     "evt_rfm_segments",
-    """
+    cache_plans=False,
+    oracle="""
 WITH u AS (
   SELECT user_id,
          max(epoch_us(ts)) AS r_us,
@@ -1432,13 +1436,20 @@ def evt_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("f_n"),
         F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("m_cents"),
     )
+    # Lineage cut per rank: with_global_rank branches its input twice
+    # (local row_number + cell-count summary) and the three ranks
+    # chain, so without the cuts the fact aggregation re-derives
+    # 2^ranks times (86 exchanges in the dumped plan; 14 with the
+    # cuts). The checkpoint materializes the USER-level relation —
+    # tiny relative to the fact table — once per rank.
+    u = u.localCheckpoint(eager=False)
     for metric, q in [("r_us", "r_q"), ("f_n", "f_q"), ("m_cents", "m_q")]:
         u = ranking.with_global_rank(
             u, [metric, "user_id"], rank_col="_rn", total_col="_tot"
         )
         u = u.withColumn(
             q, ranking.ntile_of(F.col("_rn"), F.col("_tot"), 5)
-        ).drop("_rn", "_tot")
+        ).drop("_rn", "_tot").localCheckpoint(eager=False)
     return (
         u.select(
             F.concat_ws("-", "r_q", "f_q", "m_q").alias("segment")
