@@ -1581,3 +1581,133 @@ def diag_profile_columns(spark, sf_dir):
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@register(
+    "join_scd2_point_in_time",
+    """
+WITH per_day AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         min(o_orderstatus) AS status
+  FROM orders GROUP BY 1, 2
+),
+scd AS (
+  SELECT o_custkey, d AS valid_from,
+         lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS valid_to,
+         status
+  FROM per_day
+),
+fact AS (
+  SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+)
+SELECT s.status AS status_at_order,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT f.o_custkey) AS BIGINT) AS n_customers
+FROM fact f
+JOIN scd s
+  ON s.o_custkey = f.o_custkey
+ AND s.valid_from <= f.d
+ AND (s.valid_to IS NULL OR f.d < s.valid_to)
+GROUP BY 1
+""",
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (temporal) join — the consumer of scd2_history's
+    intervals: each order joined to the dimension version VALID AT
+    its own date, the as-was reporting semantic every warehouse
+    restatement depends on (joining to is_current instead silently
+    rewrites history). Planned as a hash equi-join on the entity key
+    with the validity bounds as join-condition filters — one shuffle
+    on custkey; per-entity interval chains are bounded, so the range
+    check never blows up a bucket. Exactly one interval matches each
+    order by construction (intervals tile the timeline from the
+    entity's first event), which the oracle's identical BETWEEN join
+    certifies."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    per_day = (
+        o.select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("d"),
+            "o_orderstatus",
+        )
+        .groupBy("o_custkey", "d")
+        .agg(F.min("o_orderstatus").alias("status"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("d")
+    scd = per_day.select(
+        F.col("o_custkey").alias("s_custkey"),
+        F.col("d").alias("valid_from"),
+        F.lead("d").over(w).alias("valid_to"),
+        "status",
+    )
+    fact = o.select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    return (
+        fact.join(
+            scd,
+            (F.col("s_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("d"))
+            & (F.col("valid_to").isNull() | (F.col("d") < F.col("valid_to"))),
+        )
+        .groupBy(F.col("status").alias("status_at_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "win_anomaly_robust",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us, value AS v
+  FROM events
+),
+r AS (
+  SELECT event_id, event_type, us, v,
+         median(v) OVER w AS med
+  FROM t WINDOW w AS (
+    PARTITION BY event_type ORDER BY us, event_id
+    ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING
+  )
+)
+SELECT event_id, med AS trailing_med,
+       v > 2.0 * med AS spike
+FROM r WHERE med IS NOT NULL
+""",
+)
+def win_anomaly_robust(spark, sf_dir):
+    """Robust streaming-style spike detection: each point compared to
+    the median of the 19 points BEFORE it (frame ends 1 PRECEDING —
+    the point never smooths itself, the causality every online
+    detector needs). Median, not mean, so a previous spike cannot
+    drag the baseline up and mask the next one. Bounded trailing
+    frame per event type = linear work, one exchange; the 2× cut on
+    the engine-identical interpolated median makes `spike` a
+    deterministic boolean in both engines. The first 1-19 points per
+    type have no full baseline and are excluded (med IS NULL only
+    for the very first row)."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.col("value").alias("v"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    med = F.percentile(F.col("v"), F.lit(0.5)).over(w)
+    return (
+        t.withColumn("trailing_med", med)
+        .filter(F.col("trailing_med").isNotNull())
+        .select(
+            "event_id",
+            "trailing_med",
+            (F.col("v") > 2.0 * F.col("trailing_med")).alias("spike"),
+        )
+    )
