@@ -31,8 +31,19 @@ NAMES = sorted(
 )
 
 
+def _content_fingerprint(df):
+    """Order-insensitive content checksum: (row_count, sorted tuple of
+    per-row reprs). Catches a second run that returns same-cardinality
+    but different CONTENT (stale cached table, different tmp-dir
+    state) — a pure count() comparison would not (ADVICE r3). Floats
+    repr round-trips exactly, so bit-level drift is visible too."""
+    rows = df.collect()
+    return len(rows), sorted(repr(tuple(r)) for r in rows)
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_second_invocation_matches_first(spark, name):
-    a = QUERIES[name](spark, SF_SMOKE).count()
-    b = QUERIES[name](spark, SF_SMOKE).count()
-    assert a == b, f"{name}: first run {a} rows, second {b}"
+    n_a, c_a = _content_fingerprint(QUERIES[name](spark, SF_SMOKE))
+    n_b, c_b = _content_fingerprint(QUERIES[name](spark, SF_SMOKE))
+    assert n_a == n_b, f"{name}: first run {n_a} rows, second {n_b}"
+    assert c_a == c_b, f"{name}: same cardinality, different content"

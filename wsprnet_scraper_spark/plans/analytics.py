@@ -1667,7 +1667,8 @@ WITH t AS (
 ),
 r AS (
   SELECT event_id, event_type, us, v,
-         median(v) OVER w AS med
+         median(v) OVER w AS med,
+         count(v) OVER w AS fill
   FROM t WINDOW w AS (
     PARTITION BY event_type ORDER BY us, event_id
     ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING
@@ -1675,7 +1676,7 @@ r AS (
 )
 SELECT event_id, med AS trailing_med,
        v > 2.0 * med AS spike
-FROM r WHERE med IS NOT NULL
+FROM r WHERE fill >= 19
 """,
 )
 def win_anomaly_robust(spark, sf_dir):
@@ -1686,9 +1687,11 @@ def win_anomaly_robust(spark, sf_dir):
     drag the baseline up and mask the next one. Bounded trailing
     frame per event type = linear work, one exchange; the 2× cut on
     the engine-identical interpolated median makes `spike` a
-    deterministic boolean in both engines. The first 1-19 points per
-    type have no full baseline and are excluded (med IS NULL only
-    for the very first row)."""
+    deterministic boolean in both engines. Points are judged only
+    once their baseline frame is FULL (count over the same frame
+    >= 19, enforced identically in engine and oracle): rows 1-19 of
+    each event type would otherwise be compared to a partial median
+    as small as one point (ADVICE r3)."""
     ev = load_events(spark, sf_dir)
     t = ev.select(
         "event_id",
@@ -1702,9 +1705,11 @@ def win_anomaly_robust(spark, sf_dir):
         .rowsBetween(-19, -1)
     )
     med = F.percentile(F.col("v"), F.lit(0.5)).over(w)
+    fill = F.count(F.col("v")).over(w)
     return (
         t.withColumn("trailing_med", med)
-        .filter(F.col("trailing_med").isNotNull())
+        .withColumn("fill", fill)
+        .filter(F.col("fill") >= 19)
         .select(
             "event_id",
             "trailing_med",

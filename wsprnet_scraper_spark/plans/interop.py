@@ -580,6 +580,11 @@ def join_bucketed_colocated(spark, sf_dir):
 
 @register(
     "snk_dynamic_partition_overwrite",
+    # cache_plans=False: the builder executes its writes EAGERLY (base
+    # write + dynamic-overwrite restatement into a fresh tmp dir), so a
+    # cached DataFrame would serve the first run's materialized output
+    # and never re-run the restatement — the same eager-builder-caching
+    # trap graph_cc opts out of (ADVICE r3).
     """
 WITH d AS (
   SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value FROM events
@@ -595,6 +600,7 @@ FROM d, first_day
 WHERE fd IS NULL OR day <> fd OR event_type = 'purchase'
 GROUP BY day
 """,
+    cache_plans=False,
 )
 def snk_dynamic_partition_overwrite(spark, sf_dir):
     """Dynamic partition overwrite — the nightly-restatement idiom: a

@@ -1310,7 +1310,7 @@ g AS (
 SELECT event_id,
        CAST(cents AS BIGINT) AS cents,
        CAST(type_total AS BIGINT) AS type_total,
-       CAST(cents AS DOUBLE) / type_total AS pct_of_type
+       CAST(cents AS DOUBLE) / nullif(type_total, 0) AS pct_of_type
 FROM g
 """,
 )
@@ -1320,7 +1320,10 @@ def win_pct_of_total(spark, sf_dir):
     an unordered PARTITION-only frame (one shuffle on event_type, no
     ordering, no single-task risk) and the money math is integer
     cents, so the group totals are exact and the single double
-    division is bit-identical in both engines."""
+    division is bit-identical in both engines. The divisor is
+    nullif-guarded in BOTH engines: a type whose integer-cents total
+    is exactly 0 would otherwise yield NULL here (non-ANSI Spark)
+    but inf/nan in DuckDB's IEEE division (ADVICE r3)."""
     ev = load_events(spark, sf_dir)
     t = ev.select(
         "event_id",
@@ -1333,7 +1336,10 @@ def win_pct_of_total(spark, sf_dir):
         "event_id",
         "cents",
         total.cast("bigint").alias("type_total"),
-        (F.col("cents").cast("double") / total).alias("pct_of_type"),
+        (
+            F.col("cents").cast("double")
+            / F.nullif(total, F.lit(0).cast("bigint"))
+        ).alias("pct_of_type"),
     )
 
 
