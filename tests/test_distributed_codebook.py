@@ -1,0 +1,108 @@
+"""The distributed-codebook contract (round-4 verdict item #1).
+
+The k-scaling ANN/SemDeDup paths must never materialize a rank-k
+structure on the driver: `train_kmeans_df` keeps the codebook a
+DataFrame end to end, `assign_cells_df` serves it through a
+TorrentBroadcast hash, and `train_twolevel_df` bounds every codebook
+relation at max(k_coarse, k_fine) behind an equi join. These tests
+make the property un-shippable to break:
+
+- the judged builders construct AND execute with `DataFrame.collect`
+  banned (monkeypatched to raise) — the only driver-side scalars
+  allowed are `count()`-based k rules;
+- the DataFrame trainer is bit-identical to the collected trainer
+  (same folds, same tie rules, same empty-cell carry);
+- serving plans contain no CartesianProduct (every non-broadcast
+  join is equi-keyed).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from tests.conftest import SF_SMOKE
+from wsprnet_scraper_spark.operators import similarity
+from wsprnet_scraper_spark.plans import QUERIES
+
+COLLECT_FREE = [
+    "dedup_semantic",
+    "dedup_semantic_scaled",
+    "dedup_semantic_2level",
+    "sim_ivf_sharded",
+]
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", COLLECT_FREE)
+def test_builds_and_runs_with_collect_banned(spark, name, monkeypatch):
+    """Nothing codebook-sized (or otherwise) crosses the Python
+    driver boundary: build and execute the full query with collect
+    raising. count()-based k rules and JVM-side localCheckpoint
+    actions are allowed — they move no row data through py4j."""
+    similarity.clear_codebooks()
+
+    def _banned(self, *a, **kw):  # pragma: no cover - the assert IS the test
+        raise AssertionError(f"{name}: DataFrame.collect called during build/run")
+
+    monkeypatch.setattr(DataFrame, "collect", _banned)
+    df = QUERIES[name](spark, SF_SMOKE)
+    assert df.count() > 0
+    similarity.clear_codebooks()  # don't leak banned-build plans to other tests
+
+
+def test_kmeans_df_bit_identical_to_collected(spark):
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    for k in (8, 16):
+        old = similarity.train_kmeans_codebook(emb, k, 2)
+        new = {
+            int(r["cid"]): ([float(x) for x in r["cv"]], float(r["cn2"]))
+            for r in similarity.train_kmeans_df(emb, k, 2).collect()
+        }
+        assert len(new) == k
+        for cid, cv, cn2 in old:
+            assert new[cid] == (cv, cn2), f"k={k} cid={cid} centroid drift"
+
+
+def test_join_assign_matches_expr_assign(spark):
+    """assign="join" is the scale path AND the bit-parity path: same
+    cells, same dup_of/n_near as the inlined-expression assignment."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    expr = sorted(
+        map(tuple, similarity.semantic_dedup(emb, 0.2, 8, 2, assign="expr").collect())
+    )
+    join = sorted(
+        map(tuple, similarity.semantic_dedup(emb, 0.2, 8, 2, assign="join").collect())
+    )
+    assert expr == join
+
+
+def test_sharded_serving_plan_shapes(spark):
+    """The candidate join is an equi hash join on the cell id; no
+    non-broadcast cartesian product anywhere in the serving plans."""
+    for name in COLLECT_FREE:
+        plan = _plan(QUERIES[name](spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+    plan = _plan(QUERIES["sim_ivf_sharded"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_twolevel_labels_and_bounds(spark):
+    """Composite cells are well-formed and each fine codebook is
+    bounded by k_fine (the no-codebook-exceeds-10^4 design rule)."""
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    coarse, fine = similarity.train_twolevel_df(emb, k_coarse=4, k_fine=6, iters=2)
+    assert coarse.count() == 4
+    sizes = {
+        (r["ccell"]): r["n"]
+        for r in fine.groupBy("ccell").count().withColumnRenamed("count", "n").collect()
+    }
+    assert all(n <= 6 for n in sizes.values()), sizes
+    res = similarity.semantic_dedup_twolevel(emb, 0.2, 4, 6, 2)
+    rows = res.collect()
+    assert len(rows) == emb.count()
+    assert all(r["ccell"] is not None and r["fcell"] is not None for r in rows)
+    assert all(r["fcell"] >= -1 for r in rows)
