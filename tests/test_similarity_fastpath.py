@@ -72,9 +72,10 @@ def test_assign_cells_pandas_matches_expression_path(spark):
 def test_dedup_semantic_scaled_runs_distributed_join_with_scaled_k(spark):
     # the judged scale entry must actually exercise the scale
     # configuration: a k > 8 trained codebook (k = max(16, n//256))
-    # AND the DataFrame-resident join assignment (round 4) — the plan
-    # must show the codebook arriving via broadcast join + max_by
-    # aggregation, NOT an inlined O(k) expression tree and NOT a
+    # AND the DataFrame-resident assignment (round 4) — the plan must
+    # show the codebook arriving as a collapsed one-row book via
+    # broadcast (collect_list aggregate + broadcast join feeding the
+    # argmax fold), NOT an inlined O(k) expression tree and NOT a
     # MapInPandas closure (the GEMM kernel is the alternate path,
     # covered by test_assign_cells_pandas_matches_expression_path)
     from wsprnet_scraper_spark.plans import QUERIES
@@ -82,7 +83,7 @@ def test_dedup_semantic_scaled_runs_distributed_join_with_scaled_k(spark):
     df = QUERIES["dedup_semantic_scaled"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan, plan
-    assert "max_by" in plan, plan
+    assert "collect_list" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     rows = {r.chk: r.v for r in df.collect()}
     assert rows == {

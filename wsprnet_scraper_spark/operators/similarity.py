@@ -418,6 +418,52 @@ def assign_cells_pandas(
     )
 
 
+def _argmax_fold(book, vec_col, n2_col):
+    """Nearest-centroid id as ONE higher-order fold over a codebook
+    ARRAY column `book` (elements struct<cid, cv, cn2>, sorted by
+    cid): scan in ascending-cid order keeping a strict improvement,
+    so ties go to the LOWEST cid — the rule every assignment path
+    uses. The cosine inside is the same fixed-order left fold as
+    `_argmax_cell`/the SQL oracle chain, so results are bit-parity
+    safe; and because the codebook is DATA (an array value), the
+    expression is O(1) codegen terms regardless of k — the dynamic
+    counterpart of the inlined-literal expression tree."""
+
+    def sim(c):
+        return _dot(vec_col, c["cv"]) / (F.sqrt(n2_col) * F.sqrt(c["cn2"]))
+
+    init = F.struct(
+        F.lit(float("-inf")).cast("double").alias("s"),
+        F.lit(None).cast("long").alias("negc"),
+    )
+    best = F.aggregate(
+        book,
+        init,
+        lambda acc, c: F.when(
+            sim(c) > acc["s"],
+            F.struct(
+                sim(c).alias("s"), (-c["cid"]).cast("long").alias("negc")
+            ),
+        ).otherwise(acc),
+    )
+    return (-best["negc"]).cast("long")
+
+
+def _codebook_row(cents: DataFrame, id_col: str = "cid") -> DataFrame:
+    """Collapse a codebook relation into ONE row holding the whole
+    book as a cid-sorted array — k rows shuffle into a single
+    broadcastable value, entirely JVM-side (never the driver)."""
+    return cents.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("cid"), F.col("cv"), F.col("cn2")
+                )
+            )
+        ).alias("book")
+    )
+
+
 def assign_cells_df(
     df: DataFrame,
     cents: DataFrame,
@@ -425,43 +471,32 @@ def assign_cells_df(
     n2_col: str = "n2",
     id_col: str = "vec_id",
     carry: tuple[str, ...] = (),
-    broadcast_cents: bool = True,
 ) -> DataFrame:
     """Nearest-centroid assignment against a DataFrame-RESIDENT
     codebook (cid, cv, cn2) — no list on the driver, no closure
     capture, no O(k) codegen terms: the codebook stays a relation
-    end to end (round-3 verdict item #1).
+    end to end (round-3 verdict item #1), collapsed JVM-side into a
+    one-row array (`_codebook_row`), TorrentBroadcast to every task,
+    and scanned per row by `_argmax_fold`.
 
-    Shape: df × cents (cents broadcast via the JVM's
-    TorrentBroadcast when `broadcast_cents`; pass False when k is
-    too large to broadcast and an upstream equi key bounds the join
-    — see `train_twolevel_df`), cosine per pair as the SAME
-    fixed-order left fold as `_argmax_cell`/the SQL oracle chain,
-    then argmax per row via `max_by` over struct (cosine, -cid) —
-    highest cosine, ties to the LOWEST cid, the rule every other
-    assignment path uses. `max_by`/`first` are partial-aggregatable,
-    so map-side combine collapses the k candidate rows per vector
-    before the single n-row shuffle; `carry` columns (constant per
-    id) ride along via `first`.
+    ZERO SHUFFLE over `df`: the corpus side is a pure projection
+    (broadcast 1-row join + fold expression) — the same plan property
+    as the inlined-literal `_argmax_cell` path, restored after an
+    interim crossJoin+max_by design whose per-vector aggregation
+    shuffled the corpus three times across semantic_dedup's
+    self-joins. `carry` columns pass straight through (no
+    aggregation, no first()).
+
+    The one-row book bounds this strategy at k×dim ≲ a few 10^7
+    values (~hundreds of MB in one broadcast row); beyond that use
+    `train_twolevel_df`, whose per-coarse-cell books are each bounded
+    by k_fine and reached by an equi join on the coarse cell.
 
     Output: (id_col, cell, *carry).
     """
-    c = F.broadcast(cents) if broadcast_cents else cents
-    sim = _dot(F.col(vec_col), F.col("cv")) / (
-        F.sqrt(F.col(n2_col)) * F.sqrt(F.col("cn2"))
-    )
-    ranked = df.crossJoin(c).select(
-        id_col,
-        *carry,
-        "cid",
-        F.struct(
-            sim.alias("s"), (-F.col("cid")).cast("long").alias("negc")
-        ).alias("rank"),
-    )
-    return ranked.groupBy(id_col).agg(
-        F.max_by("cid", "rank").cast("long").alias("cell"),
-        *[F.first(col).alias(col) for col in carry],
-    )
+    out = df.crossJoin(F.broadcast(_codebook_row(cents)))
+    cell = _argmax_fold(F.col("book"), F.col(vec_col), F.col(n2_col))
+    return out.select(id_col, cell.alias("cell"), *carry)
 
 
 def train_kmeans_df(
@@ -600,12 +635,51 @@ def semantic_dedup(
     since round 4.
     """
     if assign == "join":
+        # Fully distributed configuration, and the best plan shape of
+        # the three: zero-shuffle assignment (one-row codebook fold),
+        # then ONE groupBy(cell) shuffle, then pair generation and
+        # the dup_of/n_near aggregation INSIDE each cell row via
+        # higher-order expressions — no self-join, every cosine
+        # computed exactly once, the corpus scanned exactly once.
+        # The collect_list row per cell is bounded because the
+        # num_centroids ∝ corpus rule keeps cells ~constant-sized
+        # (that rule is what makes this operator linear at all); the
+        # cosine is the same fixed-order fold, and dup_of/n_near are
+        # order-independent (min/size), so the oracle contract is
+        # unchanged.
         cents_df = train_kmeans_df(emb, num_centroids, iters, cache_key)
         pre = emb.select(
             "vec_id", _as_double(F.col("embedding")).alias("v")
         ).withColumn("n2", _norm2(F.col("v")))
-        base = assign_cells_df(pre, cents_df, carry=("v", "n2")).select(
-            "vec_id", "v", "n2", "cell"
+        assigned = assign_cells_df(pre, cents_df, carry=("v", "n2"))
+        members = assigned.groupBy("cell").agg(
+            F.collect_list(F.struct("vec_id", "v", "n2")).alias("ms")
+        )
+
+        def cos(a, b):
+            return _dot(a["v"], b["v"]) / (F.sqrt(a["n2"]) * F.sqrt(b["n2"]))
+
+        per = F.transform(
+            F.col("ms"),
+            lambda a: F.struct(
+                a["vec_id"].alias("vec_id"),
+                F.transform(
+                    F.filter(
+                        F.col("ms"),
+                        lambda b: (b["vec_id"] < a["vec_id"])
+                        & (cos(a, b) >= F.lit(threshold)),
+                    ),
+                    lambda b: b["vec_id"],
+                ).alias("nears"),
+            ),
+        )
+        return members.select(
+            "cell", F.explode(per).alias("r")
+        ).select(
+            F.col("r.vec_id").alias("vec_id"),
+            "cell",
+            F.array_min(F.col("r.nears")).alias("dup_of"),
+            F.size(F.col("r.nears")).cast("long").alias("n_near"),
         )
     elif assign == "pandas":
         cents = train_kmeans_codebook(emb, num_centroids, iters, cache_key)
@@ -977,6 +1051,20 @@ def pq_topk(
     )
 
 
+def _fine_books(cents_f: DataFrame) -> DataFrame:
+    """(ccell, book): each coarse cell's fine codebook collapsed into
+    one fid-sorted array row — bounded by k_fine entries per row, so
+    no single book ever exceeds the fine-codebook cap no matter how
+    large k_coarse × k_fine grows."""
+    return cents_f.groupBy("ccell").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("fid").alias("cid"), F.col("cv"), F.col("cn2"))
+            )
+        ).alias("book")
+    )
+
+
 def train_twolevel_df(
     emb: DataFrame,
     k_coarse: int = 4,
@@ -1062,28 +1150,20 @@ def train_twolevel_df(
     )
 
     def _fine_assign(vectors: DataFrame, cents_f: DataFrame) -> DataFrame:
-        """(vec_id, ccell, fcell, vq): argmax over the ccell-local fine
-        codebook — equi join on ccell, so the fine relation shuffles by
-        coarse cell instead of broadcasting k_coarse×k_fine rows."""
-        sim = _dot(F.col("vq"), F.col("cv")) / (
-            F.sqrt(F.col("qn2")) * F.sqrt(F.col("cn2"))
-        )
-        j = vectors.join(cents_f, "ccell", "left").select(
-            "vec_id",
-            "ccell",
-            "vq",
-            "fid",
-            F.struct(
-                sim.alias("s"), (-F.col("fid")).cast("long").alias("negf")
-            ).alias("rank"),
-        )
-        return j.groupBy("vec_id").agg(
-            F.coalesce(F.max_by("fid", "rank"), F.lit(-1))
-            .cast("long")
-            .alias("fcell"),
-            F.first("ccell").alias("ccell"),
-            F.first("vq").alias("vq"),
-        )
+        """(vec_id, ccell, fcell, vq): argmax over the ccell-local
+        fine codebook. The fine relation collapses into one book row
+        PER COARSE CELL (each bounded by k_fine entries) and reaches
+        the vectors by an EQUI join on ccell — no per-vector shuffle,
+        no relation larger than k_coarse rows ever moves, and Spark
+        picks broadcast vs shuffle-hash for the book join from its
+        actual size."""
+        books = _fine_books(cents_f)
+        j = vectors.join(books, "ccell", "left")
+        fcell = F.coalesce(
+            _argmax_fold(F.col("book"), F.col("vq"), F.col("qn2")),
+            F.lit(-1),
+        ).cast("long")
+        return j.select("vec_id", "ccell", "vq", fcell.alias("fcell"))
 
     for _ in range(iters):
         assigned = _fine_assign(routed, fine)
@@ -1152,26 +1232,16 @@ def semantic_dedup_twolevel(
     routed = assign_cells_df(pre, coarse, carry=("v", "n2")).select(
         "vec_id", F.col("cell").alias("ccell"), "v", "n2"
     )
-    sim = _dot(F.col("v"), F.col("cv")) / (
-        F.sqrt(F.col("n2")) * F.sqrt(F.col("cn2"))
-    )
-    j = routed.join(fine, "ccell", "left").select(
+    base = routed.join(_fine_books(fine), "ccell", "left").select(
         "vec_id",
         "ccell",
-        "v",
-        "n2",
-        "fid",
-        F.struct(
-            sim.alias("s"), (-F.col("fid")).cast("long").alias("negf")
-        ).alias("rank"),
-    )
-    base = j.groupBy("vec_id").agg(
-        F.coalesce(F.max_by("fid", "rank"), F.lit(-1))
+        F.coalesce(
+            _argmax_fold(F.col("book"), F.col("v"), F.col("n2")), F.lit(-1)
+        )
         .cast("long")
         .alias("fcell"),
-        F.first("ccell").alias("ccell"),
-        F.first("v").alias("v"),
-        F.first("n2").alias("n2"),
+        "v",
+        "n2",
     )
     a, b = base.alias("a"), base.alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (

@@ -1451,35 +1451,41 @@ def dedup_semantic_scaled(spark, sf_dir):
     )
 
     zero = F.lit(0).cast("long")
-    c_rows = (
-        res.agg(F.count(F.lit(1)).alias("nr"))
+    # ONE aggregation pass over res for the three res-based checks
+    # (rows_delta / bad_dupof / null_cell), unpivoted via stack — the
+    # verification query itself re-references the dedup result twice
+    # total (here + the flagged pairs), not four times (r4 plan-cost
+    # fix: the old four-union shape re-ran the dedup per check).
+    c_res = (
+        res.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dup_of").isNotNull()
+                        & (F.col("dup_of") >= F.col("vec_id")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("bd"),
+            F.coalesce(
+                F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("nc"),
+        )
         .crossJoin(emb.agg(F.count(F.lit(1)).alias("ne")))
         .select(
-            F.lit("rows_delta").alias("chk"),
-            (F.col("nr") - F.col("ne")).cast("long").alias("v"),
+            F.expr(
+                "stack(3, 'rows_delta', CAST(nr - ne AS BIGINT),"
+                " 'bad_dupof', bd, 'null_cell', nc) AS (chk, v)"
+            )
         )
     )
-    c_dupof = res.agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("dup_of").isNotNull()
-                    & (F.col("dup_of") >= F.col("vec_id")),
-                    1,
-                ).otherwise(0)
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("v")
-    ).select(F.lit("bad_dupof").alias("chk"), "v")
-    c_cell = res.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0)), F.lit(0)
-        )
-        .cast("long")
-        .alias("v")
-    ).select(F.lit("null_cell").alias("chk"), "v")
     c_cos = pair_cos.agg(
         F.coalesce(
             F.sum(F.when(F.col("cosine") < thr, 1).otherwise(0)), zero
@@ -1488,7 +1494,7 @@ def dedup_semantic_scaled(spark, sf_dir):
         .alias("v")
     ).select(F.lit("bad_pair_cos").alias("chk"), "v")
 
-    return c_dupof.union(c_cos).union(c_cell).union(c_rows)
+    return c_res.union(c_cos)
 
 
 @register(
@@ -1569,43 +1575,45 @@ def dedup_semantic_2level(spark, sf_dir):
     )
 
     zero = F.lit(0).cast("long")
-    c_rows = (
-        res.agg(F.count(F.lit(1)).alias("nr"))
+    # single aggregation pass for the res-based checks (see
+    # dedup_semantic_scaled): rows_delta / bad_dupof / null_cell
+    c_res = (
+        res.agg(
+            F.count(F.lit(1)).alias("nr"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("dup_of").isNotNull()
+                        & (F.col("dup_of") >= F.col("vec_id")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("bd"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ccell").isNull()
+                        | F.col("fcell").isNull()
+                        | (F.col("fcell") < -1),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("nc"),
+        )
         .crossJoin(emb.agg(F.count(F.lit(1)).alias("ne")))
         .select(
-            F.lit("rows_delta").alias("chk"),
-            (F.col("nr") - F.col("ne")).cast("long").alias("v"),
+            F.expr(
+                "stack(3, 'rows_delta', CAST(nr - ne AS BIGINT),"
+                " 'bad_dupof', bd, 'null_cell', nc) AS (chk, v)"
+            )
         )
     )
-    c_dupof = res.agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("dup_of").isNotNull()
-                    & (F.col("dup_of") >= F.col("vec_id")),
-                    1,
-                ).otherwise(0)
-            ),
-            zero,
-        )
-        .cast("long")
-        .alias("v")
-    ).select(F.lit("bad_dupof").alias("chk"), "v")
-    c_cell = res.agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("ccell").isNull()
-                    | F.col("fcell").isNull()
-                    | (F.col("fcell") < -1),
-                    1,
-                ).otherwise(0)
-            ),
-            zero,
-        )
-        .cast("long")
-        .alias("v")
-    ).select(F.lit("null_cell").alias("chk"), "v")
     c_cos = pair_cos.agg(
         F.coalesce(
             F.sum(F.when(F.col("cosine") < thr, 1).otherwise(0)), zero
@@ -1614,7 +1622,7 @@ def dedup_semantic_2level(spark, sf_dir):
         .alias("v")
     ).select(F.lit("bad_pair_cos").alias("chk"), "v")
 
-    return c_dupof.union(c_cos).union(c_cell).union(c_rows)
+    return c_res.union(c_cos)
 
 
 @register(
