@@ -126,6 +126,7 @@ def start_ingest(
     available_now: bool = True,
     processing_time: str = "30 seconds",
     mirror_fn=None,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the ingest query: landing stream -> enrich -> parquet sink.
 
@@ -159,7 +160,7 @@ def start_ingest(
     # StreamingQueryProgress.observedMetrics — the ops dashboard feed
     # (rows landed, spot-id watermark span) without a second pass or a
     # count() job against the batch
-    stream = read_spot_stream(spark, landing_dir).observe(
+    stream = read_spot_stream(spark, landing_dir, max_files_per_trigger).observe(
         "ingest",
         F.count(F.lit(1)).alias("rows"),
         F.min("Spotnum").alias("min_spotnum"),
