@@ -172,6 +172,14 @@ def main() -> None:
         "scaling": scaling,
     }
     print(json.dumps(out))
+    # The driver records only the tail of stdout (BENCH_r3's artifact
+    # was front-truncated — VERDICT r3 item #7), so the full result
+    # also lands in a repo file committed alongside PROGRESS.
+    artifact = Path(__file__).resolve().parent / "tools" / "bench_results_latest.json"
+    try:
+        artifact.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout is still the contract
 
 
 if __name__ == "__main__":

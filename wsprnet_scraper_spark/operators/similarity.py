@@ -1130,9 +1130,19 @@ def train_twolevel_df(
     base = emb.select("vec_id", vq.alias("vq")).withColumn(
         "qn2", _norm2(F.col("vq"))
     )
-    routed = assign_cells_df(
-        base, coarse, vec_col="vq", n2_col="qn2", carry=("vq", "qn2")
-    ).select("vec_id", F.col("cell").alias("ccell"), "vq", "qn2")
+    # Coarse routing feeds the pool init + every fine iteration; all
+    # of those execute eagerly inside this function (checkpoints), so
+    # persist it for the duration of training instead of re-running
+    # the coarse fold per iteration — the "materialize the routing
+    # once" step every real two-level index build does. Unpersisted
+    # before returning: serving plans route themselves.
+    routed = (
+        assign_cells_df(
+            base, coarse, vec_col="vq", n2_col="qn2", carry=("vq", "qn2")
+        )
+        .select("vec_id", F.col("cell").alias("ccell"), "vq", "qn2")
+        .persist()
+    )
 
     pool_n = k_coarse * k_fine * init_pool
     w = Window.partitionBy("ccell").orderBy("vec_id")
@@ -1196,6 +1206,7 @@ def train_twolevel_df(
             .localCheckpoint(eager=True)
         )
 
+    routed.unpersist()
     out = (coarse, fine)
     if ck:
         _CODEBOOKS[ck] = out
