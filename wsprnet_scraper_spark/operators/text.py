@@ -223,3 +223,118 @@ def vocab_coverage(
             ),
         )
     )
+
+
+def importance_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+    target_value: str,
+    buckets: int = 256,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection via hashed n-gram importance weights
+    (Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): fit unigram+bigram bucket
+    distributions for the TARGET domain vs the rest of the corpus,
+    score every document by how target-like its features are, and
+    select the top-k.
+
+    Log-free rational variant (the engine's cross-engine discipline —
+    see bigram_lm_score): DSIR's per-bucket log-likelihood ratio
+    log(p_t(b)/p_r(b)) is replaced by the quantized RATIO
+    q_b = floor(1e9 * (ct_b+1)(R+B) / ((cr_b+1)(T+B))) — add-one
+    smoothing, exact long products (headroom: counts×(total+B) stays
+    far under 2^53 so the ::double conversions are exact), ONE IEEE
+    division and one multiply in the same order in both engines, so
+    q_b is bit-identical; the per-doc score Σ c_b·q_b is then exact
+    integer arithmetic in any order. Ranking by Σ c·q is monotone
+    per-bucket in the same direction as DSIR's Σ c·log r — a
+    documented estimator deviation, not an accident.
+
+    Scale shape — the reason DSIR works at corpus scale and the shape
+    kept here: the MODEL is bucket-sized (B rows) no matter how big
+    the corpus is. Feature explode is token volume but collapses
+    map-side to ≤B rows per partition for the domain counts; scoring
+    is one groupBy(doc, b) (map-side combined), a broadcast join
+    against the B-row model, one groupBy(doc); the final top-k is
+    TakeOrderedAndProject (no global sort). Nothing is ever collected.
+
+    Bucket id = first two hex chars of md5(feature) (0..255) — the
+    same engine-neutral hashing family as the LSH planes; Spark's
+    conv(hex) and DuckDB's strpos arithmetic produce identical ids.
+    """
+    toks = F.split(F.col(text_col), " ")
+    d = df.select(
+        F.col(id_col).alias("doc"), F.col(domain_col).alias("dom"), toks.alias("toks")
+    )
+    uni = d.select("doc", "dom", F.explode("toks").alias("f"))
+    bi = d.filter(F.size("toks") >= 2).select(
+        "doc",
+        "dom",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("toks"), i),
+                    F.element_at(F.col("toks"), i + 1),
+                ),
+            )
+        ).alias("f"),
+    )
+    feats = uni.unionByName(bi).select(
+        "doc",
+        "dom",
+        F.conv(F.substring(F.md5(F.col("f")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("b"),
+    )
+
+    tgt = (
+        feats.filter(F.col("dom") == target_value)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw = (
+        feats.filter(F.col("dom") != target_value)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_total")).crossJoin(
+        raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("r_total"))
+    )
+    model = (
+        feats.select("b")
+        .distinct()
+        .join(tgt, "b", "left")
+        .join(raw, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                    * (F.col("r_total") + buckets)
+                ).cast("double")
+                / (
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
+                    * (F.col("t_total") + buckets)
+                ).cast("double")
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("qb"),
+        )
+    )
+    ds = feats.groupBy("doc", "b").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        ds.join(F.broadcast(model), "b")
+        .groupBy("doc")
+        .agg(
+            F.sum("c").cast("long").alias("n_feats"),
+            F.sum(F.col("c") * F.col("qb")).cast("long").alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), "doc").limit(k)

@@ -628,3 +628,70 @@ def pipe_shard_manifest(spark, sf_dir):
         F.sum(F.length("text")).cast("bigint").alias("n_chars"),
         F.sum(nib(F.col("text"))).cast("bigint").alias("content_sig"),
     )
+
+
+@register(
+    "pipe_importance_select",
+    """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+uni AS (
+  SELECT doc_id, source, toks[i] AS f
+  FROM d, unnest(generate_series(1, len(toks))) AS t(i)
+),
+bi AS (
+  SELECT doc_id, source, toks[i] || ' ' || toks[i+1] AS f
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+feats AS (
+  SELECT doc_id, source,
+    CAST((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16
+       + strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1 AS BIGINT) AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+tgt AS (SELECT b, count(*) AS ct FROM feats WHERE source = 'src0' GROUP BY b),
+raw AS (SELECT b, count(*) AS cr FROM feats WHERE source <> 'src0' GROUP BY b),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS t_total,
+         (SELECT COALESCE(SUM(cr), 0) FROM raw) AS r_total
+),
+model AS (
+  SELECT bs.b,
+    CAST(floor(
+      ((COALESCE(tgt.ct, 0) + 1) * (tot.r_total + 256))::DOUBLE
+      / ((COALESCE(raw.cr, 0) + 1) * (tot.t_total + 256))::DOUBLE
+      * 1000000000
+    ) AS BIGINT) AS qb
+  FROM (SELECT DISTINCT b FROM feats) bs
+  LEFT JOIN tgt ON tgt.b = bs.b
+  LEFT JOIN raw ON raw.b = bs.b
+  CROSS JOIN tot
+),
+ds AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b),
+score AS (
+  SELECT doc_id AS doc, CAST(SUM(c) AS BIGINT) AS n_feats,
+         CAST(SUM(c * qb) AS BIGINT) AS score
+  FROM ds JOIN model USING (b) GROUP BY doc_id
+)
+SELECT doc, n_feats, score FROM score
+ORDER BY score DESC, doc LIMIT 100
+""",
+)
+def pipe_importance_select(spark, sf_dir):
+    """DSIR-style importance selection (Xie et al. 2023): hashed
+    unigram+bigram bucket distributions for a target domain vs the
+    rest, per-document target-likeness score in the engine's log-free
+    rational arithmetic, top-100 selection — the domain-matching data
+    selection step of a pretraining pipeline. Target domain pinned to
+    'src0' (the lexicographically first source shard). See
+    operators/text.importance_select for the estimator deviation
+    (quantized ratio instead of log-ratio) and the bucket-sized-model
+    scale argument."""
+    from ..operators import text as text_ops
+
+    d = load(spark, sf_dir, "documents", parallel="always")
+    return text_ops.importance_select(
+        d, "doc_id", "text", "source", "src0", buckets=256, k=100
+    )
