@@ -76,6 +76,9 @@ HEADLINE = [
     "win_rolling_median",  # exact trailing-10-row percentile window
     "evt_rfm_segments",    # three distributed-global-rank ntiles
     "dedup_normalized",    # normalization-collapsed exact dedup
+    "sim_ivf_sharded",     # IVF with DataFrame-resident codebook (r4)
+    "dedup_semantic_2level", # two-level coarse/fine SemDeDup (r4)
+    "pipe_importance_select", # DSIR-style hashed n-gram selection (r4)
 ]
 
 
