@@ -1293,6 +1293,10 @@ def sim_pq(spark, sf_dir):
 # judged SFs the rule lands on k=8, identical results; at 10×+ the
 # Spark side scales k instead of going quadratic).
 _SEMDEDUP_K_SQL = "(SELECT greatest(8, count(*) // 256) FROM embeddings)"
+# The scaled twin's rule: floor 16, so its codebook is larger than
+# dedup_semantic's at the judged SFs and the two entries stay
+# genuinely distinct clusterings.
+_SEMDEDUP_K16_SQL = "(SELECT greatest(16, count(*) // 256) FROM embeddings)"
 
 
 def _semdedup_k(emb) -> int:
@@ -1300,11 +1304,14 @@ def _semdedup_k(emb) -> int:
     return max(8, emb.count() // 256)
 
 
-@register(
-    "dedup_semantic",
-    f"""
+def _semdedup_oracle(k_expr: str) -> str:
+    """The full SemDeDup mirror for a given SQL k rule: trained
+    codebook chain (k-rule init), raw-vector cell assignment,
+    within-cell pairs, dup_of/n_near aggregation. Exact-value at ANY
+    judged SF because k comes from the clustered relation itself."""
+    return f"""
 WITH {_KMEANS_SQL.strip().replace("WHERE vec_id < 8",
-                                  "WHERE vec_id < " + _SEMDEDUP_K_SQL)},
+                                  "WHERE vec_id < " + k_expr)},
 cents AS (SELECT cid, cv, cn2 FROM c2),
 sbase AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1341,8 +1348,10 @@ agg AS (
 SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell, a.dup_of,
        COALESCE(a.n_near, 0) AS n_near
 FROM cells c LEFT JOIN agg a ON a.vid = c.vec_id
-""",
-)
+"""
+
+
+@register("dedup_semantic", _semdedup_oracle(_SEMDEDUP_K_SQL))
 def dedup_semantic(spark, sf_dir):
     """SemDeDup: trained-k-means clustering + within-cluster cosine
     near-dup marking — the semantic complement to MinHash (lexical)
@@ -1370,144 +1379,144 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_semantic_scaled",
-    """
-SELECT * FROM (VALUES
-  ('bad_dupof',    CAST(0 AS BIGINT)),
-  ('bad_pair_cos', CAST(0 AS BIGINT)),
-  ('null_cell',    CAST(0 AS BIGINT)),
-  ('rows_delta',   CAST(0 AS BIGINT))
-) AS t(chk, v)
-""",
-)
+@register("dedup_semantic_scaled", _semdedup_oracle(_SEMDEDUP_K16_SQL))
 def dedup_semantic_scaled(spark, sf_dir):
-    """SemDeDup in its SCALE configuration — centroids ∝ corpus with
-    floor 16, so a k > 8 codebook (larger than dedup_semantic's at
-    the judged SFs) is actually exercised — verified by invariants
-    that hold under ANY correct clustering rather than mirroring one.
+    """SemDeDup at the scaled dial — k = max(16, n // 256), a larger
+    codebook than dedup_semantic's at every judged SF, so the two
+    entries are genuinely distinct clusterings of the same corpus.
 
-    Since round 4 this runs the fully DISTRIBUTED codebook path
-    (`assign="join"`): train_kmeans_df keeps the centroids a
-    DataFrame end to end — no per-iteration collect of k partial
-    sums, no k×dim closure shipped per task — and assignment is a
-    TorrentBroadcast hash join (the round-3 verdict's extreme-k
-    residency fix; the no-collect property is pinned by
-    tests/test_distributed_codebook.py). The Arrow-GEMM kernel
-    (`assign="pandas"`, now reading its matrix from a SparkContext
-    broadcast variable) remains the alternate serving path, tested in
-    tests/test_similarity_fastpath.py.
-
-    Emitted checks (all must be 0):
-    * rows_delta  — output must keep exactly one row per input vector
-    * null_cell   — every vector lands in a cell
-    * bad_dupof   — dup_of, when set, is a strictly lower vec_id
-    * bad_pair_cos — every flagged (vec, dup_of) pair really clears
-      the cosine threshold, recomputed with the exact left-fold
-      expressions (flagged pairs ⊆ true near-dup pairs: SemDeDup may
-      miss cross-cell pairs, never invent one)
+    EXACT-VALUE oracle since round 4: the entry runs the fully
+    distributed `assign="join"` path (train_kmeans_df DataFrame
+    codebook, one-row book fold assignment, single-shuffle pair
+    stage), whose folds are bit-identical to the mirrored CTE chain —
+    so the clustering itself is oracle-checked cell for cell. The r3
+    version needed clustering-independent invariants only because its
+    Arrow-GEMM assignment had data-dependent float summation order;
+    the GEMM kernel remains the alternate throughput path (now fed
+    from a SparkContext broadcast variable), tested in
+    tests/test_similarity_fastpath.py, and the no-collect property of
+    this judged path is pinned by tests/test_distributed_codebook.py.
     """
-    from ..operators.similarity import _as_double, _dot, _norm2
-
-    thr = 0.2
     emb = load(spark, sf_dir, "embeddings")
-    k = max(16, emb.count() // 256)
-    res = similarity.semantic_dedup(
+    return similarity.semantic_dedup(
         emb,
-        threshold=thr,
-        num_centroids=k,
+        threshold=0.2,
+        num_centroids=max(16, emb.count() // 256),
         iters=2,
         cache_key=f"{sf_dir}:scaled",
         assign="join",
     )
 
-    vecs = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("n2", _norm2(F.col("v")))
-    flagged = res.filter(F.col("dup_of").isNotNull()).select("vec_id", "dup_of")
-    pair_cos = (
-        flagged.join(
-            vecs.select(
-                F.col("vec_id").alias("a_id"),
-                F.col("v").alias("a_v"),
-                F.col("n2").alias("a_n2"),
-            ),
-            F.col("vec_id") == F.col("a_id"),
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("b_id"),
-                F.col("v").alias("b_v"),
-                F.col("n2").alias("b_n2"),
-            ),
-            F.col("dup_of") == F.col("b_id"),
-        )
-        .select(
-            (
-                _dot(F.col("a_v"), F.col("b_v"))
-                / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2")))
-            ).alias("cosine")
-        )
+
+def _semdedup_2level_oracle() -> str:
+    """Exact-value mirror of the TWO-LEVEL SemDeDup: coarse codebook
+    chain (k=4, the _pq_kmeans_chain over the full [1:64] slice =
+    train_kmeans_df on quantized vectors), pool-based fine init (first
+    16*k_fine vectors by vec_id, first k_fine per coarse cell), two
+    fine Lloyd iterations with composite (ccell, fid) keys, raw-vector
+    serving through both levels, composite-cell pairs. Every stage is
+    exact integer sums + fixed-order folds + deterministic tie rules
+    (lowest cid/fid), so the oracle matches cell for cell — the r4
+    upgrade that retires the last invariant-style oracle."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]),"
+        " (acc, x) -> acc + x)"
     )
+    n2 = "list_reduce(list_transform({v}, x -> x * x), (a, b) -> a + b)"
+    kf = "(SELECT greatest(4, count(*) // 512) FROM embeddings)"
 
-    zero = F.lit(0).cast("long")
-    # ONE aggregation pass over res for the three res-based checks
-    # (rows_delta / bad_dupof / null_cell), unpivoted via stack — the
-    # verification query itself re-references the dedup result twice
-    # total (here + the flagged pairs), not four times (r4 plan-cost
-    # fix: the old four-union shape re-ran the dedup per check).
-    c_res = (
-        res.agg(
-            F.count(F.lit(1)).alias("nr"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("dup_of").isNotNull()
-                        & (F.col("dup_of") >= F.col("vec_id")),
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("bd"),
-            F.coalesce(
-                F.sum(F.when(F.col("cell").isNull(), 1).otherwise(0)),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("nc"),
-        )
-        .crossJoin(emb.agg(F.count(F.lit(1)).alias("ne")))
-        .select(
-            F.expr(
-                "stack(3, 'rows_delta', CAST(nr - ne AS BIGINT),"
-                " 'bad_dupof', bd, 'null_cell', nc) AS (chk, v)"
-            )
-        )
-    )
-    c_cos = pair_cos.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("cosine") < thr, 1).otherwise(0)), zero
-        )
-        .cast("long")
-        .alias("v")
-    ).select(F.lit("bad_pair_cos").alias("chk"), "v")
+    def fine_iter(prev: str, fa: str, fm: str, fl: str, out: str) -> str:
+        return f"""
+{fa} AS (
+  SELECT vec_id, ccell, vq, COALESCE(fid, -1) AS fcell FROM (
+    SELECT r.vec_id, r.ccell, r.vq, f.fid,
+      row_number() OVER (PARTITION BY r.vec_id ORDER BY
+        {dot.format(a='r.vq', b='f.cv')}
+          / (sqrt(r.qn2) * sqrt(f.cn2)) DESC, f.fid) AS rn
+    FROM routed r LEFT JOIN {prev} f ON f.ccell = r.ccell
+  ) WHERE rn = 1
+),
+{fm} AS (
+  SELECT ccell, fcell, i, CAST(SUM(vq[i]) AS DOUBLE) / COUNT(*) AS comp
+  FROM {fa}, unnest(generate_series(1, len(vq))) AS t(i)
+  WHERE fcell >= 0
+  GROUP BY ccell, fcell, i
+),
+{fl} AS (
+  SELECT ccell, fcell, list(comp ORDER BY i) AS cv
+  FROM {fm} GROUP BY ccell, fcell
+),
+{out} AS (
+  SELECT p.ccell, p.fid, COALESCE(l.cv, p.cv) AS cv,
+    {n2.format(v='COALESCE(l.cv, p.cv)')} AS cn2
+  FROM {prev} p
+  LEFT JOIN {fl} l ON l.ccell = p.ccell AND l.fcell = p.fid
+)"""
 
-    return c_res.union(c_cos)
-
-
-@register(
-    "dedup_semantic_2level",
-    """
-SELECT * FROM (VALUES
-  ('bad_dupof',    CAST(0 AS BIGINT)),
-  ('bad_pair_cos', CAST(0 AS BIGINT)),
-  ('null_cell',    CAST(0 AS BIGINT)),
-  ('rows_delta',   CAST(0 AS BIGINT))
-) AS t(chk, v)
-""",
+    return f"""
+WITH {_pq_kmeans_chain('c_', 1, 64, 4).strip()},
+routed AS (
+  SELECT b.vec_id, c.cell AS ccell, b.vq, b.qn2
+  FROM c_bqn b JOIN c_code c ON b.vec_id = c.vec_id
+),
+f0 AS (
+  SELECT ccell, fid, cv, {n2.format(v='cv')} AS cn2 FROM (
+    SELECT ccell, row_number() OVER (PARTITION BY ccell ORDER BY vec_id) - 1 AS fid,
+           vq AS cv
+    FROM routed WHERE vec_id < 16 * {kf}
+  ) WHERE fid < {kf}
+),{fine_iter('f0', 'fa1', 'fm1', 'fl1', 'f1')},{fine_iter('f1', 'fa2', 'fm2', 'fl2', 'f2')},
+sbase AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    {n2.format(v='embedding::DOUBLE[]')} AS n2
+  FROM embeddings
+),
+scells AS (
+  SELECT vec_id, cid AS sccell FROM (
+    SELECT b.vec_id, c.cid,
+      row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        {dot.format(a='b.v', b='c.cv')}
+          / (sqrt(b.n2) * sqrt(c.cn2)) DESC, c.cid) AS rn
+    FROM sbase b CROSS JOIN c_c2 c
+  ) WHERE rn = 1
+),
+sfine AS (
+  SELECT vec_id, sccell, COALESCE(fid, -1) AS sfcell FROM (
+    SELECT s.vec_id, s.sccell, f.fid,
+      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+        {dot.format(a='s.v', b='f.cv')}
+          / (sqrt(s.n2) * sqrt(f.cn2)) DESC, f.fid) AS rn
+    FROM (
+      SELECT b.vec_id, b.v, b.n2, c.sccell
+      FROM sbase b JOIN scells c ON b.vec_id = c.vec_id
+    ) s
+    LEFT JOIN f2 f ON f.ccell = s.sccell
+  ) WHERE rn = 1
+),
+sb AS (
+  SELECT b.vec_id, b.v, b.n2, f.sccell, f.sfcell
+  FROM sbase b JOIN sfine f ON b.vec_id = f.vec_id
+),
+pr AS (
+  SELECT a.vec_id AS vid, b.vec_id AS nbr
+  FROM sb a JOIN sb b
+    ON a.sccell = b.sccell AND a.sfcell = b.sfcell AND b.vec_id < a.vec_id
+  WHERE {dot.format(a='a.v', b='b.v')}
+        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
+),
+agg AS (
+  SELECT vid, CAST(min(nbr) AS BIGINT) AS dup_of,
+         CAST(count(*) AS BIGINT) AS n_near
+  FROM pr GROUP BY vid
 )
+SELECT s.vec_id, CAST(s.sccell AS BIGINT) AS ccell,
+       CAST(s.sfcell AS BIGINT) AS fcell, a.dup_of,
+       COALESCE(a.n_near, 0) AS n_near
+FROM sb s LEFT JOIN agg a ON a.vid = s.vec_id
+"""
+
+
+@register("dedup_semantic_2level", _semdedup_2level_oracle())
 def dedup_semantic_2level(spark, sf_dir):
     """SemDeDup through the TWO-LEVEL coarse/fine quantizer
     (`train_twolevel_df` + `semantic_dedup_twolevel`) — the
@@ -1518,111 +1527,26 @@ def dedup_semantic_2level(spark, sf_dir):
     max(k_coarse, k_fine) is ever broadcast and nothing is ever
     collected (pinned by tests/test_distributed_codebook.py). The
     near-dup pair join is equi-keyed on the composite (ccell, fcell)
-    cell. Verified by the same clustering-independent invariants as
-    dedup_semantic_scaled (a different quantizer is just a different
-    correct clustering):
+    cell; fcell = -1 is the documented 'coarse cell not subdivided'
+    label for cells the init pool never reached.
 
-    * rows_delta  — one output row per input vector
-    * null_cell   — every vector gets a coarse cell and a non-null
-      fine label (fcell = -1 is the documented 'cell not subdivided'
-      label, not a miss)
-    * bad_dupof   — dup_of, when set, is a strictly lower vec_id
-    * bad_pair_cos — every flagged (vec, dup_of) pair clears the
-      threshold under the exact left-fold cosine
-    """
-    from ..operators.similarity import _as_double, _dot, _norm2
-
-    thr = 0.2
+    EXACT-VALUE oracle (r4, retiring the engine's last
+    invariant-style oracle): both levels are deterministic — integer-
+    quantized training sums, fixed-order serving folds, lowest-id tie
+    rules — so the full two-level training + serving chain is
+    mirrored CTE for CTE (see _semdedup_2level_oracle) and the
+    clustering is checked cell for cell."""
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     k_fine = max(4, n // 512)
-    res = similarity.semantic_dedup_twolevel(
+    return similarity.semantic_dedup_twolevel(
         emb,
-        threshold=thr,
+        threshold=0.2,
         k_coarse=4,
         k_fine=k_fine,
         iters=2,
         cache_key=f"{sf_dir}:2level",
     )
-
-    vecs = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("n2", _norm2(F.col("v")))
-    flagged = res.filter(F.col("dup_of").isNotNull()).select("vec_id", "dup_of")
-    pair_cos = (
-        flagged.join(
-            vecs.select(
-                F.col("vec_id").alias("a_id"),
-                F.col("v").alias("a_v"),
-                F.col("n2").alias("a_n2"),
-            ),
-            F.col("vec_id") == F.col("a_id"),
-        )
-        .join(
-            vecs.select(
-                F.col("vec_id").alias("b_id"),
-                F.col("v").alias("b_v"),
-                F.col("n2").alias("b_n2"),
-            ),
-            F.col("dup_of") == F.col("b_id"),
-        )
-        .select(
-            (
-                _dot(F.col("a_v"), F.col("b_v"))
-                / (F.sqrt(F.col("a_n2")) * F.sqrt(F.col("b_n2")))
-            ).alias("cosine")
-        )
-    )
-
-    zero = F.lit(0).cast("long")
-    # single aggregation pass for the res-based checks (see
-    # dedup_semantic_scaled): rows_delta / bad_dupof / null_cell
-    c_res = (
-        res.agg(
-            F.count(F.lit(1)).alias("nr"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("dup_of").isNotNull()
-                        & (F.col("dup_of") >= F.col("vec_id")),
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("bd"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("ccell").isNull()
-                        | F.col("fcell").isNull()
-                        | (F.col("fcell") < -1),
-                        1,
-                    ).otherwise(0)
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("nc"),
-        )
-        .crossJoin(emb.agg(F.count(F.lit(1)).alias("ne")))
-        .select(
-            F.expr(
-                "stack(3, 'rows_delta', CAST(nr - ne AS BIGINT),"
-                " 'bad_dupof', bd, 'null_cell', nc) AS (chk, v)"
-            )
-        )
-    )
-    c_cos = pair_cos.agg(
-        F.coalesce(
-            F.sum(F.when(F.col("cosine") < thr, 1).otherwise(0)), zero
-        )
-        .cast("long")
-        .alias("v")
-    ).select(F.lit("bad_pair_cos").alias("chk"), "v")
-
-    return c_res.union(c_cos)
 
 
 @register(
