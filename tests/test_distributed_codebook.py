@@ -30,6 +30,7 @@ COLLECT_FREE = [
     "dedup_semantic_scaled",
     "dedup_semantic_2level",
     "sim_ivf_sharded",
+    "sim_topk_2level",
 ]
 
 
@@ -88,6 +89,51 @@ def test_sharded_serving_plan_shapes(spark):
         assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
     plan = _plan(QUERIES["sim_ivf_sharded"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semantic_dedup_is_single_shuffle(spark):
+    """The r4 pair-stage rewrite's contract: the whole SemDeDup plan
+    moves the corpus through exactly ONE hash exchange (the
+    groupBy(cell)); the only other exchanges are the k-row book
+    collapse (SinglePartition) and its broadcast. No self-join, so no
+    SortMergeJoin and no CartesianProduct anywhere."""
+    import re
+
+    plan = _plan(QUERIES["dedup_semantic"](spark, SF_SMOKE))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_topk_twolevel_recall_and_exactness(spark):
+    """Two-level ANN serving: returned cosines are exact (equal to
+    brute force for the same pair) and recall@3 vs exact top-3 is
+    reasonable for 5 probe queries on the smoke corpus."""
+    from wsprnet_scraper_spark.sources import load
+
+    emb = load(spark, SF_SMOKE, "embeddings")
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["qid"], r["vec_id"]): r["cosine"]
+        for r in similarity.cosine_topk(emb, qids, k=200).collect()
+    }
+    got = similarity.topk_twolevel(
+        emb, qids, k=3, k_coarse=4, k_fine=6, nprobe_f=2
+    ).collect()
+    assert got, "no results"
+    for r in got:
+        key = (r["qid"], r["vec_id"])
+        if key in exact:
+            assert exact[key] == r["cosine"], key
+    # every query that returned anything returned its own vector first
+    # (cosine 1.0 lives in the query's own composite cell, which is
+    # always probed first)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rows in by_q.items():
+        top = max(rows, key=lambda r: (r["cosine"], -r["vec_id"]))
+        assert top["vec_id"] == qid
 
 
 def test_twolevel_labels_and_bounds(spark):

@@ -1288,6 +1288,114 @@ def semantic_dedup_twolevel(
     )
 
 
+def topk_twolevel(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    k_coarse: int = 4,
+    k_fine: int = 8,
+    nprobe_f: int = 2,
+    iters: int = 2,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Two-level ANN top-k: route every vector (and every query)
+    through the coarse+fine quantizer of `train_twolevel_df`, probe
+    the `nprobe_f` fine cells of the query's coarse cell nearest to
+    the query, exact cosine re-rank inside them. Completes the
+    two-level family (train / dedup / serve) — the ANN shape for
+    k_total beyond one-row-book scale: the only relations in play are
+    the k_coarse coarse book, the per-ccell fine books (each bounded
+    by k_fine, reached by an equi join on ccell), and the
+    broadcast-sized probe set; candidates join on the COMPOSITE
+    (ccell, fcell) key.
+
+    Deterministic end to end (exact training sums, fixed-order
+    serving folds, lowest-id ties; probe ranking = reverse array_sort
+    of (sim, -fid) structs, the same rule as `_argmax_cell`), so it
+    carries an exact-value oracle. A query whose coarse cell was
+    never subdivided (no fine book) yields no rows — mirrored by the
+    oracle's inner join.
+    """
+    coarse, fine = train_twolevel_df(
+        emb, k_coarse, k_fine, iters, cache_key
+    )
+    pre = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", _norm2(F.col("v")))
+    routed = assign_cells_df(pre, coarse, carry=("v", "n2")).select(
+        "vec_id", F.col("cell").alias("ccell"), "v", "n2"
+    )
+    books = _fine_books(fine)
+    base = routed.join(books, "ccell", "left").select(
+        "vec_id",
+        "ccell",
+        F.coalesce(
+            _argmax_fold(F.col("book"), F.col("v"), F.col("n2")), F.lit(-1)
+        )
+        .cast("long")
+        .alias("fcell"),
+        "v",
+        "n2",
+    )
+
+    def qsim(c):
+        return _dot(F.col("qv"), c["cv"]) / (
+            F.sqrt(F.col("qn2")) * F.sqrt(c["cn2"])
+        )
+
+    q = routed.filter(
+        F.col("vec_id").isin([int(i) for i in query_ids])
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        "ccell",
+    )
+    ranked_book = F.reverse(
+        F.array_sort(
+            F.transform(
+                F.col("book"),
+                lambda c: F.struct(
+                    qsim(c).alias("s"),
+                    (-c["cid"]).cast("long").alias("negc"),
+                ),
+            )
+        )
+    )
+    probes = (
+        q.join(books, "ccell")  # inner: un-subdivided cells have no book
+        .select(
+            "qid",
+            "qv",
+            "qn2",
+            "ccell",
+            F.explode(
+                F.transform(
+                    F.slice(ranked_book, 1, nprobe_f),
+                    lambda t: (-t["negc"]).cast("long"),
+                )
+            ).alias("pfcell"),
+        )
+    )
+    scored = base.join(
+        F.broadcast(probes),
+        (base["ccell"] == probes["ccell"]) & (base["fcell"] == probes["pfcell"]),
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
 def gram_matrix(df, vec_col: str = "embedding", quant: int = 1000):
     """Distributed second-moment (Gram) matrix of a vector column:
     upper-triangle cells (i, j, sum_q, n) where sum_q = Σ_rows

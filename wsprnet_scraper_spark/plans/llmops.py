@@ -1408,8 +1408,10 @@ def dedup_semantic_scaled(spark, sf_dir):
     )
 
 
-def _semdedup_2level_oracle() -> str:
-    """Exact-value mirror of the TWO-LEVEL SemDeDup: coarse codebook
+def _twolevel_chain_sql() -> str:
+    """Exact-value mirror of the TWO-LEVEL quantizer, shared by the
+    dedup and top-k oracles — ends at `sb` (vec_id, v, n2, sccell,
+    sfcell): coarse codebook
     chain (k=4, the _pq_kmeans_chain over the full [1:64] slice =
     train_kmeans_df on quantized vectors), pool-based fine init (first
     16*k_fine vectors by vec_id, first k_fine per coarse cell), two
@@ -1496,12 +1498,23 @@ sfine AS (
 sb AS (
   SELECT b.vec_id, b.v, b.n2, f.sccell, f.sfcell
   FROM sbase b JOIN sfine f ON b.vec_id = f.vec_id
-),
+)
+"""
+
+
+_TWOLEVEL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _semdedup_2level_oracle() -> str:
+    return _twolevel_chain_sql() + f""",
 pr AS (
   SELECT a.vec_id AS vid, b.vec_id AS nbr
   FROM sb a JOIN sb b
     ON a.sccell = b.sccell AND a.sfcell = b.sfcell AND b.vec_id < a.vec_id
-  WHERE {dot.format(a='a.v', b='b.v')}
+  WHERE {_TWOLEVEL_DOT.format(a='a.v', b='b.v')}
         / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
 ),
 agg AS (
@@ -1513,6 +1526,39 @@ SELECT s.vec_id, CAST(s.sccell AS BIGINT) AS ccell,
        CAST(s.sfcell AS BIGINT) AS fcell, a.dup_of,
        COALESCE(a.n_near, 0) AS n_near
 FROM sb s LEFT JOIN agg a ON a.vid = s.vec_id
+"""
+
+
+def _sim_topk_2level_oracle() -> str:
+    return _twolevel_chain_sql() + f""",
+q AS (
+  SELECT b.vec_id AS qid, b.v AS qv, b.n2 AS qn2, c.sccell
+  FROM sbase b JOIN scells c ON b.vec_id = c.vec_id
+  WHERE b.vec_id < 5
+),
+qprobe AS (
+  SELECT qid, sccell, fid AS pfcell FROM (
+    SELECT q.qid, q.sccell, f.fid,
+      row_number() OVER (PARTITION BY q.qid ORDER BY
+        {_TWOLEVEL_DOT.format(a='q.qv', b='f.cv')}
+          / (sqrt(q.qn2) * sqrt(f.cn2)) DESC, f.fid) AS rn
+    FROM q JOIN f2 f ON f.ccell = q.sccell
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.qid, b.vec_id,
+    {_TWOLEVEL_DOT.format(a='b.v', b='q.qv')}
+      / (sqrt(b.n2) * sqrt(q.qn2)) AS cosine
+  FROM sb b
+  JOIN qprobe p ON b.sccell = p.sccell AND b.sfcell = p.pfcell
+  JOIN q ON q.qid = p.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 """
 
 
@@ -1545,6 +1591,24 @@ def dedup_semantic_2level(spark, sf_dir):
         k_coarse=4,
         k_fine=k_fine,
         iters=2,
+        cache_key=f"{sf_dir}:2level",
+    )
+
+
+@register("sim_topk_2level", _sim_topk_2level_oracle())
+def sim_topk_2level(spark, sf_dir):
+    """Two-level ANN top-k (operators/similarity.topk_twolevel):
+    coarse route -> probe the query's 2 nearest fine cells within its
+    coarse cell -> exact cosine re-rank. Completes the two-level
+    family (train: train_twolevel_df; dedup: dedup_semantic_2level;
+    serve: this) with an EXACT-VALUE oracle sharing the mirrored
+    two-level chain — the ANN configuration for k_total beyond what a
+    single broadcast codebook can hold."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return similarity.topk_twolevel(
+        emb, [0, 1, 2, 3, 4], k=3, k_coarse=4,
+        k_fine=max(4, n // 512), nprobe_f=2, iters=2,
         cache_key=f"{sf_dir}:2level",
     )
 
