@@ -31,6 +31,7 @@ COLLECT_FREE = [
     "dedup_semantic_2level",
     "sim_ivf_sharded",
     "sim_topk_2level",
+    "dedup_semantic_incremental",
 ]
 
 

@@ -1288,6 +1288,89 @@ def semantic_dedup_twolevel(
     )
 
 
+def semantic_dedup_incremental(
+    emb: DataFrame,
+    is_batch_col,
+    threshold: float = 0.2,
+    num_centroids: int = 8,
+    iters: int = 2,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: a new ingest batch deduped against the
+    STANDING corpus and within itself, semantically — the embedding
+    counterpart of the fingerprint-based incremental dedup. The
+    codebook (the standing index) is trained on the CORPUS side only,
+    both sides are assigned through it, and each batch vector is
+    compared to its cell-mates: any corpus near-dup ⇒ dup_of_corpus,
+    else any lower-id batch near-dup ⇒ dup_in_batch, else new_unique.
+
+    Output (batch rows only): (vec_id, cell, dup_of_corpus_id,
+    n_corpus_near, dup_in_batch_id, status).
+
+    Same plan discipline as `semantic_dedup(assign="join")`: the
+    codebook is a DataFrame end to end, assignment is the zero-
+    shuffle one-row-book fold, and all pairwise work happens inside
+    ONE groupBy(cell) row via higher-order expressions — no
+    self-join, one shuffle, cells bounded by the k ∝ corpus rule.
+    Training on the corpus subset means init centroids are the
+    corpus vectors with vec_id < k (fewer than k when batch ids
+    interleave below k — mirrored exactly by the oracle's filtered
+    chain).
+    """
+    cents = train_kmeans_df(
+        emb.filter(~is_batch_col), num_centroids, iters, cache_key
+    )
+    pre = emb.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        is_batch_col.alias("is_batch"),
+    ).withColumn("n2", _norm2(F.col("v")))
+    assigned = assign_cells_df(pre, cents, carry=("v", "n2", "is_batch"))
+    members = assigned.groupBy("cell").agg(
+        F.collect_list(F.struct("vec_id", "v", "n2", "is_batch")).alias("ms")
+    )
+
+    def cos(a, b):
+        return _dot(a["v"], b["v"]) / (F.sqrt(a["n2"]) * F.sqrt(b["n2"]))
+
+    per = F.transform(
+        F.filter(F.col("ms"), lambda a: a["is_batch"]),
+        lambda a: F.struct(
+            a["vec_id"].alias("vec_id"),
+            F.transform(
+                F.filter(
+                    F.col("ms"),
+                    lambda b: ~b["is_batch"] & (cos(a, b) >= F.lit(threshold)),
+                ),
+                lambda b: b["vec_id"],
+            ).alias("cn"),
+            F.transform(
+                F.filter(
+                    F.col("ms"),
+                    lambda b: b["is_batch"]
+                    & (b["vec_id"] < a["vec_id"])
+                    & (cos(a, b) >= F.lit(threshold)),
+                ),
+                lambda b: b["vec_id"],
+            ).alias("bn"),
+        ),
+    )
+    return (
+        members.select("cell", F.explode(per).alias("r"))
+        .select(
+            F.col("r.vec_id").alias("vec_id"),
+            "cell",
+            F.array_min(F.col("r.cn")).alias("dup_of_corpus_id"),
+            F.size(F.col("r.cn")).cast("long").alias("n_corpus_near"),
+            F.array_min(F.col("r.bn")).alias("dup_in_batch_id"),
+            F.when(F.size(F.col("r.cn")) > 0, F.lit("dup_of_corpus"))
+            .when(F.size(F.col("r.bn")) > 0, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new_unique"))
+            .alias("status"),
+        )
+    )
+
+
 def topk_twolevel(
     emb: DataFrame,
     query_ids: list[int],

@@ -1595,6 +1595,90 @@ def dedup_semantic_2level(spark, sf_dir):
     )
 
 
+_SEMDEDUP_INC_K_SQL = (
+    "(SELECT greatest(8, count(*) // 256) FROM embeddings WHERE vec_id % 10 <> 0)"
+)
+
+
+@register(
+    "dedup_semantic_incremental",
+    f"""
+WITH {_KMEANS_SQL.strip()
+      .replace("FROM embeddings", "FROM embeddings WHERE vec_id % 10 <> 0")
+      .replace("WHERE vec_id < 8", "WHERE vec_id < " + _SEMDEDUP_INC_K_SQL)},
+cents AS (SELECT cid, cv, cn2 FROM c2),
+sbase AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2
+  FROM embeddings
+),
+sims AS (
+  SELECT b.vec_id, c.cid,
+    list_reduce(list_transform(list_zip(b.v, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(b.n2) * sqrt(c.cn2)) AS sim
+  FROM sbase b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+sb AS (
+  SELECT b.vec_id, b.v, b.n2, c.cell, b.vec_id % 10 = 0 AS is_batch
+  FROM sbase b JOIN cells c ON b.vec_id = c.vec_id
+),
+corp_near AS (
+  SELECT a.vec_id AS vid, CAST(min(b.vec_id) AS BIGINT) AS dup_of_corpus_id,
+         CAST(count(*) AS BIGINT) AS n_corpus_near
+  FROM sb a JOIN sb b ON a.cell = b.cell AND a.is_batch AND NOT b.is_batch
+  WHERE list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
+  GROUP BY a.vec_id
+),
+batch_near AS (
+  SELECT a.vec_id AS vid, CAST(min(b.vec_id) AS BIGINT) AS dup_in_batch_id
+  FROM sb a JOIN sb b
+    ON a.cell = b.cell AND a.is_batch AND b.is_batch AND b.vec_id < a.vec_id
+  WHERE list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.2
+  GROUP BY a.vec_id
+)
+SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+       c.dup_of_corpus_id, COALESCE(c.n_corpus_near, 0) AS n_corpus_near,
+       b.dup_in_batch_id,
+       CASE WHEN c.vid IS NOT NULL THEN 'dup_of_corpus'
+            WHEN b.vid IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new_unique' END AS status
+FROM sb s
+LEFT JOIN corp_near c ON c.vid = s.vec_id
+LEFT JOIN batch_near b ON b.vid = s.vec_id
+WHERE s.is_batch
+""",
+)
+def dedup_semantic_incremental(spark, sf_dir):
+    """Incremental SemDeDup (operators/similarity.
+    semantic_dedup_incremental): the new ingest batch (vec_id % 10 = 0
+    stands in for 'today', the dedup_incremental convention) is
+    assigned through a codebook trained on the STANDING corpus only
+    and deduped against corpus cell-mates, then within itself —
+    per-vector status new_unique / dup_of_corpus / dup_in_batch plus
+    the nearest corpus duplicate id. The semantic counterpart of the
+    fingerprint-based dedup_incremental; exact-value oracle (the
+    filtered chain trains on the corpus subset exactly as the engine
+    does). Same single-shuffle plan as dedup_semantic."""
+    emb = load(spark, sf_dir, "embeddings")
+    corpus_n = emb.filter(F.col("vec_id") % 10 != 0).count()
+    return similarity.semantic_dedup_incremental(
+        emb,
+        F.col("vec_id") % 10 == 0,
+        threshold=0.2,
+        num_centroids=max(8, corpus_n // 256),
+        iters=2,
+        cache_key=f"{sf_dir}:inc",
+    )
+
+
 @register("sim_topk_2level", _sim_topk_2level_oracle())
 def sim_topk_2level(spark, sf_dir):
     """Two-level ANN top-k (operators/similarity.topk_twolevel):
