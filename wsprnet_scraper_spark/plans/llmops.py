@@ -1600,9 +1600,7 @@ _SEMDEDUP_INC_K_SQL = (
 )
 
 
-@register(
-    "dedup_semantic_incremental",
-    f"""
+_SEMDEDUP_INC_ORACLE = f"""
 WITH {_KMEANS_SQL.strip()
       .replace("FROM embeddings", "FROM embeddings WHERE vec_id % 10 <> 0")
       .replace("WHERE vec_id < 8", "WHERE vec_id < " + _SEMDEDUP_INC_K_SQL)},
@@ -1654,8 +1652,10 @@ FROM sb s
 LEFT JOIN corp_near c ON c.vid = s.vec_id
 LEFT JOIN batch_near b ON b.vid = s.vec_id
 WHERE s.is_batch
-""",
-)
+"""
+
+
+@register("dedup_semantic_incremental", _SEMDEDUP_INC_ORACLE)
 def dedup_semantic_incremental(spark, sf_dir):
     """Incremental SemDeDup (operators/similarity.
     semantic_dedup_incremental): the new ingest batch (vec_id % 10 = 0
@@ -1676,6 +1676,171 @@ def dedup_semantic_incremental(spark, sf_dir):
         num_centroids=max(8, corpus_n // 256),
         iters=2,
         cache_key=f"{sf_dir}:inc",
+    )
+
+
+@register("strm_semantic_dedup", _SEMDEDUP_INC_ORACLE)
+def strm_semantic_dedup(spark, sf_dir):
+    """dedup_semantic_incremental as a REAL stream: the ingest batch
+    lands as two NDJSON files split by vec_id (lower half first), a
+    Structured Streaming file source drains them one micro-batch each
+    (maxFilesPerTrigger=1, availableNow), and every micro-batch is
+    deduped inside foreachBatch against the GROWING sink — the
+    standing corpus plus every previously processed batch vector —
+    then appended to it. Because the micro-batch order follows vec_id
+    order, "processed earlier" coincides exactly with "lower vec_id",
+    so the stream's statuses equal the batch operator's and the entry
+    SHARES dedup_semantic_incremental's exact-value oracle: one more
+    one-code-path-for-batch-and-stream proof, this time for the
+    LLM-ops side of the engine (continuous ingestion dedup).
+
+    In-stream state: the parquet sink carries (vec_id, cell, v, n2,
+    is_corpus); the codebook is trained ONCE on the corpus
+    (train_kmeans_df — DataFrame-resident, shared discipline with the
+    batch twin) and reused by every micro-batch's zero-shuffle fold
+    assignment. Statuses land in a results dir read back at the end.
+    """
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import (
+        _as_double,
+        _dot,
+        _norm2,
+        assign_cells_df,
+        train_kmeans_df,
+    )
+
+    work = tempfile.mkdtemp(prefix="wspr_semstrm_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing, sink, results, ckpt = (
+        f"{work}/landing", f"{work}/sink", f"{work}/results", f"{work}/ckpt"
+    )
+    os.makedirs(landing)
+
+    emb = load(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 0
+    corpus, batch = emb.filter(~is_batch), emb.filter(is_batch)
+    corpus_n = corpus.count()
+    k = max(8, corpus_n // 256)
+    cents = train_kmeans_df(emb.filter(~is_batch), k, 2, f"{sf_dir}:strm_inc")
+
+    # land the batch as two id-ordered NDJSON files (file order =
+    # id order, pinned by explicit mtimes so the file source cannot
+    # reorder them)
+    rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in batch.select("vec_id", "embedding").collect()
+    )
+    half = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    for i, part in enumerate(half):
+        path = f"{landing}/batch-{i:03d}.json"
+        with open(path, "w") as fh:
+            for vid, vec in part:
+                fh.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    pre_corpus = corpus.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("n2", _norm2(F.col("v")))
+    assign_cells_df(pre_corpus, cents, carry=("v", "n2")).withColumn(
+        "is_corpus", F.lit(True)
+    ).write.mode("overwrite").parquet(sink)
+
+    def dedup_batch(bdf, bid):
+        pre = bdf.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ).withColumn("n2", _norm2(F.col("v")))
+        cur = assign_cells_df(pre, cents, carry=("v", "n2")).cache()
+        try:
+            standing = spark.read.parquet(sink)
+            near = (
+                cur.alias("a")
+                .join(standing.alias("s"), F.col("a.cell") == F.col("s.cell"))
+                .filter(
+                    _dot(F.col("a.v"), F.col("s.v"))
+                    / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("s.n2")))
+                    >= 0.2
+                )
+                .groupBy(F.col("a.vec_id").alias("vid"))
+                .agg(
+                    F.min(
+                        F.when(F.col("s.is_corpus"), F.col("s.vec_id"))
+                    ).alias("corp_min"),
+                    F.sum(
+                        F.when(F.col("s.is_corpus"), 1).otherwise(0)
+                    ).cast("long").alias("corp_n"),
+                    F.min(
+                        F.when(~F.col("s.is_corpus"), F.col("s.vec_id"))
+                    ).alias("prior_min"),
+                )
+            )
+            inb = (
+                cur.alias("a")
+                .join(
+                    cur.alias("b"),
+                    (F.col("a.cell") == F.col("b.cell"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id")),
+                )
+                .filter(
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2")))
+                    >= 0.2
+                )
+                .groupBy(F.col("a.vec_id").alias("vid"))
+                .agg(F.min(F.col("b.vec_id")).alias("inb_min"))
+            )
+            out = (
+                cur.join(near, cur["vec_id"] == near["vid"], "left")
+                .drop("vid")
+                .join(inb, cur["vec_id"] == inb["vid"], "left")
+                .drop("vid")
+                .select(
+                    "vec_id",
+                    "cell",
+                    F.col("corp_min").alias("dup_of_corpus_id"),
+                    F.coalesce(F.col("corp_n"), F.lit(0))
+                    .cast("long")
+                    .alias("n_corpus_near"),
+                    F.least(
+                        F.coalesce(F.col("prior_min"), F.col("inb_min")),
+                        F.coalesce(F.col("inb_min"), F.col("prior_min")),
+                    ).alias("dup_in_batch_id"),
+                    F.when(
+                        F.col("corp_min").isNotNull(), F.lit("dup_of_corpus")
+                    )
+                    .when(
+                        F.col("prior_min").isNotNull()
+                        | F.col("inb_min").isNotNull(),
+                        F.lit("dup_in_batch"),
+                    )
+                    .otherwise(F.lit("new_unique"))
+                    .alias("status"),
+                )
+            )
+            out.write.mode("append").parquet(results)
+            cur.withColumn("is_corpus", F.lit(False)).write.mode(
+                "append"
+            ).parquet(sink)
+        finally:
+            cur.unpersist()
+
+    q = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results).select(
+        "vec_id", "cell", "dup_of_corpus_id", "n_corpus_near",
+        "dup_in_batch_id", "status",
     )
 
 
