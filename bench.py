@@ -79,6 +79,8 @@ HEADLINE = [
     "sim_ivf_sharded",     # IVF with DataFrame-resident codebook (r4)
     "dedup_semantic_2level", # two-level coarse/fine SemDeDup (r4)
     "pipe_importance_select", # DSIR-style hashed n-gram selection (r4)
+    "sim_topk_2level",     # two-level ANN top-k serving (r4)
+    "dedup_semantic_incremental", # batch-vs-corpus semantic dedup (r4)
 ]
 
 
