@@ -153,3 +153,43 @@ def test_twolevel_labels_and_bounds(spark):
     assert len(rows) == emb.count()
     assert all(r["ccell"] is not None and r["fcell"] is not None for r in rows)
     assert all(r["fcell"] >= -1 for r in rows)
+
+
+def test_argmax_fold_edge_semantics(spark):
+    """The fold argmax's contract, pinned at the unit level: ties go
+    to the LOWEST cid (strict-improvement scan over a cid-sorted
+    book), an empty/null book yields null (callers coalesce to the
+    'not subdivided' label), and the winner matches the literal-
+    inlined expression path's rule."""
+    from pyspark.sql import functions as F
+
+    from wsprnet_scraper_spark.operators.similarity import _argmax_fold
+
+    book_rows = [
+        # two centroids with IDENTICAL vectors -> tie -> lowest cid
+        (1, [(5, [1.0, 0.0], 1.0), (2, [1.0, 0.0], 1.0), (9, [0.0, 1.0], 1.0)]),
+    ]
+    df = spark.createDataFrame(
+        book_rows,
+        "id long, book array<struct<cid:long, cv:array<double>, cn2:double>>",
+    ).withColumn("v", F.expr("array(1.0d, 0.0d)")).withColumn("n2", F.lit(1.0))
+    # sort the book by cid like _codebook_row does
+    df = df.withColumn("book", F.sort_array("book"))
+    got = df.select(
+        _argmax_fold(F.col("book"), F.col("v"), F.col("n2")).alias("cell")
+    ).first()
+    assert got["cell"] == 2  # tie between cid 2 and 5 -> lowest
+
+    empty = spark.createDataFrame(
+        [(1,)], "id long"
+    ).select(
+        F.lit(None)
+        .cast("array<struct<cid:long, cv:array<double>, cn2:double>>")
+        .alias("book"),
+        F.expr("array(1.0d, 0.0d)").alias("v"),
+        F.lit(1.0).alias("n2"),
+    )
+    got = empty.select(
+        _argmax_fold(F.col("book"), F.col("v"), F.col("n2")).alias("cell")
+    ).first()
+    assert got["cell"] is None

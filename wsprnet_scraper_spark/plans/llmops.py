@@ -1699,6 +1699,12 @@ def strm_semantic_dedup(spark, sf_dir):
     (train_kmeans_df — DataFrame-resident, shared discipline with the
     batch twin) and reused by every micro-batch's zero-shuffle fold
     assignment. Statuses land in a results dir read back at the end.
+
+    The landing-file generation collects the batch FIXTURE (a
+    corpus-tenth of vectors) to control micro-batch file order — test
+    scaffolding only: in a real deployment the batch arrives from the
+    fetcher as files, and the dedup operator itself collects nothing
+    (same plan as dedup_semantic_incremental).
     """
     import atexit
     import json as _json
