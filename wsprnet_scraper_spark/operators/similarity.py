@@ -1254,37 +1254,40 @@ def semantic_dedup_twolevel(
         "v",
         "n2",
     )
-    a, b = base.alias("a"), base.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))
+    # Same single-shuffle pair stage as the flat semantic_dedup: ONE
+    # groupBy on the composite cell, pair generation inside the cell
+    # row — no self-join, the routed corpus scanned once, cell rows
+    # bounded because k_coarse × k_fine ∝ corpus keeps composite
+    # cells ~constant-sized.
+    members = base.groupBy("ccell", "fcell").agg(
+        F.collect_list(F.struct("vec_id", "v", "n2")).alias("ms")
     )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.ccell") == F.col("b.ccell"))
-            & (F.col("a.fcell") == F.col("b.fcell"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vid"),
-            F.col("b.vec_id").alias("nbr"),
-            cos.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+
+    def cos(a, b):
+        return _dot(a["v"], b["v"]) / (F.sqrt(a["n2"]) * F.sqrt(b["n2"]))
+
+    per = F.transform(
+        F.col("ms"),
+        lambda a: F.struct(
+            a["vec_id"].alias("vec_id"),
+            F.transform(
+                F.filter(
+                    F.col("ms"),
+                    lambda b: (b["vec_id"] < a["vec_id"])
+                    & (cos(a, b) >= F.lit(threshold)),
+                ),
+                lambda b: b["vec_id"],
+            ).alias("nears"),
+        ),
     )
-    agg = pairs.groupBy("vid").agg(
-        F.min("nbr").alias("dup_of"), F.count(F.lit(1)).alias("n_near")
-    )
-    return (
-        base.select("vec_id", "ccell", "fcell")
-        .join(agg, F.col("vec_id") == F.col("vid"), "left")
-        .select(
-            "vec_id",
-            "ccell",
-            "fcell",
-            "dup_of",
-            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
-        )
+    return members.select(
+        "ccell", "fcell", F.explode(per).alias("r")
+    ).select(
+        F.col("r.vec_id").alias("vec_id"),
+        "ccell",
+        "fcell",
+        F.array_min(F.col("r.nears")).alias("dup_of"),
+        F.size(F.col("r.nears")).cast("long").alias("n_near"),
     )
 
 
