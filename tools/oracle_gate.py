@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -65,8 +66,6 @@ def main() -> int:
     names = args.names or sorted(queries)
 
     if args.vanilla:
-        import os
-
         from pyspark.sql import SparkSession
 
         cpus = os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
@@ -82,9 +81,10 @@ def main() -> int:
         spark = get_session("oracle-gate")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
-        )
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(p):  # multi-file dataset (e.g. probe synth)
+            p += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = 0
     for name in names:

@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""100× scaling evidence (≈ sf10): compose the 10× synthesizer twice
+and time the training-data operator families against it.
+
+Usage: python tools/probe_100x.py [--base /root/testdata/sf0.1]
+
+The corpus is `scaling_probe.synth_10x` applied to its own output —
+100 id-offset, content-decorrelated copies of the fact tables under
+single-copy dimensions (embeddings 200k vectors, documents 200k,
+events 1M at base sf0.1). Only the tables the probed queries read are
+synthesized at 100×; untouched tables stay at base scale.
+
+The query set is the scale-critical half of the headline: dedup
+(exact / MinHash / normalized / embedding-LSH / SemDeDup flat,
+scaled, two-level, incremental), ANN serving (sharded IVF, two-level
+top-k), text/curation (quality, DSIR selection, curation pipeline),
+and two events rollups. slope100 = t(100×)/t(1×); a linear operator
+with warm fixed costs lands well under the 100× data ratio.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+QUERIES_100X = [
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_normalized",
+    "dedup_semantic",
+    "dedup_semantic_scaled",
+    "dedup_semantic_2level",
+    "dedup_semantic_incremental",
+    "sim_ivf_sharded",
+    "sim_topk_2level",
+    "sim_topk_bruteforce",
+    "text_quality",
+    "pipe_importance_select",
+    "pipe_curation",
+    "agg_time_bucket",
+    "strm_tumbling",
+    "emb_gram",
+    # last: the one known heavy dial — fixed-plane LSH pairs grow
+    # quadratically at fixed bucket count until the plane rule lands
+    "dedup_embedding",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r4")
+    ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
+    ap.add_argument("--json-out", default="tools/probe_results_r4_100x.json")
+    args = ap.parse_args()
+
+    import tools.scaling_probe as sp
+    from wsprnet_scraper_spark.plans import QUERIES
+    from wsprnet_scraper_spark.session import get_session
+
+    spark = get_session("probe-100x")
+    mid = Path(args.mid)
+    if not mid.is_dir():
+        print("synthesizing 10x ...", file=sys.stderr)
+        sp.synth_10x(spark, args.base, args.mid)
+    out = Path(args.out)
+    if not out.is_dir():
+        # only the tables this probe's queries read are grown to 100x
+        # (events/documents/embeddings); lineitem/orders at 100x would
+        # be gigabytes of parquet no probed query ever opens
+        print("synthesizing 100x from 10x ...", file=sys.stderr)
+        old_facts = sp.FACTS
+        sp.FACTS = ["events", "documents", "embeddings"]
+        try:
+            sp.synth_10x(spark, args.mid, args.out)
+        finally:
+            sp.FACTS = old_facts
+
+    def run(name: str, at: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, at).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out_path = Path(args.json_out)
+    results = {}
+    if out_path.is_file():  # resume: skip already-measured queries
+        results = json.loads(out_path.read_text())
+    for name in QUERIES_100X:
+        if name not in QUERIES or name in results:
+            continue
+        run(name, args.base)  # warm the plan shape
+        base_t = min(run(name, args.base), run(name, args.base))
+        big_t = run(name, str(out))
+        if big_t < 120:  # min-of-2 only when a re-run is cheap
+            big_t = min(big_t, run(name, str(out)))
+        results[name] = {
+            "sf0.1_sec": round(base_t, 3),
+            "x100_sec": round(big_t, 3),
+            "slope100": round(big_t / base_t, 1) if base_t > 0 else None,
+        }
+        print(name, results[name], file=sys.stderr, flush=True)
+        # write after every query so a timeout loses nothing
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -401,7 +401,30 @@ def sim_topk_bruteforce(spark, sf_dir):
     return similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
 
 
-_LSH_SQL = """
+# The LSH plane rule, stated ONCE in SQL and mirrored in Python — the
+# same retire-the-dial move as _SEMDEDUP_K_SQL: planes = max(8,
+# bit_length(ceil(n/64) - 1)), the smallest p with 2^p >= n/64, so
+# bucket count grows with the corpus, mean occupancy stays <= ~64,
+# and the within-bucket pair join stays linear (at a fixed 8 planes
+# the 100x probe's dedup_embedding never finished: ~78M candidate
+# pairs carrying two 64-double arrays each). Integer-only on both
+# sides (bin-length in SQL, int.bit_length in Python) so there is no
+# float-log2 boundary to disagree on; the sides can differ only below
+# the floor of 8, where the floor wins in both. At every judged SF
+# the rule lands on 8, bit-identical to the former fixed dial.
+_LSH_PLANES_SQL = (
+    "(SELECT greatest(8, length(bin((count(*) + 63) // 64 - 1)))"
+    " FROM embeddings)"
+)
+
+
+def _lsh_planes(emb) -> int:
+    """Python mirror of _LSH_PLANES_SQL (one count job, like
+    _semdedup_k)."""
+    return max(8, ((emb.count() + 63) // 64 - 1).bit_length())
+
+
+_LSH_SQL = f"""
 dims AS (
   SELECT vec_id, i - 1 AS i, CAST(floor(v[i] * 1000) AS BIGINT) AS vq
   FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -411,7 +434,8 @@ contrib AS (
   SELECT vec_id, j,
     vq * ((strpos('0123456789abcdef',
            substr(md5(CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 2 - 15) AS c
-  FROM dims, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS planes(j)
+  FROM dims,
+       (SELECT unnest(generate_series(0, {_LSH_PLANES_SQL} - 1)) AS j) planes
 ),
 buckets AS (
   SELECT vec_id,
@@ -449,9 +473,14 @@ SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 )
 def sim_lsh_bucketed(spark, sf_dir):
     """ANN scale path: deterministic hyperplane LSH buckets (integer-
-    quantized), exact cosine re-rank inside the query's bucket."""
+    quantized), exact cosine re-rank inside the query's bucket. Since
+    round 4 the plane count runs the _LSH_PLANES_SQL rule (8 at every
+    judged SF; grows log2 with the corpus so candidate sets stay
+    ~64-bounded)."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.lsh_bucket_topk(emb, [0, 1, 2, 3, 4], k=3, num_planes=8)
+    return similarity.lsh_bucket_topk(
+        emb, [0, 1, 2, 3, 4], k=3, num_planes=_lsh_planes(emb)
+    )
 
 
 # Two fixed Lloyd iterations of spherical k-means, mirrored exactly:
@@ -613,9 +642,21 @@ def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket candidates + exact
     cosine filter — the semantic-dedup primitive for corpus curation.
     Threshold 0.2 because the synthetic embeddings are near-orthogonal
-    (within-bucket max cosine ≈ 0.38); a real corpus would use ~0.9."""
+    (within-bucket max cosine ≈ 0.38); a real corpus would use ~0.9.
+
+    Since round 4 this judged entry RUNS THE PLANE RULE (max(8,
+    bit_length(ceil(n/64)-1)), mirrored in the oracle's planes
+    relation): at the judged SFs it gives 8 planes — bit-identical to
+    the former fixed dial — while at 100x it gives 12+, keeping mean
+    bucket occupancy <= ~64 so the pair join stays linear instead of
+    materializing ~(n/256)^2*256 candidates. More planes trades
+    single-table recall for cost; band-OR amplification (the
+    dedup_minhash pattern) is the recall lever if a real corpus needs
+    it back."""
     emb = load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.2, num_planes=8)
+    return similarity.embedding_near_dups(
+        emb, threshold=0.2, num_planes=_lsh_planes(emb)
+    )
 
 
 @register(
@@ -650,9 +691,12 @@ def dedup_cluster(spark, sf_dir):
     min-label propagation (connected components) turns the pairwise
     candidates into dedup groups — keep min-id per cluster. The
     oracle computes the same transitive closure with a recursive
-    CTE."""
+    CTE. Candidate generation shares dedup_embedding's plane rule
+    (scaled buckets, linear pair join)."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dups(emb, threshold=0.2, num_planes=8)
+    pairs = similarity.embedding_near_dups(
+        emb, threshold=0.2, num_planes=_lsh_planes(emb)
+    )
     return dedup.connected_components(pairs.select("id_a", "id_b"))
 
 
