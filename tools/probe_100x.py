@@ -45,8 +45,7 @@ QUERIES_100X = [
     "agg_time_bucket",
     "strm_tumbling",
     "emb_gram",
-    # last: the one known heavy dial — fixed-plane LSH pairs grow
-    # quadratically at fixed bucket count until the plane rule lands
+    "dedup_cluster",
     "dedup_embedding",
 ]
 

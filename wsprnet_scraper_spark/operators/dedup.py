@@ -241,10 +241,6 @@ def connected_components(
     # against with persist_edges (candidate pairs often sit on top of
     # a shingle join far costlier than this CC pass itself).
     sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("src").alias("doc")).distinct()
-        .withColumn("label", F.col("doc"))
-    )
 
     def _label_sum(df) -> int:
         # Convergence fingerprint: every node's label is non-increasing
@@ -256,32 +252,53 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev_sum = None
-    for _ in range(max_iter):
-        msgs = sym.join(
-            labels.withColumnRenamed("doc", "dst"), "dst"
-        ).select(F.col("src").alias("doc"), "label")
-        jump = (
-            labels.alias("l1")
-            .join(
-                labels.select(
-                    F.col("doc").alias("label"), F.col("label").alias("_ll")
-                ),
-                "label",
-            )
-            .select("doc", F.col("_ll").alias("label"))
-        )
+    # Spill-aware round sizing: the per-round join/agg hash maps are
+    # edge-set-sized, and on a dup-saturated corpus (the 100x probe:
+    # ~100 true copies per base doc) the pair relation is orders of
+    # magnitude larger than the corpus — at a fixed 32 shuffle
+    # partitions those maps OOMed an 8g local box. Size the loop's
+    # shuffle from the MEASURED edge count (the checkpoint makes the
+    # count a local-block scan) at ~2M edge rows per task; AQE still
+    # coalesces small rounds back down. Conf is set only for the
+    # eager loop below and restored before returning.
+    spark = pairs.sparkSession
+    n_edges = sym.count()
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    parts = max(int(saved), min(4096, n_edges // 2_000_000 + 1))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         labels = (
-            labels.unionByName(msgs)
-            .unionByName(jump)
-            .groupBy("doc")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            sym.select(F.col("src").alias("doc")).distinct()
+            .withColumn("label", F.col("doc"))
         )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        prev_sum = None
+        for _ in range(max_iter):
+            msgs = sym.join(
+                labels.withColumnRenamed("doc", "dst"), "dst"
+            ).select(F.col("src").alias("doc"), "label")
+            jump = (
+                labels.alias("l1")
+                .join(
+                    labels.select(
+                        F.col("doc").alias("label"), F.col("label").alias("_ll")
+                    ),
+                    "label",
+                )
+                .select("doc", F.col("_ll").alias("label"))
+            )
+            labels = (
+                labels.unionByName(msgs)
+                .unionByName(jump)
+                .groupBy("doc")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return labels.select("doc", F.col("label").alias("cluster"))
 
 
