@@ -148,3 +148,34 @@ def test_kcore_k_too_high_empties(spark):
     e0 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
     sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     assert kcore(sym, 3, rounds=4).count() == 0
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    """Two triangles bridged by one edge: after enough synchronous
+    rounds each triangle agrees on its minimum member id (the
+    neighbor-majority + smallest-label tie rule pulls 1 through
+    triangle {1,2,3} and 4 through {4,5,6}; the single bridge vote
+    is always outvoted by the two in-clique votes)."""
+    from wsprnet_scraper_spark.operators.graph import label_propagation
+
+    e0 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {r["nid"]: r["label"] for r in label_propagation(sym, 4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[4] == got[5] == got[6]
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A path 1-2-3: node 2 sees labels {1, 3} with equal counts and
+    must take 1 (count DESC, label ASC) — pinning the deterministic
+    tie rule the oracle replays."""
+    from wsprnet_scraper_spark.operators.graph import label_propagation
+
+    e0 = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    one = {r["nid"]: r["label"] for r in label_propagation(sym, 1).collect()}
+    # generation 1: each node = mode of NEIGHBOR labels (not its own)
+    assert one == {1: 2, 2: 1, 3: 2}

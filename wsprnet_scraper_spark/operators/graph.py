@@ -236,3 +236,48 @@ def kcore(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("src").alias("nid"), "deg"
     )
+
+
+def label_propagation(edges_sym: DataFrame, rounds: int) -> DataFrame:
+    """Synchronous label propagation (community detection): every
+    node starts labeled with its own id; each round, every node
+    adopts the label MOST FREQUENT among its neighbors, ties broken
+    by the smallest label. Deterministic by construction — the
+    (count DESC, label ASC) argmax has a unique winner per node and
+    the update is synchronous (all nodes read generation i-1), so any
+    engine replaying the recurrence is bit-identical; no random tie
+    coin or asynchronous visit order (the usual LPA
+    nondeterminism sources) exists in this formulation.
+
+    Runs EXACTLY `rounds` generations, no convergence early-exit:
+    synchronous LPA can 2-cycle on bipartite-ish regions, so "this
+    generation equals some earlier one" does not pin which labeling a
+    converged engine would return — the fixed unroll is the
+    well-defined spec, and it is what the SQL oracle replays.
+
+    Scale shape: per round, one equi-join of the (persisted,
+    once-shuffled) edge relation against the node-sized label
+    relation, a map-side-combinable (node, label) count, and a
+    groupBy-argmax via min(struct(-cnt, label)) — exact integer
+    semantics throughout. Everything shuffles on the node id; nothing
+    is broadcast or collected; lineage is cut every round. Returns
+    (nid, label)."""
+    e = edges_sym.localCheckpoint(eager=True)
+    labels = e.select(F.col("src").alias("nid")).distinct().withColumn(
+        "label", F.col("nid")
+    )
+    for _ in range(rounds):
+        nbr = e.join(
+            labels.withColumnRenamed("nid", "dst"), "dst"
+        ).select(F.col("src").alias("nid"), "label")
+        counts = nbr.groupBy("nid", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("nid")
+            .agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("label")))
+                .getField("label")
+                .alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -245,6 +245,56 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Replay operators/graph.label_propagation generation for
+    generation: each round every node takes the most frequent label
+    among its neighbors, ties to the smallest label (row_number over
+    (count DESC, label ASC) — the unique deterministic winner). Every
+    generation is AS MATERIALIZED for the same fan-out reason as
+    _cc_oracle. No early exit on either side: the fixed unroll IS the
+    spec (synchronous LPA may 2-cycle, so round count defines the
+    answer)."""
+    steps = [
+        "lp0 AS MATERIALIZED"
+        " (SELECT DISTINCT src AS nid, src AS label FROM edges)"
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"lp{i} AS MATERIALIZED (SELECT nid, label FROM ("
+            f" SELECT e.src AS nid, l.label, count(*) AS c"
+            f" FROM edges e JOIN lp{i - 1} l ON l.nid = e.dst"
+            f" GROUP BY e.src, l.label)"
+            f" QUALIFY row_number() OVER"
+            f" (PARTITION BY nid ORDER BY c DESC, label) = 1)"
+        )
+    return (
+        f"WITH {_CC_SQL}, {', '.join(steps)}\n"
+        f"SELECT nid, label FROM lp{rounds}"
+    )
+
+
+# cache_plans=False: label_propagation executes eagerly (per-round
+# localCheckpoint), same rationale as graph_cc.
+@register("graph_label_propagation", _lpa_oracle(_LPA_ROUNDS), cache_plans=False)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous label propagation over the
+    one-month interaction slice (shared with graph_cc/graph_kcore —
+    multi-component, so communities are non-trivial). Four fixed
+    generations of neighbor-majority voting with smallest-label ties;
+    see operators/graph.label_propagation for the determinism
+    argument and the per-round shuffle shape (edge join + integer
+    count + struct-argmin argmax, all keyed on the node id — nothing
+    broadcast or collected at any graph size)."""
+    from ..operators.graph import label_propagation
+
+    e0 = _sliced_edges(spark, sf_dir)
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return label_propagation(sym, _LPA_ROUNDS)
+
+
 _KCORE_K = 3
 _KCORE_ROUNDS = 4
 

@@ -820,6 +820,95 @@ def pipe_domain_mix(spark, sf_dir):
     )
 
 
+@register(
+    "pipe_token_budget_mix",
+    """
+WITH dom AS (
+  SELECT source,
+    SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS domain_tokens
+  FROM documents GROUP BY source
+),
+domq AS (
+  SELECT source, domain_tokens,
+    CAST(floor(sqrt(CAST(domain_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sq_q
+  FROM dom
+),
+tot AS (
+  SELECT SUM(domain_tokens) AS total_tokens, SUM(sq_q) AS total_q FROM domq
+),
+alloc AS (
+  SELECT d.source, d.domain_tokens,
+    CAST(d.sq_q AS DOUBLE) / CAST(t.total_q AS DOUBLE) AS weight,
+    CAST(floor((CAST(d.sq_q AS DOUBLE) / CAST(t.total_q AS DOUBLE))
+         * CAST(t.total_tokens // 2 AS DOUBLE)) AS BIGINT) AS alloc_tokens
+  FROM domq d, tot t
+)
+SELECT source, domain_tokens, weight, alloc_tokens,
+  least(CAST(1.0 AS DOUBLE),
+        CAST(alloc_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE)) AS sample_rate,
+  CAST(ceil(CAST(alloc_tokens AS DOUBLE) / CAST(domain_tokens AS DOUBLE)) AS BIGINT) AS epochs
+FROM alloc
+""",
+)
+def pipe_token_budget_mix(spark, sf_dir):
+    """The data-recipe solver: temperature-weighted token allocation
+    across domains (the multilingual-LM sampling rule, T = 2 — domain
+    weight ∝ sqrt(domain tokens), the public standard for flattening
+    a skewed corpus without drowning small domains). Given a global
+    budget of half the corpus tokens, emit per domain its exact token
+    count, normalized weight, allocated tokens, sampling rate, and
+    epoch count (ceil of the up-sampling factor) — the table a
+    training loader consumes directly; pipe_domain_mix then realizes
+    such a budget as a concrete document pick.
+
+    Cross-engine exactness without float aggregation: the only sums
+    are BIGINT token counts and BIGINT-quantized sqrt weights
+    (floor(sqrt(tokens) * 1e6) — sqrt and the scaling are correctly
+    rounded scalar ops, identical in any IEEE-754 engine); every
+    division happens per-domain on exact integers, so no
+    accumulation-order float drift exists anywhere in the plan.
+
+    Scale shape: one map-side-combinable aggregation over the corpus
+    to the domain relation (thousands of rows at most), then a 1-row
+    broadcast of the totals — the recipe itself never shuffles more
+    than the domain relation. At extreme scale (1e13+ token budgets)
+    the quantized products approach BIGINT range; the DECIMAL(38,0)
+    widening is the documented dial."""
+    d = load(spark, sf_dir, "documents")
+    dom = d.groupBy("source").agg(
+        F.sum(text.ws_token_count(F.col("text")).cast("bigint")).alias(
+            "domain_tokens"
+        )
+    )
+    domq = dom.withColumn(
+        "sq_q",
+        F.floor(F.sqrt(F.col("domain_tokens").cast("double")) * 1_000_000).cast(
+            "bigint"
+        ),
+    )
+    tot = domq.agg(
+        F.sum("domain_tokens").alias("total_tokens"), F.sum("sq_q").alias("total_q")
+    )
+    weight = F.col("sq_q").cast("double") / F.col("total_q").cast("double")
+    alloc = domq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "domain_tokens",
+        weight.alias("weight"),
+        F.floor(weight * F.expr("total_tokens div 2").cast("double"))
+        .cast("bigint")
+        .alias("alloc_tokens"),
+    )
+    rate = F.col("alloc_tokens").cast("double") / F.col("domain_tokens").cast("double")
+    return alloc.select(
+        "source",
+        "domain_tokens",
+        "weight",
+        "alloc_tokens",
+        F.least(F.lit(1.0), rate).alias("sample_rate"),
+        F.ceil(rate).cast("bigint").alias("epochs"),
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 

@@ -35,6 +35,10 @@ def dec(c):
     return F.col(c).cast(DEC)
 
 
+def one():
+    return F.lit(1).cast(DEC)
+
+
 def _money(x: str) -> str:
     return f"CAST({x} AS DECIMAL(12,2))"
 
@@ -181,6 +185,167 @@ def sub_scalar_global(spark, sf_dir):
         .filter(dec("l_extendedprice") * F.col("cnt") > F.col("total"))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@register(
+    "sub_min_cost_supplier",
+    f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+    MIN({_money('l_extendedprice')}) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, s.s_name, n.n_name,
+  CAST(ps.cost AS DOUBLE) AS cost
+FROM ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND p.p_size <= 5
+  AND ps.cost = (
+    SELECT MIN(ps2.cost) FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+""",
+)
+def sub_min_cost_supplier(spark, sf_dir):
+    """Correlated min-over-group subquery (TPC-H Q2 shape) with the
+    part-supplier catalog derived from lineitem (the testdata has no
+    partsupp; MIN(extendedprice) per (part, supplier) stands in for
+    ps_supplycost): for each small European-sourced part, every
+    supplier offering it at the regional minimum cost.
+
+    Spark plan: the correlated `= (SELECT MIN ...)` collapses into a
+    window MIN over l_partkey computed on the already
+    region-filtered catalog — one extra exchange on partkey instead
+    of Catalyst's agg + rejoin decorrelation (two). Cost stays
+    DECIMAL through the MIN and the equality, so the predicate is
+    exact in both engines; ties (several suppliers at the minimum)
+    are returned in full, making the result a well-defined set with
+    no tiebreaker needed. The nation/region dimension joins
+    broadcast; only the catalog aggregation shuffles at scale."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    part = load(spark, sf_dir, "part", parallel="never")
+    supp = load(spark, sf_dir, "supplier", parallel="never")
+    nat = load(spark, sf_dir, "nation", parallel="never")
+    reg = load(spark, sf_dir, "region", parallel="never")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("cost")
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    eu_ps = ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+    w = W.partitionBy("l_partkey")
+    return (
+        eu_ps.withColumn("min_cost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 5)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey", "s_name", "n_name", F.col("cost").cast("double").alias("cost")
+        )
+    )
+
+
+@register(
+    "agg_top_supplier_q15",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+""",
+)
+def agg_top_supplier_q15(spark, sf_dir):
+    """Scalar-max-over-view subquery (TPC-H Q15 shape): the
+    supplier(s) with the highest one-quarter revenue. The revenue
+    view aggregates once; the scalar MAX is a 1-row broadcast against
+    it — the view is never recomputed (vs Q15's textual repetition).
+    Revenue is summed in DECIMAL, so partial-aggregation order can't
+    perturb the MAX-equality predicate: ties are exact and the entry
+    returns every supplier at the maximum."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    supp = load(spark, sf_dir, "supplier", parallel="never")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_extendedprice") * (one() - dec("l_discount"))).alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "sub_large_orders_q18",
+    f"""
+WITH big AS (
+  SELECT l_orderkey, SUM({_money('l_quantity')}) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM({_money('l_quantity')}) > 250
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(b.sum_qty AS DOUBLE) AS sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def sub_large_orders_q18(spark, sf_dir):
+    """HAVING-filtered IN subquery (TPC-H Q18 shape): customers
+    behind orders totalling > 250 units. The quantity rollup shuffles
+    on l_orderkey once and the HAVING prunes it to a sliver BEFORE
+    the orders/customer joins — the aggregate-then-semi-join order a
+    hand-planner would pick, expressed declaratively. Quantity sums
+    in DECIMAL (exact HAVING threshold); the surviving key set is
+    tiny at any scale, so both joins broadcast the aggregated side,
+    touching orders and customer with no shuffle at all."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    orders = load(spark, sf_dir, "orders", parallel="never")
+    cust = load(spark, sf_dir, "customer", parallel="never")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(250).cast(DEC))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
     )
 
 
