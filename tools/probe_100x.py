@@ -73,12 +73,24 @@ def main() -> None:
         # (events/documents/embeddings); lineitem/orders at 100x would
         # be gigabytes of parquet no probed query ever opens
         print("synthesizing 100x from 10x ...", file=sys.stderr)
-        old_facts = sp.FACTS
+        old_facts, old_offset = sp.FACTS, sp.OFFSET
         sp.FACTS = ["events", "documents", "embeddings"]
+        # the OUTER composition must offset by more than the whole
+        # 10x id span (10 copies x 1e10), or outer copy i of inner
+        # copy j collides with outer i' of inner j' whenever
+        # i + j = i' + j' — the first r4 probe corpus had exactly
+        # that bug (200k rows, 38k distinct vec_ids: ~5x id
+        # duplication), which both corrupted id-keyed semantics
+        # (pct-of-id batch splits, min-id tiebreaks) and planted a
+        # pathological ~10-deep near-dup saturation that made the
+        # dedup family look quadratically worse than the corpus
+        # shape it claims to model. 1e12 keeps ids unique and stays
+        # a multiple of 10 (doc_id % 10 sampling unchanged).
+        sp.OFFSET = 1_000_000_000_000
         try:
             sp.synth_10x(spark, args.mid, args.out)
         finally:
-            sp.FACTS = old_facts
+            sp.FACTS, sp.OFFSET = old_facts, old_offset
 
     def run(name: str, at: str) -> float:
         t0 = time.perf_counter()
