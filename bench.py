@@ -81,6 +81,9 @@ HEADLINE = [
     "pipe_importance_select", # DSIR-style hashed n-gram selection (r4)
     "sim_topk_2level",     # two-level ANN top-k serving (r4)
     "dedup_semantic_incremental", # batch-vs-corpus semantic dedup (r4)
+    "graph_label_propagation", # synchronous LPA community detection (r4)
+    "pipe_token_budget_mix",   # temperature-weighted data recipe (r4)
+    "sub_min_cost_supplier",   # Q2-shape correlated min-over-group (r4)
 ]
 
 
