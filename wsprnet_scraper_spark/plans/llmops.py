@@ -187,6 +187,10 @@ def dedup_minhash_capped(spark, sf_dir):
     return dedup.candidate_pairs(sigs, max_bucket=2)
 
 
+# cache_plans=False: the embedded connected_components pass executes
+# EAGERLY at build (per-round localCheckpoint + convergence counts),
+# so a cached "plan" is a materialized result and a re-invocation
+# would time ~0 — the graph_cc rationale, applied to every CC caller.
 @register(
     "pipe_dedup_e2e",
     f"""
@@ -221,6 +225,7 @@ WHERE doc_id % 10 = 0
     SELECT 1 FROM cc WHERE cc.doc = documents.doc_id AND cc.doc != cc.cluster
   )
 """,
+    cache_plans=False,
 )
 def pipe_dedup_e2e(spark, sf_dir):
     """The END-TO-END near-dup dedup pipeline as one judged query:
@@ -685,6 +690,7 @@ reach AS (
 )
 SELECT doc, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY doc
 """,
+    cache_plans=False,
 )
 def dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS from embedding-cosine pairs: distributed
@@ -692,7 +698,9 @@ def dedup_cluster(spark, sf_dir):
     candidates into dedup groups — keep min-id per cluster. The
     oracle computes the same transitive closure with a recursive
     CTE. Candidate generation shares dedup_embedding's plane rule
-    (scaled buckets, linear pair join)."""
+    (scaled buckets, linear pair join). cache_plans=False: the CC
+    pass executes eagerly at build (graph_cc rationale), so a cached
+    plan would serve materialized labels and time ~0 on re-runs."""
     emb = load(spark, sf_dir, "embeddings")
     pairs = similarity.embedding_near_dups(
         emb, threshold=0.2, num_planes=_lsh_planes(emb)
