@@ -201,9 +201,45 @@ def src_binaryfile(spark, sf_dir):
     )
 
 
-@register(
-    "snk_cdc_apply",
-    """
+def _cdc_generations(spark, sf_dir):
+    """The synthetic I/U/D changelog shared by snk_cdc_apply and its
+    streaming twin, as a list of per-sequence DataFrames (mirrors
+    _CDC_SQL's base/chg1/chg2 CTEs exactly)."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        price.alias("price"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    chg1 = o.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit("U").alias("status"),
+        (price + F.lit("10.00").cast("decimal(14,2)")).alias("price"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    chg2 = o.filter(F.col("o_orderkey") % 8 == 5).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("decimal(15,2)").alias("price"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    return [base, chg1, chg2]
+
+
+def _cdc_log(spark, sf_dir):
+    gens = _cdc_generations(spark, sf_dir)
+    out = gens[0]
+    for g in gens[1:]:
+        out = out.unionByName(g)
+    return out
+
+
+_CDC_SQL = """
 WITH base AS (
   SELECT o_orderkey AS k, o_orderstatus AS status,
          CAST(o_totalprice AS DECIMAL(14,2)) AS price,
@@ -230,8 +266,10 @@ latest AS (
 )
 SELECT k AS o_orderkey, status, CAST(price AS DOUBLE) AS price
 FROM latest WHERE rn = 1 AND op <> 'D'
-""",
-)
+"""
+
+
+@register("snk_cdc_apply", _CDC_SQL)
 def snk_cdc_apply(spark, sf_dir):
     """Change-data-capture materialization: a synthetic I/U/D
     changelog over the orders snapshot, applied latest-wins by
@@ -243,30 +281,7 @@ def snk_cdc_apply(spark, sf_dir):
     raw rows. At 100 TB the changelog is a fraction of the snapshot
     and AQE-broadcasts; replays are idempotent because seq ordering,
     not arrival order, decides the winner."""
-    o = load(spark, sf_dir, "orders", parallel="never")
-    price = F.col("o_totalprice").cast("decimal(14,2)")
-    base = o.filter(F.col("o_orderkey") % 3 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("status"),
-        price.alias("price"),
-        F.lit(0).alias("seq"),
-        F.lit("I").alias("op"),
-    )
-    chg1 = o.filter(F.col("o_orderkey") % 4 == 1).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit("U").alias("status"),
-        (price + F.lit("10.00").cast("decimal(14,2)")).alias("price"),
-        F.lit(1).alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    chg2 = o.filter(F.col("o_orderkey") % 8 == 5).select(
-        F.col("o_orderkey").alias("k"),
-        F.lit(None).cast("string").alias("status"),
-        F.lit(None).cast("decimal(15,2)").alias("price"),
-        F.lit(2).alias("seq"),
-        F.lit("D").alias("op"),
-    )
-    log_all = base.unionByName(chg1).unionByName(chg2)
+    log_all = _cdc_log(spark, sf_dir)
     latest = log_all.groupBy("k").agg(
         F.max_by(F.struct("status", "price", "op"), F.col("seq")).alias("fin")
     )
@@ -276,6 +291,103 @@ def snk_cdc_apply(spark, sf_dir):
             F.col("k").alias("o_orderkey"),
             F.col("fin.status").alias("status"),
             F.col("fin.price").cast("double").alias("price"),
+        )
+    )
+
+
+@register("strm_cdc_apply", _CDC_SQL)
+def strm_cdc_apply(spark, sf_dir):
+    """snk_cdc_apply as a REAL stream: the three changelog
+    generations land as seq-ordered NDJSON files, a Structured
+    Streaming file source drains them one micro-batch each
+    (maxFilesPerTrigger=1, availableNow), and every micro-batch is
+    merged latest-wins-by-seq into a VERSIONED parquet state table
+    inside foreachBatch — the continuous Debezium-materialization
+    loop (state_v{i} written whole, never the dir being read; on a
+    transactional format this is MERGE per micro-batch). Tombstones
+    are RETAINED in state (op='D' rows survive the merge) and only
+    filtered at the serving read — the retention discipline that
+    keeps a later reinsert or out-of-order seq mergeable — so the
+    final state equals the batch operator's output and the entry
+    SHARES snk_cdc_apply's oracle: the one-code-path-for-batch-and-
+    stream proof for the CDC family (mirroring what strm_microbatch /
+    strm_rollup_merge / strm_semantic_dedup pin for ingest, rollups,
+    and semantic dedup).
+
+    Per micro-batch the merge is one groupBy(k) with a map-side-
+    combinable max_by((status, price, op), seq) over prior-state ∪
+    batch — latest-wins by SEQUENCE, not arrival order, so replays
+    and out-of-order delivery are idempotent (same argument as the
+    batch twin). Prices stay DECIMAL(14,2) through landing (JSON
+    renders the exact scale-2 literal) and state; the one double cast
+    happens at the serving read. Landing-file generation writes each
+    generation with a single-file coalesce and pins file order with
+    explicit mtimes — test scaffolding for a deterministic drain; in
+    production the files arrive from the CDC transport."""
+    import glob as _glob
+    import os
+
+    work = tempfile.mkdtemp(prefix="wspr_cdcstrm_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing, ckpt = f"{work}/landing", f"{work}/ckpt"
+    os.makedirs(landing)
+
+    for i, gen in enumerate(_cdc_generations(spark, sf_dir)):
+        tmp = f"{work}/gen-{i}"
+        gen.coalesce(1).write.mode("overwrite").json(tmp)
+        (src,) = _glob.glob(f"{tmp}/part-*.json")
+        dst = f"{landing}/cdc-{i:03d}.json"
+        os.rename(src, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    versions: list[str] = []
+
+    def merge_batch(bdf, bid):
+        prev = (
+            spark.read.parquet(versions[-1])
+            if versions
+            else spark.createDataFrame([], bdf.schema)
+        )
+        merged = (
+            prev.unionByName(bdf)
+            .groupBy("k")
+            .agg(
+                F.max_by(
+                    F.struct("status", "price", "op"), F.col("seq")
+                ).alias("fin"),
+                F.max("seq").alias("seq"),
+            )
+            .select(
+                "k",
+                F.col("fin.status").alias("status"),
+                F.col("fin.price").alias("price"),
+                "seq",
+                F.col("fin.op").alias("op"),
+            )
+        )
+        out = f"{work}/state_v{bid}"
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        spark.readStream.schema(
+            "k long, status string, price decimal(14,2), seq int, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(versions[-1])
+        .filter(F.col("op") != "D")
+        .select(
+            F.col("k").alias("o_orderkey"),
+            "status",
+            F.col("price").cast("double").alias("price"),
         )
     )
 
