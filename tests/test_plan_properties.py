@@ -186,3 +186,31 @@ def test_disjunctive_pred_pushes_to_both_scans(spark):
     p_scan = next(s for s in scans if "p_size" in s)
     assert "PushedFilters: [IsNotNull(l_partkey), Or(" in li_scan, li_scan
     assert "PushedFilters: [IsNotNull(p_partkey), Or(" in p_scan, p_scan
+
+
+def test_q18_prunes_before_joining(spark):
+    """sub_large_orders_q18: the HAVING-filtered quantity rollup is
+    the BUILD side of broadcast joins into orders/customer — the
+    aggregate-then-prune happens before any fact join, and the
+    surviving sliver broadcasts."""
+    plan = _plan(QUERIES["sub_large_orders_q18"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the rollup (partial+final HashAggregate) feeds a BroadcastExchange
+    assert "BroadcastExchange" in plan and "HashAggregate" in plan, plan
+
+
+def test_q2_min_cost_uses_partitioned_window(spark):
+    """sub_min_cost_supplier: the correlated min collapses into a
+    Window over l_partkey (never a single-task empty-partition
+    window), and the region/nation/part dims broadcast."""
+    plan = _plan(QUERIES["sub_min_cost_supplier"](spark, SF))
+    assert "Window" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q15_max_is_broadcast_scalar(spark):
+    """agg_top_supplier_q15: the scalar MAX side joins as a 1-row
+    broadcast (BroadcastNestedLoopJoin/BroadcastExchange), never a
+    shuffle of the revenue view against itself."""
+    plan = _plan(QUERIES["agg_top_supplier_q15"](spark, SF))
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan, plan
