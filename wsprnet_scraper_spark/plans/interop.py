@@ -304,7 +304,13 @@ def strm_cdc_apply(spark, sf_dir):
     merged latest-wins-by-seq into a VERSIONED parquet state table
     inside foreachBatch — the continuous Debezium-materialization
     loop (state_v{i} written whole, never the dir being read; on a
-    transactional format this is MERGE per micro-batch). Tombstones
+    transactional format this is MERGE per micro-batch). The version
+    pointer is the DISK listing of committed (_SUCCESS) state dirs,
+    not driver memory: a restarted driver rediscovers state, and a
+    checkpoint-replayed batch id merges against the latest version
+    BELOW its own id, rewriting the same state_v{i} — replay after a
+    crash between state write and checkpoint commit is idempotent
+    (the discipline test_kill_resume pins for the ingest path). Tombstones
     are RETAINED in state (op='D' rows survive the merge) and only
     filtered at the serving read — the retention discipline that
     keeps a later reinsert or out-of-order seq mergeable — so the
@@ -340,12 +346,25 @@ def strm_cdc_apply(spark, sf_dir):
         os.rename(src, dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    versions: list[str] = []
+    def _state_versions(below=None):
+        """Committed state versions ON DISK (not driver memory): a
+        restarted driver must rediscover them, and a checkpoint-
+        replayed batch id must merge against the latest version
+        BELOW itself — re-running batch i on top of state_v{i-1}
+        rewrites the same state_v{i}, so replay is idempotent."""
+        out = []
+        for d in _glob.glob(f"{work}/state_v*"):
+            if os.path.exists(f"{d}/_SUCCESS"):
+                i = int(d.rsplit("state_v", 1)[1])
+                if below is None or i < below:
+                    out.append(i)
+        return sorted(out)
 
     def merge_batch(bdf, bid):
+        prior = _state_versions(below=bid)
         prev = (
-            spark.read.parquet(versions[-1])
-            if versions
+            spark.read.parquet(f"{work}/state_v{prior[-1]}")
+            if prior
             else spark.createDataFrame([], bdf.schema)
         )
         merged = (
@@ -365,9 +384,7 @@ def strm_cdc_apply(spark, sf_dir):
                 F.col("fin.op").alias("op"),
             )
         )
-        out = f"{work}/state_v{bid}"
-        merged.write.mode("overwrite").parquet(out)
-        versions.append(out)
+        merged.write.mode("overwrite").parquet(f"{work}/state_v{bid}")
 
     q = (
         spark.readStream.schema(
@@ -381,8 +398,9 @@ def strm_cdc_apply(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    final = _state_versions()[-1]
     return (
-        spark.read.parquet(versions[-1])
+        spark.read.parquet(f"{work}/state_v{final}")
         .filter(F.col("op") != "D")
         .select(
             F.col("k").alias("o_orderkey"),
