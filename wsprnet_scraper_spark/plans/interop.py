@@ -201,6 +201,56 @@ def src_binaryfile(spark, sf_dir):
     )
 
 
+def _cdc_state_versions(work: str, below: int | None = None) -> list[int]:
+    """Committed state versions ON DISK (not driver memory): a
+    restarted driver must rediscover them, and a checkpoint-replayed
+    batch id must merge against the latest version BELOW itself —
+    re-running batch i on top of state_v{i-1} rewrites the same
+    state_v{i}, so replay is idempotent."""
+    import glob as _glob
+    import os
+
+    out = []
+    for d in _glob.glob(f"{work}/state_v*"):
+        if os.path.exists(f"{d}/_SUCCESS"):
+            i = int(d.rsplit("state_v", 1)[1])
+            if below is None or i < below:
+                out.append(i)
+    return sorted(out)
+
+
+def _cdc_merge_batch(spark, work: str, bdf, bid: int) -> None:
+    """One micro-batch of the CDC materialization loop: merge the
+    batch latest-wins-by-seq onto the latest committed state version
+    below `bid`, writing state_v{bid} whole (never the dir being
+    read). Module-level so the replay-idempotence test can drive the
+    exact production merge outside a stream."""
+    prior = _cdc_state_versions(work, below=bid)
+    prev = (
+        spark.read.parquet(f"{work}/state_v{prior[-1]}")
+        if prior
+        else spark.createDataFrame([], bdf.schema)
+    )
+    merged = (
+        prev.unionByName(bdf)
+        .groupBy("k")
+        .agg(
+            F.max_by(F.struct("status", "price", "op"), F.col("seq")).alias(
+                "fin"
+            ),
+            F.max("seq").alias("seq"),
+        )
+        .select(
+            "k",
+            F.col("fin.status").alias("status"),
+            F.col("fin.price").alias("price"),
+            "seq",
+            F.col("fin.op").alias("op"),
+        )
+    )
+    merged.write.mode("overwrite").parquet(f"{work}/state_v{bid}")
+
+
 def _cdc_generations(spark, sf_dir):
     """The synthetic I/U/D changelog shared by snk_cdc_apply and its
     streaming twin, as a list of per-sequence DataFrames (mirrors
@@ -346,45 +396,8 @@ def strm_cdc_apply(spark, sf_dir):
         os.rename(src, dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    def _state_versions(below=None):
-        """Committed state versions ON DISK (not driver memory): a
-        restarted driver must rediscover them, and a checkpoint-
-        replayed batch id must merge against the latest version
-        BELOW itself — re-running batch i on top of state_v{i-1}
-        rewrites the same state_v{i}, so replay is idempotent."""
-        out = []
-        for d in _glob.glob(f"{work}/state_v*"):
-            if os.path.exists(f"{d}/_SUCCESS"):
-                i = int(d.rsplit("state_v", 1)[1])
-                if below is None or i < below:
-                    out.append(i)
-        return sorted(out)
-
     def merge_batch(bdf, bid):
-        prior = _state_versions(below=bid)
-        prev = (
-            spark.read.parquet(f"{work}/state_v{prior[-1]}")
-            if prior
-            else spark.createDataFrame([], bdf.schema)
-        )
-        merged = (
-            prev.unionByName(bdf)
-            .groupBy("k")
-            .agg(
-                F.max_by(
-                    F.struct("status", "price", "op"), F.col("seq")
-                ).alias("fin"),
-                F.max("seq").alias("seq"),
-            )
-            .select(
-                "k",
-                F.col("fin.status").alias("status"),
-                F.col("fin.price").alias("price"),
-                "seq",
-                F.col("fin.op").alias("op"),
-            )
-        )
-        merged.write.mode("overwrite").parquet(f"{work}/state_v{bid}")
+        _cdc_merge_batch(spark, work, bdf, bid)
 
     q = (
         spark.readStream.schema(
@@ -398,7 +411,7 @@ def strm_cdc_apply(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    final = _state_versions()[-1]
+    final = _cdc_state_versions(work)[-1]
     return (
         spark.read.parquet(f"{work}/state_v{final}")
         .filter(F.col("op") != "D")
