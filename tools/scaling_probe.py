@@ -77,6 +77,22 @@ def synth_10x(spark, base: str, out: str) -> None:
         for p in parts[1:]:
             big = big.unionByName(p)
         big.write.mode("overwrite").parquet(str(outp / f"{t}.parquet"))
+        # id-disjointness guard: every copy's key space must be
+        # disjoint, i.e. distinct(id) grows exactly COPIES-fold
+        # (stated against the BASE distinct count because some keys —
+        # l_orderkey — are legitimately non-unique within a copy).
+        # The round-4 100x corpus violated this silently (composing
+        # the synth reused the same offset, colliding ids across
+        # copies) and cost a debugging session; fail loudly instead.
+        out_df = spark.read.parquet(str(outp / f"{t}.parquet"))
+        for col in id_cols[t]:
+            base_d = df.select(col).distinct().count()
+            out_d = out_df.select(col).distinct().count()
+            assert out_d == COPIES * base_d, (
+                f"{t}.{col}: id collision across copies "
+                f"({out_d} distinct, expected {COPIES} x {base_d} — "
+                f"is OFFSET smaller than the input id span?)"
+            )
 
 
 def main() -> None:
