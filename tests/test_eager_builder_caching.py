@@ -27,6 +27,7 @@ EAGER_OPS = (
     "connected_components",
     "kcore(",
     "label_propagation(",
+    "bfs_layers(",
 )
 
 

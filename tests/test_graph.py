@@ -179,3 +179,32 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     one = {r["nid"]: r["label"] for r in label_propagation(sym, 1).collect()}
     # generation 1: each node = mode of NEIGHBOR labels (not its own)
     assert one == {1: 2, 2: 1, 3: 2}
+
+
+def test_bfs_layers_path_graph_exact_distances(spark):
+    """Path 1-2-3-4-5 from source 1: layer = exact hop distance,
+    capped by rounds (rounds=2 never reaches 4 or 5)."""
+    from wsprnet_scraper_spark.operators.graph import bfs_layers
+
+    e0 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    src = sym.agg(F.min("src").alias("nid"))
+    got = {r["nid"]: r["layer"] for r in bfs_layers(sym, src, 4).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    capped = {r["nid"]: r["layer"] for r in bfs_layers(sym, src, 2).collect()}
+    assert capped == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_layers_stops_at_component_boundary(spark):
+    """Two components: BFS from the min node never crosses into the
+    other component, and the early exit on an empty frontier returns
+    the fixed point."""
+    from wsprnet_scraper_spark.operators.graph import bfs_layers
+
+    e0 = spark.createDataFrame([(1, 2), (10, 11)], "src long, dst long")
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    src = sym.agg(F.min("src").alias("nid"))
+    got = {r["nid"]: r["layer"] for r in bfs_layers(sym, src, 6).collect()}
+    assert got == {1: 0, 2: 1}

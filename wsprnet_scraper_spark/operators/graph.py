@@ -238,6 +238,46 @@ def kcore(edges_sym: DataFrame, k: int, rounds: int) -> DataFrame:
     )
 
 
+def bfs_layers(edges_sym: DataFrame, source, rounds: int) -> DataFrame:
+    """Breadth-first reachability layers from `source` (a 1-row
+    DataFrame with column `nid`, so the source can itself be the
+    result of a distributed computation — e.g. the minimum node id —
+    without a driver round trip): returns (nid, layer) for every node
+    within `rounds` hops, layer = exact shortest hop distance.
+
+    Frontier-style — the shape that scales: each round joins only the
+    FRONTIER (nodes first discovered last round) against the edge
+    relation, anti-joins the visited set to keep first discoveries,
+    and unions them in at layer i. Work per round is frontier-adjacent
+    edges, not the whole graph; everything is keyed on the node id;
+    nothing is broadcast (the visited/frontier relations are
+    node-sized) or collected; lineage is cut per round. First
+    discovery IS the minimum hop count, so the result equals the
+    min-over-all-paths formulation the SQL oracle states — the
+    optimized frontier plan must reproduce the naive spec exactly.
+    Early exit on an empty frontier returns the same fixed point the
+    full unroll would."""
+    e = edges_sym.localCheckpoint(eager=True)
+    visited = source.select("nid").distinct().withColumn(
+        "layer", F.lit(0).cast("int")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for i in range(1, rounds + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("nid", "dst"), "dst")
+            .select(F.col("src").alias("nid"))
+            .distinct()
+            .join(visited, "nid", "left_anti")
+            .withColumn("layer", F.lit(i).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
 def label_propagation(edges_sym: DataFrame, rounds: int) -> DataFrame:
     """Synchronous label propagation (community detection): every
     node starts labeled with its own id; each round, every node

@@ -245,6 +245,56 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+_BFS_ROUNDS = 4
+
+
+def _bfs_oracle(rounds: int) -> str:
+    """The naive min-over-all-paths spec the frontier-style engine
+    plan must reproduce: layer_i(v) = min(layer_{i-1}(v), 1 +
+    layer_{i-1}(u) for any neighbor u). MATERIALIZED per round for
+    the same CTE-inlining fan-out reason as _cc_oracle."""
+    steps = [
+        "b0 AS MATERIALIZED"
+        " (SELECT (SELECT min(src) FROM edges) AS nid, 0 AS layer)"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"b{i - 1}"
+        steps.append(
+            f"b{i} AS MATERIALIZED (SELECT nid, MIN(layer) AS layer FROM ("
+            f" SELECT nid, layer FROM {p}"
+            f" UNION ALL"
+            f" SELECT e.src AS nid, l.layer + 1 FROM edges e"
+            f"   JOIN {p} l ON l.nid = e.dst"
+            f") GROUP BY nid)"
+        )
+    return (
+        f"WITH {_CC_SQL}, {', '.join(steps)}\n"
+        f"SELECT nid, CAST(layer AS INT) AS layer FROM b{rounds}"
+    )
+
+
+# cache_plans=False: bfs_layers executes eagerly (per-round frontier
+# localCheckpoint + emptiness checks), graph_cc rationale.
+@register("graph_bfs_layers", _bfs_oracle(_BFS_ROUNDS), cache_plans=False)
+def graph_bfs_layers(spark, sf_dir):
+    """Breadth-first reachability from the graph's minimum node id
+    over the one-month interaction slice: every node within 4 hops
+    with its exact shortest hop distance — the traversal primitive
+    under 'friends of friends', blast-radius, and feature-neighborhood
+    queries. The engine runs the FRONTIER formulation (each round
+    touches only frontier-adjacent edges — see operators/graph.
+    bfs_layers for the scale argument); the oracle states the naive
+    min-over-all-paths recurrence, so the gate proves the optimized
+    traversal equals the spec. The source is a 1-row aggregate
+    DataFrame, never a collected scalar."""
+    from ..operators.graph import bfs_layers
+
+    e0 = _sliced_edges(spark, sf_dir)
+    sym = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    src = sym.agg(F.min("src").alias("nid"))
+    return bfs_layers(sym, src, _BFS_ROUNDS)
+
+
 _LPA_ROUNDS = 4
 
 
