@@ -245,6 +245,74 @@ def graph_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+@register(
+    "graph_jaccard_linkpred",
+    f"""
+WITH {_CC_SQL},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+wedge AS (
+  SELECT e1.src AS a, e2.src AS b, count(*) AS cn
+  FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+  GROUP BY e1.src, e2.src
+)
+SELECT w.a, w.b, CAST(w.cn AS BIGINT) AS cn,
+  CAST(w.cn AS DOUBLE) / (da.deg + db.deg - w.cn) AS jaccard
+FROM wedge w
+JOIN deg da ON da.src = w.a
+JOIN deg db ON db.src = w.b
+ORDER BY jaccard DESC, w.a, w.b
+LIMIT 20
+""",
+)
+def graph_jaccard_linkpred(spark, sf_dir):
+    """Link prediction by neighborhood Jaccard similarity: the top-20
+    non-adjacent-or-adjacent node pairs ranked by |N(a)∩N(b)| /
+    |N(a)∪N(b)| over the one-month interaction slice — the classic
+    common-neighbors recommender primitive. Candidate pairs come from
+    a WEDGE join keyed on the shared neighbor (the same
+    bucket-equi-join discipline as the dedup family: the quadratic
+    pair space never materializes, only pairs with ≥1 common neighbor
+    exist), counts collapse map-side, degrees join back from the
+    node-sized degree relation, and the single double division
+    happens once per surviving pair — exact-integer inputs, so
+    cross-engine bit parity holds. Global top-20 is a
+    TakeOrderedAndProject over the aggregated pair relation with a
+    (jaccard DESC, a, b) total order. At 100 TB the hub-neighbor
+    blowup (a degree-d hub contributes d² wedges) is capped with
+    operators/dedup.frequency_cap on the wedge-center key — the
+    documented dial, same as the capped minhash twins."""
+    e = _sliced_edges(spark, sf_dir)
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    wedge = (
+        e1.join(
+            e2,
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .groupBy(F.col("e1.src").alias("a"), F.col("e2.src").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("src").alias("b"), F.col("deg").alias("_db"))
+    return (
+        wedge.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("cn").cast("bigint").alias("cn"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
 _BFS_ROUNDS = 4
 
 
