@@ -84,6 +84,8 @@ HEADLINE = [
     "graph_label_propagation", # synchronous LPA community detection (r4)
     "pipe_token_budget_mix",   # temperature-weighted data recipe (r4)
     "sub_min_cost_supplier",   # Q2-shape correlated min-over-group (r4)
+    "graph_bfs_layers",        # frontier BFS reachability layers (r4)
+    "graph_jaccard_linkpred",  # wedge-join Jaccard link prediction (r4)
 ]
 
 
