@@ -156,6 +156,53 @@ def src_orc_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "src_xml_roundtrip",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_us
+FROM events GROUP BY 1
+""",
+)
+def src_xml_roundtrip(spark, sf_dir):
+    """Document-format interop through Spark 4's NATIVE XML source
+    (rowTag row-level framing, both directions): events written as
+    XML and read back with an EXPLICIT schema — no inference pass, so
+    a 100 TB landing zone is read in one scan, not two — then
+    aggregated; the rollup must equal the same aggregate on the
+    parquet original. Fidelity discipline for a text format:
+    timestamps cross as unix_micros BIGINTs (no datetime rendering to
+    disagree on) and doubles round-trip exactly because Java's
+    shortest-representation toString parses back to the identical
+    bit pattern. The enterprise-interchange leg of the format matrix
+    (parquet/ORC/JSON/CSV/binary/XML)."""
+    work = tempfile.mkdtemp(prefix="wspr_xml_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    ev = load_events(spark, sf_dir)
+    ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    ).write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).mode("overwrite").save(f"{work}/events_xml")
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, us long, value double")
+        .load(f"{work}/events_xml")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
+        F.max("us").alias("max_us"),
+    )
+
+
 # ------------------------------------------------------------- binaryFile
 
 
