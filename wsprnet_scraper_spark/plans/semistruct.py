@@ -41,6 +41,37 @@ def json_get_props(spark, sf_dir):
 
 
 @register(
+    "json_variant_extract",
+    """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS INT) AS k_typed,
+  json_extract_string(props, '$.k') AS k_str,
+  CAST(json_extract(props, '$.absent') AS INT) AS absent
+FROM events WHERE event_id % 7 = 0
+""",
+)
+def json_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    `parse_json` once into an open-schema binary-encoded column
+    (staged, so the parse is not repeated per path), then typed
+    `try_variant_get` path reads — int, string-cast-of-number, and a
+    missing path yielding NULL instead of an error. VARIANT is the
+    shredded-storage answer for 100 TB of heterogeneous JSON: parse
+    cost is paid once at ingest, path reads are binary field lookups
+    instead of string re-parsing (get_json_object re-parses per
+    call — `json_get_props` is that baseline), and unknown keys stay
+    queryable without schema migration."""
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") % 7 == 0)
+    staged = ev.select("event_id", F.parse_json("props").alias("v"))
+    return staged.select(
+        "event_id",
+        F.try_variant_get("v", "$.k", "int").alias("k_typed"),
+        F.try_variant_get("v", "$.k", "string").alias("k_str"),
+        F.try_variant_get("v", "$.absent", "int").alias("absent"),
+    )
+
+
+@register(
     "map_from_json",
     """
 SELECT event_id,
