@@ -158,3 +158,55 @@ def test_rolling_median_matches_brute_force(spark):
             assert abs(med[rows[i]["event_id"]] - statistics.median(frame)) < 1e-12
             checked += 1
     assert checked >= 10
+
+
+def test_weighted_ma_one_exchange_one_sort(spark):
+    # the row_number window and the two frame sums share the
+    # (event_type | us, event_id) sort: one exchange, one sort,
+    # chained Window operators with no re-sort between them
+    plan = _plan(QUERIES["win_weighted_ma"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert len(re.findall(r"\+- Sort ", plan)) == 1, plan
+    assert plan.count("Window") >= 2, plan
+
+
+def test_weighted_ma_full_frame_weights(spark):
+    # on a full 20-row frame the weights are exactly 20..1 — check
+    # one anchor against a hand-computed WMA
+    rows = (
+        QUERIES["win_weighted_ma"](spark, SF)
+        .orderBy("event_id")
+        .limit(200)
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    naive = con.execute(
+        """
+        WITH t AS (
+          SELECT event_id, event_type, epoch_us(ts) AS us,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        r AS (
+          SELECT event_id, cents,
+                 ROW_NUMBER() OVER
+                   (PARTITION BY event_type ORDER BY us, event_id) AS rn,
+                 event_type
+          FROM t
+        )
+        SELECT a.event_id,
+               SUM(b.cents * (b.rn - a.rn + 20)) * 1.0
+                 / SUM(b.rn - a.rn + 20) AS wma
+        FROM r a JOIN r b
+          ON a.event_type = b.event_type
+         AND b.rn BETWEEN a.rn - 19 AND a.rn
+        GROUP BY a.event_id
+        ORDER BY a.event_id LIMIT 200
+        """
+    ).fetchall()
+    got = {r["event_id"]: r["wma20"] for r in rows}
+    for eid, wma in naive:
+        assert abs(got[eid] - float(wma)) < 1e-9, (eid, got[eid], wma)

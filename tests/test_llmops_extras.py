@@ -184,3 +184,45 @@ def test_train_ready_e2e_two_exchanges(spark):
     for r in rows:
         assert 0 <= r.offset_in_bin < 512
         assert r.bin >= 0 and r.n_tokens >= 20
+
+
+def test_cap_per_domain_two_phase_plan(spark):
+    # the per-source counts must broadcast (never shuffle the corpus
+    # on the join) and the top-K must run through WindowGroupLimit so
+    # each map task emits <= K rows per source BEFORE the exchange —
+    # the property that keeps a 10^10-document domain off one task
+    plan = _plan(QUERIES["pipe_cap_per_domain"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("WindowGroupLimit") == 2, plan  # Partial + Final
+    assert "Partial" in plan and "Final" in plan, plan
+
+
+def test_cap_per_domain_equals_naive_topk(spark):
+    # the two-phase hash-threshold pick must equal the naive global
+    # row_number<=K per source (the filter is downward-closed in the
+    # (hx, doc_id) order, so survivors always contain the true top-K)
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.source, r.doc_id): r.rnk
+        for r in QUERIES["pipe_cap_per_domain"](spark, SF).collect()
+    }
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    w = W.partitionBy("source").orderBy("hx", "doc_id")
+    naive = (
+        d.select(
+            "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("hx")
+        )
+        .select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 50)
+        .collect()
+    )
+    assert got == {(r.source, r.doc_id): r.rnk for r in naive}
+    # every source is capped at 50 and ranks are dense from 1
+    by_src = {}
+    for (src, _), rnk in got.items():
+        by_src.setdefault(src, []).append(rnk)
+    for src, rnks in by_src.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), src
+        assert len(rnks) <= 50, src

@@ -1716,3 +1716,75 @@ def win_anomaly_robust(spark, sf_dir):
             (F.col("v") > 2.0 * F.col("trailing_med")).alias("spike"),
         )
     )
+
+
+@register(
+    "win_weighted_ma",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT event_id, event_type, us, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY us, event_id) AS rn
+  FROM t
+),
+f AS (
+  SELECT event_id, rn,
+         SUM(cents * rn) OVER w AS s1,
+         SUM(cents)      OVER w AS s0,
+         CAST(COUNT(*)   OVER w AS BIGINT) AS c
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+       CAST(2 * (s1 + (20 - rn) * s0) AS DOUBLE)
+         / CAST(c * (41 - c) AS DOUBLE) AS wma20
+FROM f
+""",
+)
+def win_weighted_ma(spark, sf_dir):
+    """Linearly-decaying weighted moving average (the finance WMA):
+    each point averaged over its trailing 20 rows per event type with
+    weights 20 (newest) down to 1 — recency emphasis the flat rolling
+    mean can't express, without EWMA's unbounded recursion.
+
+    Cross-engine exactness via the two-integer-sums identity: with
+    rn the per-partition row number, the weight of frame row i at
+    anchor t is (rn_i - rn_t + 20), so the weighted numerator is
+    SUM(cents*rn) + (20 - rn_t)*SUM(cents) — two plain integer frame
+    sums, exact in any accumulation order (a direct weighted double
+    sum would be order-sensitive). The weight total for a c-row frame
+    is c*(41-c)/2, also exact; the one double division at the end is
+    bit-identical in both engines. Scale: partitioned bounded-frame
+    window, O(1) state per row, one exchange; both frame sums and the
+    row_number share the (event_type | us, event_id) sort, so the
+    chained Window operators reuse a single sort."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wo = W.partitionBy("event_type").orderBy("us", "event_id")
+    r = t.select(
+        "event_id",
+        "event_type",
+        "us",
+        "cents",
+        F.row_number().over(wo).alias("rn"),
+    )
+    wf = wo.rowsBetween(-19, W.currentRow)
+    s1 = F.sum(F.col("cents") * F.col("rn")).over(wf)
+    s0 = F.sum("cents").over(wf)
+    c = F.count(F.lit(1)).over(wf).cast("bigint")
+    num = (
+        F.lit(2).cast("bigint")
+        * (s1 + (F.lit(20).cast("bigint") - F.col("rn")) * s0)
+    ).cast("double")
+    den = (c * (F.lit(41).cast("bigint") - c)).cast("double")
+    return r.select("event_id", (num / den).alias("wma20"))

@@ -3209,3 +3209,88 @@ def dedup_normalized(spark, sf_dir):
         )
         .select("doc_id", "lang", "source", "group_sz", "keep")
     )
+
+
+# 6-nibble (24-bit) md5 bucket of doc_id, as DuckDB SQL. Same value
+# Spark computes with conv(substring(md5, 1, 6), 16, 10): the hex
+# prefix read as an integer. 16.7M buckets so the per-bucket slice of
+# even a 10^10-document domain is ~600 rows.
+_BUCKET24 = (
+    "((((("
+    "(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)"
+)
+
+
+@register(
+    "pipe_cap_per_domain",
+    f"""
+WITH h AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, hx, CAST({_BUCKET24} AS BIGINT) AS bucket
+  FROM h
+),
+c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT b.doc_id, b.source, b.hx
+  FROM b JOIN c ON b.source = c.source
+  WHERE b.bucket < CAST(ceil(16777216 * 400.0 / c.cnt) AS BIGINT)
+),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx, doc_id) AS rnk
+  FROM s
+)
+SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 50
+""",
+)
+def pipe_cap_per_domain(spark, sf_dir):
+    """Fixed-K cap per domain: keep at most K=50 documents per source,
+    chosen by md5(doc_id) order — the curation op that stops one
+    giant crawl domain from dominating the mixture (cap CommonCrawl
+    hosts to N pages). Deterministic "uniform" pick with no RNG: the
+    K smallest hashes are a reproducible simple random sample.
+
+    Scale shape (the reason this is not one row_number window): a
+    naive PARTITION BY source row_number puts a 10^10-document domain
+    in a single task. Instead a two-phase top-K: (1) per-source
+    counts (tiny, broadcast) derive a 24-bit hash-prefix threshold
+    ceil(B*K*MARGIN/cnt) that keeps an expected K*MARGIN = 400 rows
+    per source — the filter is a pure map over the corpus; (2) the
+    exact row_number runs only over the ~400-row survivor slices.
+    Because ordering by the full hash is prefix-consistent, the
+    survivor set is downward-closed in that order, so the top-K among
+    survivors IS the global top-K whenever >= K rows survive —
+    P[Binomial(mean >= 400) < 50] < e^-150 per source (Chernoff), and
+    sources with cnt <= K*MARGIN get threshold >= B, i.e. pass
+    everything, exactly. Both engines run the identical two-phase
+    rule, so parity holds unconditionally."""
+    K, MARGIN, B = 50, 8, 16**6
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("hx", 1, 6), 16, 10).cast("bigint")
+    )
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    thr = F.ceil(F.lit(float(B * K * MARGIN)) / F.col("cnt")).cast("bigint")
+    s = b.join(F.broadcast(cnt), "source").where(F.col("bucket") < thr)
+    w = W.partitionBy("source").orderBy("hx", "doc_id")
+    return (
+        s.select("source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .where(F.col("rnk") <= K)
+        .select("source", "doc_id", F.col("rnk").cast("bigint").alias("rnk"))
+    )
