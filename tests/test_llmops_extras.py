@@ -226,3 +226,21 @@ def test_cap_per_domain_equals_naive_topk(spark):
     for src, rnks in by_src.items():
         assert sorted(rnks) == list(range(1, len(rnks) + 1)), src
         assert len(rnks) <= 50, src
+
+
+def test_mixture_epochs_broadcast_only_and_dense_copies(spark):
+    # both join-backs (per-source copies, 1-row totals) must broadcast;
+    # the corpus itself never shuffles for a join
+    df = QUERIES["pipe_mixture_epochs"](spark, SF)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "Generate explode" in plan or "explode" in plan, plan
+    rows = df.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy_idx)
+    for doc, idxs in by_doc.items():
+        # copy indices are dense 1..n and the 8.0 clamp bounds n at 9
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), doc
+        assert len(idxs) <= 9, doc

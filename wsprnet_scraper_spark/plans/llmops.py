@@ -3294,3 +3294,138 @@ def pipe_cap_per_domain(spark, sf_dir):
         .where(F.col("rnk") <= K)
         .select("source", "doc_id", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# 24-bit md5 bucket of the epoch pick key, as DuckDB SQL (same value
+# Spark computes with conv(substring(md5, 1, 6), 16, 10)).
+_EPOCH_BUCKET = (
+    "((((("
+    "(strpos('0123456789abcdef', substr(ek, 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(ek, 2, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(ek, 3, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(ek, 4, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(ek, 5, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(ek, 6, 1)) - 1)"
+)
+
+# Deterministic per-source mixture weight 1..4 from the source name's
+# md5 (no literals tied to a particular dataset's source values).
+_SRC_WEIGHT = (
+    "(((strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1) % 4 + 1)"
+)
+
+
+@register(
+    "pipe_mixture_epochs",
+    f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+         md5('epoch:' || CAST(doc_id AS VARCHAR)) AS ek
+  FROM documents
+),
+s AS (
+  SELECT source, CAST({_SRC_WEIGHT} AS BIGINT) AS w,
+         CAST(sum(n_tok) AS BIGINT) AS tok_s
+  FROM d GROUP BY source
+),
+g AS (
+  SELECT CAST(sum(w) AS BIGINT) AS w_tot, CAST(sum(tok_s) AS BIGINT) AS t
+  FROM s
+),
+c AS (
+  SELECT s.source,
+         least(8.0, CAST(2 * g.t * s.w AS DOUBLE)
+                      / CAST(nullif(g.w_tot * s.tok_s, 0) AS DOUBLE)) AS copies
+  FROM s, g
+),
+e AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(c.copies) AS BIGINT)
+           + CASE WHEN CAST({_EPOCH_BUCKET} AS DOUBLE) / 16777216.0
+                       < c.copies - floor(c.copies)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM d JOIN c ON d.source = c.source
+)
+SELECT doc_id, source, CAST(u.g AS BIGINT) AS copy_idx
+FROM e, unnest(generate_series(1, CAST(n_copies AS BIGINT))) AS u(g)
+""",
+)
+def pipe_mixture_epochs(spark, sf_dir):
+    """Multi-epoch source-weighted mixing — the op behind "repeat
+    Wikipedia 3.2x, CommonCrawl 0.8x": each source's documents are
+    replicated so its share of OUTPUT tokens is proportional to its
+    mixture weight, at a total budget of 2x the corpus. The epoch
+    count per source is real-valued: every doc gets floor(copies)
+    full epochs, and the fractional epoch takes each doc with
+    probability frac via a deterministic md5 threshold — no RNG, the
+    same training set on every run and every cluster size.
+
+    Distinct from pipe_oversample (balance classes up to the max
+    count) and pipe_domain_mix (greedy cut to a fixed token budget):
+    this produces the weighted multi-epoch repetition schedule.
+
+    Cross-engine exactness: weights, token sums and their products
+    stay in BIGINT; `copies` is ONE double division (nullif-guarded
+    divisor), clamped to 8.0, so floor/frac and the dyadic
+    bucket/2^24 threshold compare bit-identically in both engines.
+    Scale: two tiny aggregates (per-source, then a 1-row total) join
+    back via broadcast; replication is sequence+explode in place —
+    the corpus is scanned once, nothing document-sized shuffles, and
+    the clamp bounds output at 9x input rows."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        text.ws_token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))).alias(
+            "ek"
+        ),
+    )
+    w = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("bigint")
+        % 4
+        + 1
+    )
+    s = d.groupBy("source").agg(
+        F.first(w).alias("w"), F.sum("n_tok").cast("bigint").alias("tok_s")
+    )
+    g = s.agg(
+        F.sum("w").cast("bigint").alias("w_tot"),
+        F.sum("tok_s").cast("bigint").alias("t"),
+    )
+    c = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        F.least(
+            F.lit(8.0),
+            (F.lit(2).cast("bigint") * F.col("t") * F.col("w")).cast("double")
+            / F.nullif(F.col("w_tot") * F.col("tok_s"), F.lit(0).cast("bigint")).cast(
+                "double"
+            ),
+        ).alias("copies"),
+    )
+    bucket = F.conv(F.substring("ek", 1, 6), 16, 10).cast("bigint")
+    e = d.join(F.broadcast(c), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.floor("copies").cast("bigint")
+            + F.when(
+                bucket.cast("double") / F.lit(16777216.0)
+                < F.col("copies") - F.floor("copies"),
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("n_copies"),
+    )
+    return (
+        e.where(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"), F.col("n_copies"), F.lit(1).cast("bigint")
+                )
+            ).alias("copy_idx"),
+        )
+    )
