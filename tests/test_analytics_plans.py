@@ -210,3 +210,14 @@ def test_weighted_ma_full_frame_weights(spark):
     got = {r["event_id"]: r["wma20"] for r in rows}
     for eid, wma in naive:
         assert abs(got[eid] - float(wma)) < 1e-9, (eid, got[eid], wma)
+
+
+def test_k_anonymity_pruned_scan_partial_aggs(spark):
+    plan = _plan(QUERIES["diag_k_anonymity"](spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # only ts/event_type/value/user_id are read — props and event_id
+    # (most of the bytes at 100 TB) must be pruned
+    assert "props" not in scan and "event_id" not in scan, scan
+    # distinct-user count = two-phase aggregate with map-side partials
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert plan.count("FileScan") == 1, plan

@@ -1788,3 +1788,53 @@ def win_weighted_ma(spark, sf_dir):
     ).cast("double")
     den = (c * (F.lit(41).cast("bigint") - c)).cast("double")
     return r.select("event_id", (num / den).alias("wma20"))
+
+
+@register(
+    "diag_k_anonymity",
+    """
+WITH q AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         CAST(floor(CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE)
+                    / 10000.0) AS BIGINT) AS vband,
+         user_id
+  FROM events
+)
+SELECT event_type, day, vband,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM q
+GROUP BY event_type, day, vband
+HAVING count(DISTINCT user_id) < 5
+""",
+)
+def diag_k_anonymity(spark, sf_dir):
+    """k-anonymity audit — the privacy gate a training-data release
+    runs before shipping: every quasi-identifier combination
+    (event_type x day x value band) that fewer than k=5 distinct
+    users occupy is a re-identification risk and gets reported with
+    its row and user counts. Buckets are pure integer/epoch
+    arithmetic (day = floored epoch-days, band = floored 100-unit
+    cents band) so both engines bin identically — floor on doubles,
+    never integer division, because DuckDB's // floors while Spark's
+    div truncates toward zero on negatives. Scale: one grouped
+    aggregate with map-side partials; the distinct-user count is the
+    standard two-phase expand, keyed by the quasi-id combo — output
+    is bounded by the combo space, never the fact table."""
+    ev = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    q = ev.select(
+        "event_type",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0)).cast("bigint").alias("day"),
+        F.floor(cents.cast("double") / F.lit(10000.0)).cast("bigint").alias("vband"),
+        "user_id",
+    )
+    return (
+        q.groupBy("event_type", "day", "vband")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+        )
+        .where(F.col("n_users") < 5)
+    )
