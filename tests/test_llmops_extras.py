@@ -244,3 +244,20 @@ def test_mixture_epochs_broadcast_only_and_dense_copies(spark):
         # copy indices are dense 1..n and the 8.0 clamp bounds n at 9
         assert sorted(idxs) == list(range(1, len(idxs) + 1)), doc
         assert len(idxs) <= 9, doc
+
+
+def test_dedup_pr_counts_consistent(spark):
+    # tp+fn must equal the truth-pair count and tp+fp the candidate
+    # count; ratios are the single divisions of those BIGINTs
+    from wsprnet_scraper_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    r = QUERIES["diag_dedup_pr"](spark, SF).collect()[0]
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = D.word_shingles(d, "doc_id", "text", 3)
+    truth = D.ngram_jaccard_pairs(sh).where(F.col("jaccard") >= 0.5).count()
+    cand = D.candidate_pairs(D.minhash_signatures(sh, 8, 2)).count()
+    assert r.tp + r.fn == truth
+    assert r.tp + r.fp == cand
+    if r.tp + r.fp:
+        assert abs(r.precision_ - r.tp / (r.tp + r.fp)) < 1e-15

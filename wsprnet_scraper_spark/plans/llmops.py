@@ -3429,3 +3429,119 @@ def pipe_mixture_epochs(spark, sf_dir):
             ).alias("copy_idx"),
         )
     )
+
+
+_SHINGLES_FULL_SQL = """
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+)
+"""
+
+
+@register(
+    "diag_dedup_pr",
+    f"""
+WITH {_SHINGLES_FULL_SQL},
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc = doc_a
+  JOIN sizes sb ON sb.doc = doc_b
+  WHERE n_common::DOUBLE / (sa.sz + sb.sz - n_common) >= 0.5
+),
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt) AS sig
+  FROM hashed GROUP BY doc, band
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+m AS (
+  SELECT (t.doc_a IS NOT NULL) AS is_t, (c.doc_a IS NOT NULL) AS is_c
+  FROM truth t FULL JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+k AS (
+  SELECT CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN is_c AND NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN is_t AND NOT is_c THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM m
+)
+SELECT tp, fp, fn,
+       CAST(tp AS DOUBLE) / nullif(tp + fp, 0) AS precision_,
+       CAST(tp AS DOUBLE) / nullif(tp + fn, 0) AS recall_
+FROM k
+""",
+)
+def diag_dedup_pr(spark, sf_dir):
+    """Dedup-tuning evaluation: precision/recall of the MinHash-LSH
+    candidate generator (8 hashes, 4 bands of 2) against exact
+    word-3-gram Jaccard >= 0.5 ground truth — the audit every dedup
+    deployment runs before trusting its band configuration. tp/fp/fn
+    come from ONE full outer join of the two pair relations; the two
+    ratios are single nullif-guarded double divisions on BIGINT
+    counts, so both engines agree bit-exactly.
+
+    Scale: both pair relations come from equi-joins (shared-shingle,
+    band-bucket), never all-pairs; the P/R join is keyed on the pair
+    itself. The exact-Jaccard truth side is the expensive half by
+    construction (that is WHAT is being evaluated) — in production
+    this audit runs on a sampled corpus slice, and the df-capped
+    variants (dedup_jaccard_capped) are the documented defense when
+    even the sample is dup-saturated."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    truth = (
+        dedup.ngram_jaccard_pairs(sh)
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    cand = dedup.candidate_pairs(sigs)
+    m = truth.withColumn("is_t", F.lit(True)).join(
+        cand.withColumn("is_c", F.lit(True)),
+        ["doc_a", "doc_b"],
+        "full",
+    )
+    k = m.agg(
+        F.sum(
+            F.when(F.col("is_t").isNotNull() & F.col("is_c").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(
+            F.when(F.col("is_c").isNotNull() & F.col("is_t").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(
+            F.when(F.col("is_t").isNotNull() & F.col("is_c").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return k.select(
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0).cast("bigint"))).alias("precision_"),
+        (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0).cast("bigint"))).alias("recall_"),
+    )
