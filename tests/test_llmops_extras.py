@@ -261,3 +261,24 @@ def test_dedup_pr_counts_consistent(spark):
     assert r.tp + r.fp == cand
     if r.tp + r.fp:
         assert abs(r.precision_ - r.tp / (r.tp + r.fp)) < 1e-15
+
+
+def test_substring_strip_identity_and_removal(spark):
+    from pyspark.sql import functions as F
+
+    out = {r.doc_id: r for r in QUERIES["dedup_substring_strip"](spark, SF).collect()}
+    orig = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    import hashlib
+
+    touched = 0
+    for doc_id, r in out.items():
+        assert r.n_kept + r.n_removed == len(orig[doc_id].split(" "))
+        if r.n_removed == 0:
+            # untouched docs reassemble to exactly the original text
+            assert r.stripped_md5 == hashlib.md5(orig[doc_id].encode()).hexdigest()
+        else:
+            touched += 1
+    assert touched > 0  # the corpus has duplicated spans at this SF

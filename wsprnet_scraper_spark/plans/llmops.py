@@ -3545,3 +3545,115 @@ def diag_dedup_pr(spark, sf_dir):
         (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0).cast("bigint"))).alias("precision_"),
         (F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0).cast("bigint"))).alias("recall_"),
     )
+
+
+@register(
+    "dedup_substring_strip",
+    """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 5
+),
+occ AS (
+  SELECT doc_id AS doc, i AS strt,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] AS gram
+  FROM docs, unnest(generate_series(1, len(toks) - 4)) AS t(i)
+),
+hot AS (
+  SELECT gram, CAST(min(doc) AS BIGINT) AS first_doc
+  FROM (SELECT DISTINCT doc, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+),
+cov AS (
+  SELECT DISTINCT o.doc, o.strt + k.k AS pos
+  FROM occ o JOIN hot h ON o.gram = h.gram AND o.doc <> h.first_doc,
+       (VALUES (0),(1),(2),(3),(4)) AS k(k)
+),
+tk AS (
+  SELECT doc_id AS doc, i AS pos, toks[i] AS tok, len(toks) AS n_tot
+  FROM docs, unnest(generate_series(1, len(toks))) AS t(i)
+),
+kept AS (
+  SELECT t.doc, CAST(max(t.n_tot) AS BIGINT) AS n_tot,
+         CAST(count(*) FILTER (c.pos IS NULL) AS BIGINT) AS n_kept,
+         string_agg(t.tok, ' ' ORDER BY t.pos) FILTER (c.pos IS NULL) AS stripped
+  FROM tk t LEFT JOIN cov c ON t.doc = c.doc AND t.pos = c.pos
+  GROUP BY t.doc
+)
+SELECT doc AS doc_id, n_kept, n_tot - n_kept AS n_removed,
+       md5(coalesce(stripped, '')) AS stripped_md5
+FROM kept
+""",
+)
+def dedup_substring_strip(spark, sf_dir):
+    """The REMOVAL half of exact-substring dedup ('Deduplicating
+    Training Data Makes Language Models Better', word-5-gram form —
+    dedup_substring is the detection half): every token position
+    covered by a 5-gram that appears in 2+ documents is stripped from
+    every document EXCEPT the span's first (min doc_id) occurrence
+    holder, and the surviving tokens are reassembled in order. Output
+    is (doc_id, n_kept, n_removed, md5 of the stripped text) so the
+    judged row stays compact.
+
+    Scale: hot spans come from one aggregate over distinct
+    (doc, gram); coverage fans out exactly 5 positions per hot-gram
+    occurrence (never the corpus); the kept-token anti-join and the
+    reassembly group are keyed by doc, so per-task state is bounded
+    by document length. No all-pairs anything."""
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 5
+    )
+    occ = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4),"
+                " i -> array_join(slice(toks, i, 5), ' '))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc", (F.col("p0") + 1).alias("strt"), "gram")
+    hot = (
+        occ.select("doc", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.min("doc").cast("bigint").alias("first_doc"), F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram", "first_doc")
+    )
+    cov = (
+        occ.join(hot, "gram")
+        .where(F.col("doc") != F.col("first_doc"))
+        .select(
+            "doc",
+            F.explode(F.sequence(F.col("strt"), F.col("strt") + 4)).alias("pos"),
+        )
+        .distinct()
+    )
+    tk = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select("doc", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tk.join(cov, ["doc", "pos"], "left_anti")
+    agg = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ",
+        ).alias("stripped"),
+    )
+    return (
+        docs.select(
+            F.col("doc_id"), F.size("toks").cast("bigint").alias("n_tot")
+        )
+        .join(agg, F.col("doc_id") == F.col("doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            (
+                F.col("n_tot")
+                - F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint"))
+            ).alias("n_removed"),
+            F.md5(F.coalesce(F.col("stripped"), F.lit(""))).alias("stripped_md5"),
+        )
+    )
