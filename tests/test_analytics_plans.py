@@ -221,3 +221,26 @@ def test_k_anonymity_pruned_scan_partial_aggs(spark):
     # distinct-user count = two-phase aggregate with map-side partials
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_asof_nearest_one_exchange_one_sort(spark):
+    # both directional lookups ride the same (user_id | us, event_id)
+    # sort — one exchange, one sort, no join of the fact to itself
+    plan = _plan(QUERIES["join_asof_nearest"](spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert len(re.findall(r"\+- Sort ", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_curriculum_is_permutation_with_quartile_phases(spark):
+    rows = QUERIES["pipe_curriculum"](spark, SF).collect()
+    n = len(rows)
+    assert sorted(r.position for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r.position)
+    # easy-to-hard: token counts never decrease along the curriculum
+    toks = [r.n_tok for r in by_pos]
+    assert toks == sorted(toks)
+    # phases are the exact quartiles of the order, all four present
+    for r in rows:
+        assert r.phase == (r.position - 1) * 4 // n + 1
+    assert {r.phase for r in rows} == {1, 2, 3, 4}

@@ -3657,3 +3657,49 @@ def dedup_substring_strip(spark, sf_dir):
             F.md5(F.coalesce(F.col("stripped"), F.lit(""))).alias("stripped_md5"),
         )
     )
+
+
+@register(
+    "pipe_curriculum",
+    """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS pos,
+         count(*) OVER () AS tot
+  FROM t
+)
+SELECT doc_id, n_tok, CAST(pos AS BIGINT) AS position,
+       CAST(((pos - 1) * 4) // tot + 1 AS BIGINT) AS phase
+FROM r
+""",
+)
+def pipe_curriculum(spark, sf_dir):
+    """Curriculum ordering: the corpus sorted easy-to-hard (token
+    count, doc_id tiebreak) with each document assigned a training
+    position and one of 4 curriculum phases by exact quartile of the
+    global order — the length-based curriculum schedule. The oracle's
+    global ROW_NUMBER is fine single-threaded in DuckDB; the engine
+    goes through the DISTRIBUTED global rank (range-partition +
+    per-cell row_number + broadcast offsets, ranking.with_global_rank)
+    so no single-task window ever touches the corpus. Phase is pure
+    integer arithmetic on non-negative operands, so DuckDB's flooring
+    // and Spark's truncating div agree."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    from ..operators import ranking
+
+    r = ranking.with_global_rank(
+        t, ["n_tok", "doc_id"], rank_col="position", total_col="tot"
+    )
+    return r.select(
+        "doc_id",
+        "n_tok",
+        F.col("position").cast("bigint").alias("position"),
+        (F.expr("((position - 1) * 4) div tot") + 1).cast("bigint").alias("phase"),
+    )

@@ -1434,3 +1434,64 @@ def join_asof_tolerance(spark, sf_dir):
             ).alias("matched"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+),
+s AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id
+  FROM events WHERE event_type = 'signup'
+),
+j AS (
+  SELECT p.event_id, s.us AS s_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(s.us - p.us), s.us, s.event_id
+         ) AS rn
+  FROM p LEFT JOIN s ON s.user_id = p.user_id
+)
+SELECT event_id, s_us AS nearest_signup_us
+FROM j WHERE rn = 1
+""",
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-in-time as-of join (sensor-fusion flavor): each
+    purchase matched to the signup of the same user closest in time,
+    EITHER direction, ties to the earlier one. join_asof is the
+    backward-only variant; nearest needs both sides of the timeline.
+
+    The oracle states the semantics as an arg-min over the per-user
+    purchase x signup fan-out; the engine is one window pass over the
+    time-ordered per-user stream — last-prior and first-following
+    signup timestamps from two frames of the SAME (user | us,
+    event_id) sort (one exchange, one sort), then an integer distance
+    compare. Equal-timestamp edges are safe because the output is the
+    matched microsecond value, identical whichever frame captures it;
+    the abs-tie goes to the earlier signup in both engines."""
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    base = W.partitionBy("user_id").orderBy("us", "event_id")
+    sig = F.when(F.col("event_type") == "signup", F.col("us"))
+    prev = F.last(sig, ignorenulls=True).over(
+        base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    nxt = F.first(sig, ignorenulls=True).over(
+        base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    nearest = (
+        F.when(nxt.isNull(), prev)
+        .when(prev.isNull(), nxt)
+        .when((F.col("us") - prev) <= (nxt - F.col("us")), prev)
+        .otherwise(nxt)
+    )
+    return (
+        ev.withColumn("nearest_signup_us", nearest)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "nearest_signup_us")
+    )
