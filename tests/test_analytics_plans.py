@@ -244,3 +244,32 @@ def test_curriculum_is_permutation_with_quartile_phases(spark):
     for r in rows:
         assert r.phase == (r.position - 1) * 4 // n + 1
     assert {r.phase for r in rows} == {1, 2, 3, 4}
+
+
+def test_time_interp_single_sort_over_aggregated(spark):
+    plan = _plan(QUERIES["agg_time_interp"](spark, SF))
+    # all four IGNORE-NULLS lookups (prev/next value and index) ride
+    # one (event_type | bucket_s) sort over the AGGREGATED relation
+    assert len(re.findall(r"\+- Sort \[event_type", plan)) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_time_interp_present_buckets_exact(spark):
+    # a bucket that has data must reproduce its exact cents value
+    got = {
+        (r.bucket_s, r.event_type): r.cents_interp
+        for r in QUERIES["agg_time_interp"](spark, SF).collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    agg = (
+        ev.selectExpr(
+            "CAST(unix_micros(ts) div 3600000000 AS BIGINT) * 3600 AS bucket_s",
+            "event_type",
+            "CAST(value AS DECIMAL(12,2)) AS v",
+        )
+        .groupBy("bucket_s", "event_type")
+        .agg((F.sum("v") * 100).cast("bigint").alias("cents"))
+        .collect()
+    )
+    for r in agg:
+        assert got[(r.bucket_s, r.event_type)] == float(r.cents), r

@@ -1838,3 +1838,121 @@ def diag_k_anonymity(spark, sf_dir):
         )
         .where(F.col("n_users") < 5)
     )
+
+
+@register(
+    "agg_time_interp",
+    """
+WITH agg AS (
+  SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM agg),
+grid AS (
+  SELECT g.bucket_s, t.event_type
+  FROM (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                      (SELECT hi FROM bounds),
+                                      3600)) AS bucket_s) g
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+j AS (
+  SELECT g.bucket_s, g.event_type,
+         CAST(floor(g.bucket_s / 3600.0) AS BIGINT) AS i,
+         a.cents,
+         CASE WHEN a.cents IS NOT NULL
+              THEN CAST(floor(g.bucket_s / 3600.0) AS BIGINT) END AS pi
+  FROM grid g LEFT JOIN agg a
+    ON g.bucket_s = a.bucket_s AND g.event_type = a.event_type
+),
+f AS (
+  SELECT bucket_s, event_type, i,
+    last_value(cents IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(pi IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    first_value(cents IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(pi IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY bucket_s
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM j
+)
+SELECT bucket_s, event_type,
+  CASE WHEN pv IS NULL AND nv IS NULL THEN NULL
+       WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+       WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+       WHEN nt = pt THEN CAST(pv AS DOUBLE)
+       ELSE CAST(pv * (nt - i) + nv * (i - pt) AS DOUBLE)
+              / CAST(nt - pt AS DOUBLE)
+  END AS cents_interp
+FROM f
+""",
+)
+def agg_time_interp(spark, sf_dir):
+    """`time_bucket_gapfill` + `interpolate()` — TimescaleDB's OTHER
+    fill mode (agg_time_gapfill is the locf() one): missing hourly
+    buckets get the LINEAR interpolation between the nearest present
+    buckets on each side, edges fall back to the one present side.
+    The interpolation is the single-division form
+    (pv*(nt-i) + nv*(i-pt)) / (nt-pt) on integer cents and bucket
+    indexes, so both engines divide the same two integers — no
+    accumulated float drift. Present buckets hit the nt = pt branch
+    and reproduce their value exactly. Same scale shape as the
+    gapfill: grid from a 1-row bounds aggregate x broadcast type dim;
+    all four IGNORE-NULLS lookups ride ONE (event_type | bucket_s)
+    sort over the aggregated (never raw) relation."""
+    ev = load_events(spark, sf_dir)
+    agg = (
+        ev.withColumn("bucket_s", _bucket(F.col("ts"), _H1, 3600))
+        .groupBy("bucket_s", "event_type")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    bounds = agg.agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3600).cast("bigint"))
+        ).alias("bucket_s")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    i = F.floor(F.col("bucket_s") / F.lit(3600.0)).cast("bigint")
+    j = grid.join(agg, ["bucket_s", "event_type"], "left").select(
+        "bucket_s",
+        "event_type",
+        i.alias("i"),
+        "cents",
+        F.when(F.col("cents").isNotNull(), i).alias("pi"),
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    pv = F.last("cents", ignorenulls=True).over(wp)
+    pt = F.last("pi", ignorenulls=True).over(wp)
+    nv = F.first("cents", ignorenulls=True).over(wn)
+    nt = F.first("pi", ignorenulls=True).over(wn)
+    interp = (
+        F.when(pv.isNull() & nv.isNull(), F.lit(None).cast("double"))
+        .when(pv.isNull(), nv.cast("double"))
+        .when(nv.isNull(), pv.cast("double"))
+        .when(nt == pt, pv.cast("double"))
+        .otherwise(
+            (pv * (nt - F.col("i")) + nv * (F.col("i") - pt)).cast("double")
+            / (nt - pt).cast("double")
+        )
+    )
+    return j.select("bucket_s", "event_type", interp.alias("cents_interp"))
