@@ -282,3 +282,13 @@ def test_substring_strip_identity_and_removal(spark):
         else:
             touched += 1
     assert touched > 0  # the corpus has duplicated spans at this SF
+
+
+def test_ann_recall_bounds_and_self_hit(spark):
+    # recall@3 in [0,1]; every query's own vector is in both top-3
+    # sets (cosine 1 with itself), so n_hit >= 1 always
+    rows = QUERIES["diag_ann_recall"](spark, SF).collect()
+    assert {r.qid for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert 1 <= r.n_hit <= 3, r
+        assert abs(r.recall_at_3 - r.n_hit / 3.0) < 1e-15

@@ -3703,3 +3703,72 @@ def pipe_curriculum(spark, sf_dir):
         F.col("position").cast("bigint").alias("position"),
         (F.expr("((position - 1) * 4) div tot") + 1).cast("bigint").alias("phase"),
     )
+
+
+@register(
+    "diag_ann_recall",
+    f"""
+WITH {_LSH_SQL},
+{_COS_SQL},
+eranked AS (
+  SELECT qid, vec_id,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+),
+exact AS (SELECT qid, vec_id FROM eranked WHERE rn <= 3),
+lbase AS (SELECT base.*, b.bucket FROM base JOIN buckets b USING (vec_id)),
+lq AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket
+  FROM lbase WHERE vec_id < 5
+),
+lscored AS (
+  SELECT lq.qid, lbase.vec_id,
+    list_reduce(list_transform(list_zip(v, qv), z -> z[1] * z[2]), (a, b) -> a + b)
+      / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM lbase JOIN lq ON lbase.bucket = lq.qbucket
+),
+lranked AS (
+  SELECT qid, vec_id,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM lscored
+),
+approx AS (SELECT qid, vec_id FROM lranked WHERE rn <= 3),
+hits AS (
+  SELECT e.qid, CAST(count(a.vec_id) AS BIGINT) AS n_hit
+  FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.vec_id = a.vec_id
+  GROUP BY e.qid
+)
+SELECT qid, n_hit, CAST(n_hit AS DOUBLE) / 3.0 AS recall_at_3
+FROM hits
+""",
+)
+def diag_ann_recall(spark, sf_dir):
+    """ANN index evaluation: recall@3 of the hyperplane-LSH index
+    (sim_lsh_bucketed's exact configuration, plane count from the
+    corpus-derived rule) against the brute-force exact top-3, per
+    query — the audit that decides whether an ANN index is good
+    enough to replace the exact scan. n_hit is a BIGINT intersection
+    count from one pair-keyed left join of the two top-k relations;
+    recall is its single division by k. Scale: the exact side is the
+    k-vectors-by-corpus GEMM (the measured baseline — that is WHAT is
+    being audited); the LSH side probes one bucket per query; the
+    comparison join is keyed on (qid, vec_id) and is top-k-sized."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=3).select(
+        "qid", "vec_id"
+    )
+    approx = similarity.lsh_bucket_topk(
+        emb, [0, 1, 2, 3, 4], k=3, num_planes=_lsh_planes(emb)
+    ).select("qid", F.col("vec_id").alias("a_vec_id"))
+    hits = (
+        exact.join(
+            approx,
+            (exact.qid == approx.qid) & (exact.vec_id == approx.a_vec_id),
+            "left",
+        )
+        .groupBy(exact.qid)
+        .agg(F.count("a_vec_id").cast("bigint").alias("n_hit"))
+    )
+    return hits.select(
+        "qid", "n_hit", (F.col("n_hit").cast("double") / F.lit(3.0)).alias("recall_at_3")
+    )
