@@ -273,3 +273,39 @@ def test_time_interp_present_buckets_exact(spark):
     )
     for r in agg:
         assert got[(r.bucket_s, r.event_type)] == float(r.cents), r
+
+
+def test_streak_days_islands_are_consistent(spark):
+    rows = {r.user_id: r for r in QUERIES["win_streak_days"](spark, SF).collect()}
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    days = (
+        ev.selectExpr(
+            "user_id",
+            "CAST(floor(unix_micros(ts) / 86400000000.0) AS BIGINT) AS day",
+        )
+        .distinct()
+        .collect()
+    )
+    by_user = {}
+    for r in days:
+        by_user.setdefault(r.user_id, set()).add(r.day)
+    for uid, dset in by_user.items():
+        r = rows[uid]
+        assert r.n_active_days == len(dset)
+        # recompute the longest streak naively
+        best_len, best_start = 0, None
+        for d in sorted(dset):
+            if d - 1 not in dset:
+                L = 1
+                while d + L in dset:
+                    L += 1
+                if L > best_len:
+                    best_len, best_start = L, d
+        assert (r.longest_streak, r.start_day) == (best_len, best_start), uid
+
+
+def test_autocorr_values_in_range(spark):
+    for r in QUERIES["agg_autocorr_lag1"](spark, SF).collect():
+        assert r.n_pairs > 0
+        if r.autocorr_lag1 is not None:
+            assert -1.0 - 1e-12 <= r.autocorr_lag1 <= 1.0 + 1e-12, r

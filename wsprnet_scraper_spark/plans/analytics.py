@@ -1956,3 +1956,160 @@ def agg_time_interp(spark, sf_dir):
         )
     )
     return j.select("bucket_s", "event_type", interp.alias("cents_interp"))
+
+
+@register(
+    "win_streak_days",
+    """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+s AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+         CAST(min(day) AS BIGINT) AS start_day
+  FROM g GROUP BY user_id, grp
+),
+r AS (
+  SELECT user_id, len, start_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, start_day) AS rn,
+         CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT) AS n_active_days
+  FROM s
+)
+SELECT user_id, n_active_days, len AS longest_streak, start_day
+FROM r WHERE rn = 1
+""",
+)
+def win_streak_days(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands: on the distinct (user, day) relation,
+    day - row_number is constant exactly along a consecutive run, so
+    one partitioned window + one groupBy turn runs into islands; the
+    per-user argmax picks the longest (earliest start on ties). Pure
+    integer epoch-day arithmetic. Scale: every window is partitioned
+    by user_id and runs over the DISTINCT-day relation (bounded by
+    days, not events); the distinct itself is the only corpus-sized
+    shuffle."""
+    ev = load_events(spark, sf_dir)
+    d = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    wd = W.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id", "day", (F.col("day") - F.row_number().over(wd)).alias("grp")
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("day").cast("bigint").alias("start_day"),
+    )
+    wr = W.partitionBy("user_id").orderBy(F.desc("len"), "start_day")
+    wu = W.partitionBy("user_id")
+    r = s.select(
+        "user_id",
+        "len",
+        "start_day",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("len").over(wu).cast("bigint").alias("n_active_days"),
+    )
+    return r.where(F.col("rn") == 1).select(
+        "user_id",
+        "n_active_days",
+        F.col("len").alias("longest_streak"),
+        "start_day",
+    )
+
+
+@register(
+    "agg_autocorr_lag1",
+    """
+WITH agg AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT event_type, cents AS y,
+         lag(cents) OVER (PARTITION BY event_type ORDER BY bucket_s) AS x,
+         bucket_s - lag(bucket_s) OVER (PARTITION BY event_type ORDER BY bucket_s) AS gap
+  FROM agg
+),
+q AS (
+  SELECT event_type, CAST(x AS DECIMAL(18,0)) AS x, CAST(y AS DECIMAL(18,0)) AS y
+  FROM p WHERE gap = 3600
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM q GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       (n_pairs * sxy - sx * sy)
+         / nullif(sqrt(n_pairs * sxx - sx * sx)
+                  * sqrt(n_pairs * syy - sy * sy), 0.0) AS autocorr_lag1
+FROM m
+""",
+)
+def agg_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation of the hourly rollup per event type —
+    the 'is this series momentum or noise' time-series diagnostic.
+    Pairs are strictly-consecutive present hours (bucket gap exactly
+    3600 via one lag window over the AGGREGATED relation); Pearson r
+    comes from exact decimal moment sums (the agg_ols_slope recipe)
+    cast to double once, then a single shared expression tree of
+    IEEE mul/sub/sqrt/div — bit-identical across engines,
+    nullif-guarded for constant series. Scale: the fact table
+    shuffles once for the rollup; everything after runs on
+    hours x types rows."""
+    ev = load_events(spark, sf_dir)
+    agg = (
+        ev.withColumn("bucket_s", _bucket(F.col("ts"), _H1, 3600))
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("bucket_s")
+    p = agg.select(
+        "event_type",
+        F.col("cents").alias("y"),
+        F.lag("cents").over(w).alias("x"),
+        (F.col("bucket_s") - F.lag("bucket_s").over(w)).alias("gap"),
+    )
+    q = p.where(F.col("gap") == 3600).select(
+        "event_type",
+        F.col("x").cast("decimal(18,0)").alias("x"),
+        F.col("y").cast("decimal(18,0)").alias("y"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        "event_type",
+        "n_pairs",
+        (num / F.nullif(den, F.lit(0.0))).alias("autocorr_lag1"),
+    )
