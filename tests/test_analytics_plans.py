@@ -309,3 +309,10 @@ def test_autocorr_values_in_range(spark):
         assert r.n_pairs > 0
         if r.autocorr_lag1 is not None:
             assert -1.0 - 1e-12 <= r.autocorr_lag1 <= 1.0 + 1e-12, r
+
+
+def test_benford_pcts_sum_to_one(spark):
+    rows = QUERIES["agg_benford_digits"](spark, SF).collect()
+    assert all(r.digit in "123456789" for r in rows)
+    assert abs(sum(r.pct for r in rows) - 1.0) < 1e-9
+    assert sum(r.n for r in rows) > 0

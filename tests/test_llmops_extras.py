@@ -292,3 +292,15 @@ def test_ann_recall_bounds_and_self_hit(spark):
     for r in rows:
         assert 1 <= r.n_hit <= 3, r
         assert abs(r.recall_at_3 - r.n_hit / 3.0) < 1e-15
+
+
+def test_balanced_shards_token_balance(spark):
+    rows = QUERIES["pipe_balanced_shards"](spark, SF).collect()
+    assert {r.shard for r in rows} == set(range(8))
+    tot = {}
+    mx = 0
+    for r in rows:
+        tot[r.shard] = tot.get(r.shard, 0) + r.n_tok
+        mx = max(mx, r.n_tok)
+    # LPT round-robin: shard token totals within ~one max doc
+    assert max(tot.values()) - min(tot.values()) <= mx, tot

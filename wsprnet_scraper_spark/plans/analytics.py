@@ -2113,3 +2113,45 @@ def agg_autocorr_lag1(spark, sf_dir):
         "n_pairs",
         (num / F.nullif(den, F.lit(0.0))).alias("autocorr_lag1"),
     )
+
+
+@register(
+    "agg_benford_digits",
+    """
+WITH pos AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value > 0
+),
+d AS (
+  SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit FROM pos
+  WHERE cents > 0
+),
+c AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT digit, n, CAST(n AS DOUBLE) / t.tot AS pct
+FROM c, t
+""",
+)
+def agg_benford_digits(spark, sf_dir):
+    """Benford first-digit audit — the classic fraud/synthetic-data
+    screen: the distribution of leading digits of positive amounts,
+    to compare against log10(1 + 1/d). The leading digit comes from
+    the exact integer-cents DECIMAL rendering (substr of the bigint's
+    string), NOT floor(v/10^floor(log10 v)) — no libm log boundary
+    for the engines to disagree on. One grouped count (9 groups), a
+    broadcast 1-row total, single division per row. Scale: pure
+    map + 9-key aggregate."""
+    ev = load_events(spark, sf_dir)
+    pos = ev.where(F.col("value") > 0).select(
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    d = pos.where(F.col("cents") > 0).select(
+        F.substring(F.col("cents").cast("string"), 1, 1).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit", "n", (F.col("n").cast("double") / F.col("tot")).alias("pct")
+    )

@@ -3772,3 +3772,46 @@ def diag_ann_recall(spark, sf_dir):
     return hits.select(
         "qid", "n_hit", (F.col("n_hit").cast("double") / F.lit(3.0)).alias("recall_at_3")
     )
+
+
+@register(
+    "pipe_balanced_shards",
+    """
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+  FROM t
+)
+SELECT doc_id, n_tok, CAST((rnk - 1) % 8 AS BIGINT) AS shard
+FROM r
+""",
+)
+def pipe_balanced_shards(spark, sf_dir):
+    """Size-balanced shard assignment: docs ranked by token count
+    descending, shard = rank mod 8 — the longest-processing-time
+    round-robin that keeps per-shard token totals within one max-doc
+    of each other (pipe_shard_manifest's md5 buckets balance COUNTS;
+    training shards need balanced TOKENS or the long-doc shard
+    straggles). The engine rank is the distributed global rank — no
+    single-task window; shard is non-negative integer arithmetic, so
+    % agrees across engines. Output is a pure projection of the
+    ranked relation, ready to be a partitionBy write key."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    from ..operators import ranking
+
+    r = ranking.with_global_rank(
+        t.select("doc_id", "n_tok", (-F.col("n_tok")).alias("neg")),
+        ["neg", "doc_id"],
+        rank_col="rnk",
+        total_col="_tot",
+    )
+    return r.select(
+        "doc_id", "n_tok", ((F.col("rnk") - 1) % 8).cast("bigint").alias("shard")
+    )
