@@ -316,3 +316,14 @@ def test_benford_pcts_sum_to_one(spark):
     assert all(r.digit in "123456789" for r in rows)
     assert abs(sum(r.pct for r in rows) - 1.0) < 1e-9
     assert sum(r.n for r in rows) > 0
+
+
+def test_lift_pairs_distinct_relation_and_bounds(spark):
+    df = QUERIES["evt_lift_pairs"](spark, SF)
+    plan = _plan(df)
+    # marginals and the 1-row total broadcast onto the pair aggregate
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    rows = df.collect()
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.lift > 0

@@ -304,3 +304,10 @@ def test_balanced_shards_token_balance(spark):
         mx = max(mx, r.n_tok)
     # LPT round-robin: shard token totals within ~one max doc
     assert max(tot.values()) - min(tot.values()) <= mx, tot
+
+
+def test_source_gini_bounds(spark):
+    rows = QUERIES["diag_source_gini"](spark, SF).collect()
+    for r in rows:
+        assert 0.0 <= r.lang_gini < 1.0, r
+        assert r.n_docs > 0

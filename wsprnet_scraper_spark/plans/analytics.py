@@ -2155,3 +2155,75 @@ def agg_benford_digits(spark, sf_dir):
     return c.crossJoin(F.broadcast(t)).select(
         "digit", "n", (F.col("n").cast("double") / F.col("tot")).alias("pct")
     )
+
+
+@register(
+    "evt_lift_pairs",
+    """
+WITH u AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n1 AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY event_type
+),
+tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM u a JOIN u b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       CAST(n_ab * tot.nu AS DOUBLE)
+         / CAST(na.n * nb.n AS DOUBLE) AS lift
+FROM pairs
+JOIN n1 na ON na.event_type = type_a
+JOIN n1 nb ON nb.event_type = type_b
+CROSS JOIN tot
+""",
+)
+def evt_lift_pairs(spark, sf_dir):
+    """Market-basket lift for unordered event-type co-occurrence:
+    lift(A,B) = P(A,B) / (P(A)P(B)) over users, the association
+    measure behind 'users who do A also do B' (complements
+    evt_transition_matrix, which is SEQUENTIAL). Stated as the
+    single division (n_ab * N) / (n_a * n_b) on exact BIGINTs — no
+    intermediate probabilities to drift. Scale: the self-join runs on
+    the DISTINCT (user, type) relation (bounded by users x type
+    cardinality, not events) keyed by user; marginals and the 1-row
+    user count broadcast back onto the type-pair aggregate."""
+    ev = load_events(spark, sf_dir)
+    u = ev.select("user_id", "event_type").distinct()
+    n1 = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = ev.agg(F.count_distinct("user_id").cast("bigint").alias("nu"))
+    a = u.alias("a")
+    b = u.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    na = n1.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = n1.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("nu")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

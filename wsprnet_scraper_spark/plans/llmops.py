@@ -3815,3 +3815,46 @@ def pipe_balanced_shards(spark, sf_dir):
     return r.select(
         "doc_id", "n_tok", ((F.col("rnk") - 1) % 8).cast("bigint").alias("shard")
     )
+
+
+@register(
+    "diag_source_gini",
+    """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+),
+s AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+         CAST(sum(n * n) AS BIGINT) AS sq
+  FROM c GROUP BY source
+)
+SELECT source, tot AS n_docs,
+       1.0 - CAST(sq AS DOUBLE) / CAST(tot * tot AS DOUBLE) AS lang_gini
+FROM s
+""",
+)
+def diag_source_gini(spark, sf_dir):
+    """Per-source language-diversity audit via Gini impurity
+    (1 - sum p_i^2) — the mixing-diversity check a curation pipeline
+    runs per domain, chosen over Shannon entropy precisely because it
+    needs NO logarithm: sum(n_i^2) and tot^2 stay in exact BIGINT and
+    the single double division is bit-identical across engines.
+    0 = monolingual source, ->1 = uniform mix. Scale: two stacked
+    map-side-combinable aggregates, output one row per source."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sq"),
+    )
+    return s.select(
+        "source",
+        F.col("tot").alias("n_docs"),
+        (
+            F.lit(1.0)
+            - F.col("sq").cast("double") / (F.col("tot") * F.col("tot")).cast("double")
+        ).alias("lang_gini"),
+    )
