@@ -86,6 +86,10 @@ HEADLINE = [
     "sub_min_cost_supplier",   # Q2-shape correlated min-over-group (r4)
     "graph_bfs_layers",        # frontier BFS reachability layers (r4)
     "graph_jaccard_linkpred",  # wedge-join Jaccard link prediction (r4)
+    "pipe_cap_per_domain",     # two-phase per-domain top-K cap (r4)
+    "win_weighted_ma",         # exact linear-decay WMA, two-sum identity (r4)
+    "dedup_substring_strip",   # exact-substring dedup removal pass (r4)
+    "pipe_mixture_epochs",     # source-weighted multi-epoch repetition (r4)
 ]
 
 

@@ -327,3 +327,15 @@ def test_lift_pairs_distinct_relation_and_bounds(spark):
     for r in rows:
         assert r.type_a < r.type_b
         assert r.lift > 0
+
+
+def test_q3_takeordered_and_pushed_filters(spark):
+    plan = _plan(QUERIES["join_ship_priority_q3"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # both date predicates reach the parquet scans
+    assert plan.count("PushedFilters: [") >= 2, plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert any("o_orderdate" in s and "IsNotNull" in s for s in scans) or any(
+        "LessThan" in s for s in scans
+    ), scans

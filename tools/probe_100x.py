@@ -47,6 +47,20 @@ QUERIES_100X = [
     "emb_gram",
     "dedup_cluster",
     "dedup_embedding",
+    # r4 continuation additions (this session)
+    "pipe_cap_per_domain",
+    "pipe_mixture_epochs",
+    "pipe_curriculum",
+    "pipe_balanced_shards",
+    "dedup_substring_strip",
+    "diag_source_gini",
+    "diag_k_anonymity",
+    "win_weighted_ma",
+    "win_streak_days",
+    "agg_time_interp",
+    "agg_autocorr_lag1",
+    "agg_benford_digits",
+    "evt_lift_pairs",
 ]
 
 

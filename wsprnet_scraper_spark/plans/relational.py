@@ -1495,3 +1495,52 @@ def join_asof_nearest(spark, sf_dir):
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "nearest_signup_us")
     )
+
+
+@register(
+    "join_ship_priority_q3",
+    f"""
+SELECT l_orderkey AS orderkey,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate  > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, orderdate, orderkey
+LIMIT 10
+""",
+)
+def join_ship_priority_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for one market segment — selective dimension filter,
+    fact-to-fact join, decimal revenue rollup, global top-k. The
+    segment-filtered customer side broadcasts; lineitem-orders is the
+    one shuffle; the ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (no global sort materializes); dates leave
+    the plan as formatted strings per the registry's cross-engine
+    discipline. Both date predicates push into the parquet scans."""
+    c = load(spark, sf_dir, "customer", parallel="never").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders", parallel="never").where(
+        F.col("o_orderdate") < "1997-06-01"
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-06-01")
+    price, discount = dec("l_extendedprice"), dec("l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(price * (one() - discount)).cast("double").alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "orderdate", "orderkey")
+        .limit(10)
+    )
