@@ -2227,3 +2227,59 @@ def evt_lift_pairs(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "agg_gap_histogram",
+    """
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS pus
+  FROM events
+),
+g AS (
+  SELECT event_type, CAST((us - pus) // 1000000 AS BIGINT) AS gap_s
+  FROM o WHERE pus IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN gap_s <= 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(length(bin(gap_s)) AS BIGINT) END AS bucket
+  FROM g
+)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY event_type, bucket
+""",
+)
+def agg_gap_histogram(spark, sf_dir):
+    """Log2-bucketed inter-event gap distribution (per user stream,
+    reported per event type) — the burstiness profile behind session
+    timeout and watermark tuning; complements agg_gap_stats' moments
+    with the SHAPE. The log2 bucket is length(bin(gap)) = floor(log2)
+    + 1 on exact integer seconds — the DDSketch trick again: a string
+    length both engines compute identically, no libm log boundary.
+    One user-partitioned lag window, then a map-side-combinable
+    (type, bucket) count bounded by types x 64 buckets."""
+    ev = load_events(spark, sf_dir)
+    wo = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    o = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(wo).alias("pus"),
+    )
+    g = o.where(F.col("pus").isNotNull()).select(
+        "event_type",
+        F.floor((F.col("us") - F.col("pus")) / F.lit(1000000.0))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+    b = g.select(
+        "event_type",
+        F.when(F.col("gap_s") <= 0, F.lit(0).cast("bigint"))
+        .otherwise(F.length(F.bin("gap_s")).cast("bigint"))
+        .alias("bucket"),
+    )
+    return b.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
