@@ -339,3 +339,26 @@ def test_q3_takeordered_and_pushed_filters(spark):
     assert any("o_orderdate" in s and "IsNotNull" in s for s in scans) or any(
         "LessThan" in s for s in scans
     ), scans
+
+
+def test_weighted_ma_blocked_equals_plain_and_parallelizes(spark):
+    plain = {
+        r.event_id: r.wma20
+        for r in QUERIES["win_weighted_ma"](spark, SF).collect()
+    }
+    blocked = {
+        r.event_id: r.wma20
+        for r in QUERIES["win_weighted_ma_blocked"](spark, SF).collect()
+    }
+    assert plain == blocked  # bit-identical, not approximately
+    plan = _plan(QUERIES["win_weighted_ma_blocked"](spark, SF))
+    # the frame windows partition by (event_type, _blk), never by the
+    # 5-value event_type alone — the parallelism the twin exists for
+    assert "windowspecdefinition(event_type#" in plan.replace(
+        "event_type", "event_type"
+    )
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*?)ASC", plan)
+    big_specs = [s for s in specs if "_blk" in s]
+    assert big_specs, plan  # block-partitioned windows present

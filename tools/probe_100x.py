@@ -56,6 +56,7 @@ QUERIES_100X = [
     "diag_source_gini",
     "diag_k_anonymity",
     "win_weighted_ma",
+    "win_weighted_ma_blocked",
     "win_streak_days",
     "agg_time_interp",
     "agg_autocorr_lag1",

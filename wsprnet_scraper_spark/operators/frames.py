@@ -1,0 +1,115 @@
+"""Block-partitioned bounded ROWS frames with halo rows.
+
+A trailing-k-rows window partitioned only by a low-cardinality series
+key (e.g. 5 event types) is CORRECT at any scale but its sort/window
+parallelism is capped at the key cardinality — the whole series sorts
+through one task per key. This module runs the same frame at full
+parallelism:
+
+1. block the stream by time (`time_col div block_us`) — contiguous in
+   the (time, tiebreak) order, so the within-block window is exact
+   except for each block's first k rows;
+2. per-(series, block) counts -> cumulative offsets (a tiny
+   aggregate-reduced summary window, sanctioned by plans/audit.py)
+   give every row its exact GLOBAL row number rn = offset + local rn;
+3. every block keeps its last k rows as a `tails` relation
+   (k x blocks rows). The k rows globally preceding block b are all
+   within k of their own block's end (blocks are contiguous in rn),
+   so they all live in `tails`; assigning tails rows with
+   rn in [off(b)-k+1, off(b)] to block b as HALO rows makes each
+   block self-sufficient;
+4. one more (series, block)-partitioned window over big+halo rows
+   computes the trailing frame aggregates; halo rows are dropped from
+   the output.
+
+The result is bit-identical to the single-window form (same frame
+multiset, same global rn, same expressions) — the oracle-differential
+gate verifies exactly that for win_weighted_ma_blocked vs the shared
+SQL. Cost: one extra exchange of the fact relation; gain: sort and
+frame work parallelize over blocks x series instead of series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trailing_frame_sums(
+    df: DataFrame,
+    series_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    k: int = 19,
+    block_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """df + (rn, s1, s0, c): the exact global row number per series
+    under (time, tiebreak), and SUM(value*rn), SUM(value), COUNT(*)
+    over the trailing ROWS BETWEEN k PRECEDING AND CURRENT ROW frame
+    — computed block-parallel as documented above. `value_col` must
+    be integral (the sums are exact in any accumulation order)."""
+    s, t, tb, v = series_col, time_col, tiebreak_col, value_col
+    base = df.withColumn("_blk", F.expr(f"{t} div {block_us}"))
+
+    wl = Window.partitionBy(s, "_blk").orderBy(t, tb)
+    local = base.withColumn("_lrn", F.row_number().over(wl))
+
+    counts = base.groupBy(s, "_blk").agg(F.count(F.lit(1)).alias("_cnt"))
+    # summary window: blocks x series rows, input is an Aggregate —
+    # the audit-sanctioned reduced shape
+    ws = Window.partitionBy(s).orderBy("_blk")
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"),
+    )
+
+    ranked = local.join(F.broadcast(offsets), [s, "_blk"]).withColumn(
+        "_rn", (F.col("_off") + F.col("_lrn")).cast("bigint")
+    )
+
+    tails = ranked.where(F.col("_lrn") > F.col("_cnt") - k).select(
+        s, F.col("_blk").alias("_src_blk"), t, tb, v, "_rn"
+    )
+    starts = offsets.select(s, F.col("_blk").alias("_tgt_blk"), "_off")
+    halo = tails.join(
+        F.broadcast(starts),
+        (tails[s] == starts[s])
+        & (F.col("_src_blk") < F.col("_tgt_blk"))
+        & (F.col("_rn") > F.col("_off") - k)
+        & (F.col("_rn") <= F.col("_off")),
+    ).select(
+        tails[s],
+        F.col("_tgt_blk").alias("_blk"),
+        tails[t],
+        tails[tb],
+        tails[v],
+        F.col("_rn"),
+        F.lit(True).alias("_halo"),
+    )
+
+    big = ranked.select(
+        s, "_blk", t, tb, v, "_rn", F.lit(False).alias("_halo")
+    )
+    both = big.unionByName(halo)
+
+    wf = (
+        Window.partitionBy(s, "_blk")
+        .orderBy("_rn")
+        .rowsBetween(-k, Window.currentRow)
+    )
+    out = both.select(
+        s,
+        t,
+        tb,
+        v,
+        F.col("_rn").alias("rn"),
+        "_halo",
+        F.sum(F.col(v) * F.col("_rn")).over(wf).alias("s1"),
+        F.sum(v).over(wf).alias("s0"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("c"),
+    )
+    return out.where(~F.col("_halo")).drop("_halo")

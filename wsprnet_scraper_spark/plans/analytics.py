@@ -2283,3 +2283,39 @@ def agg_gap_histogram(spark, sf_dir):
     return b.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+from .registry import ORACLE as _ORACLE  # noqa: E402  (same-module reuse)
+
+
+@register("win_weighted_ma_blocked", _ORACLE["win_weighted_ma"])
+def win_weighted_ma_blocked(spark, sf_dir):
+    """win_weighted_ma's scale twin (the pagerank/pagerank_bucketed
+    move): identical result — same oracle SQL, bit-parity-gated — but
+    the trailing frame runs through operators/frames.py's
+    block-partitioned halo windows, so sort/frame parallelism is
+    blocks x types instead of being capped at the 5-value event_type
+    cardinality. The single-window form's 100x probe slope (27.9) is
+    pure parallelism starvation, not work growth; this twin pays one
+    extra fact exchange locally to remove that ceiling. Weights and
+    the final division are the same exact two-integer-sums identity."""
+    from ..operators.frames import trailing_frame_sums
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    f = trailing_frame_sums(
+        t, "event_type", "us", "event_id", "cents", k=19
+    )
+    num = (
+        F.lit(2).cast("bigint")
+        * (F.col("s1") + (F.lit(20).cast("bigint") - F.col("rn")) * F.col("s0"))
+    ).cast("double")
+    den = (
+        F.col("c") * (F.lit(41).cast("bigint") - F.col("c"))
+    ).cast("double")
+    return f.select("event_id", (num / den).alias("wma20"))
