@@ -362,3 +362,23 @@ def test_weighted_ma_blocked_equals_plain_and_parallelizes(spark):
     specs = _re.findall(r"windowspecdefinition\(([^)]*?)ASC", plan)
     big_specs = [s for s in specs if "_blk" in s]
     assert big_specs, plan  # block-partitioned windows present
+
+
+def test_q6_pushdown_and_pruned_schema(spark):
+    plan = _plan(QUERIES["agg_forecast_q6"](spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # all three predicates reach the scan; only 4 columns are read
+    assert "l_shipdate" in scan and "l_discount" in scan and "l_quantity" in scan, scan
+    rs = scan.split("ReadSchema:")[1]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in rs, rs
+    assert "l_orderkey" not in rs and "l_partkey" not in rs, rs
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan  # partial+final
+
+
+def test_q10_takeordered_broadcast_dims(spark):
+    plan = _plan(QUERIES["join_returned_q10"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
+    assert any("l_returnflag" in s for s in scans), scans

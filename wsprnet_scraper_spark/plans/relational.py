@@ -1544,3 +1544,82 @@ def join_ship_priority_q3(spark, sf_dir):
         .orderBy(F.desc("revenue"), "orderdate", "orderkey")
         .limit(10)
     )
+
+
+@register(
+    "agg_forecast_q6",
+    f"""
+SELECT CAST(SUM({_money('l_extendedprice')} * {_money('l_discount')}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""",
+)
+def agg_forecast_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change) — THE
+    predicate-pushdown benchmark: three range predicates, two read
+    columns beyond them, one global aggregate row. All three
+    predicates reach the parquet scan as PushedFilters and the
+    ReadSchema carries only the four touched columns (plan-asserted);
+    the decimal product keeps the revenue sum exact and
+    order-independent. The aggregate is map-side partial + one 1-row
+    exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    price, discount = dec("l_extendedprice"), dec("l_discount")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * discount).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_returned_q10",
+    f"""
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def join_returned_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    lost revenue in one quarter. The quarter filter cuts orders
+    before the fact join; the returnflag filter cuts lineitem at the
+    scan; customer and nation broadcast; ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject. One fact shuffle."""
+    c = load(spark, sf_dir, "customer", parallel="never")
+    n = load(spark, sf_dir, "nation", parallel="never")
+    o = load(spark, sf_dir, "orders", parallel="never").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    price, discount = dec("l_extendedprice"), dec("l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(price * (one() - discount)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
