@@ -311,3 +311,20 @@ def test_source_gini_bounds(spark):
     for r in rows:
         assert 0.0 <= r.lang_gini < 1.0, r
         assert r.n_docs > 0
+
+
+def test_mrl_rerank_subset_of_coarse_and_exact_scores(spark):
+    from wsprnet_scraper_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = QUERIES["sim_mrl_prefix_rerank"](spark, SF).collect()
+    assert len(got) == 15  # 5 queries x top-3
+    # final scores are the TRUE full-dim cosines (re-rank is exact):
+    exact = {
+        (r.qid, r.vec_id): r.cosine
+        for r in S.cosine_topk(emb, [0, 1, 2, 3, 4], k=10000).collect()
+    }
+    for r in got:
+        assert abs(exact[(r.qid, r.vec_id)] - r.cosine) < 1e-12
+        # every query's own vector survives the prefix shortlist
+    assert all(any(r.qid == r.vec_id for r in got if r.qid == q) for q in range(5))

@@ -1633,3 +1633,65 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "approx_cos")
     )
+
+
+def mrl_prefix_rerank(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    prefix: int = 16,
+    shortlist: int = 30,
+) -> DataFrame:
+    """Matryoshka-style two-stage ANN: coarse cosine on the first
+    `prefix` dimensions shortlists `shortlist` candidates per query
+    (MRL embeddings front-load information, so a prefix slice is a
+    usable coarse space), then the exact full-dimension cosine
+    re-ranks the shortlist to top-k. The coarse stage does prefix/dim
+    of the scoring FLOPs over the corpus; the exact stage touches
+    only shortlist-sized sets. Both dot products are sequential folds
+    (bit-reproducible across engines); deterministic (score desc,
+    vec_id) tie order at both stages."""
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("p", F.slice(F.col("v"), 1, prefix))
+        .withColumn("n2", _norm2(F.col("v")))
+        .withColumn("pn2", _norm2(F.col("p")))
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("p").alias("qp"),
+        F.col("n2").alias("qn2"),
+        F.col("pn2").alias("qpn2"),
+    )
+    coarse = base.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        "v",
+        "n2",
+        "qv",
+        "qn2",
+        (
+            _dot(F.col("p"), F.col("qp"))
+            / (F.sqrt(F.col("pn2")) * F.sqrt(F.col("qpn2")))
+        ).alias("cscore"),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("cscore"), F.col("vec_id"))
+    short = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= shortlist)
+    )
+    ex = short.select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    we = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        ex.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )

@@ -3858,3 +3858,103 @@ def diag_source_gini(spark, sf_dir):
             - F.col("sq").cast("double") / (F.col("tot") * F.col("tot")).cast("double")
         ).alias("lang_gini"),
     )
+
+
+@register(
+    "diag_langid_confusion",
+    """
+WITH p AS (
+  SELECT lang,
+    CASE WHEN len(list_filter(string_split(text, ' '), x -> x = 'the'))
+           >= len(list_filter(string_split(text, ' '), x -> x = 'data'))
+         THEN 'en' ELSE 'xx' END AS pred_lang
+  FROM documents
+),
+c AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY lang, pred_lang
+),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+SELECT lang, pred_lang, n,
+       CAST(n AS DOUBLE) / t.tot AS frac
+FROM c, t
+""",
+)
+def diag_langid_confusion(spark, sf_dir):
+    """Language-ID evaluation: the confusion matrix of the marker-word
+    classifier (text_lang_id's exact rule) against the labeled lang
+    column — the audit that decides whether the cheap heuristic is
+    good enough to gate a corpus. One grouped count bounded by
+    langs x predictions plus a broadcast 1-row total; frac is the
+    single division of exact BIGINTs."""
+    d = load(spark, sf_dir, "documents")
+    p = d.select("lang", text.lang_id(F.col("text")).alias("pred_lang"))
+    c = p.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("bigint").alias("tot"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "pred_lang",
+        "n",
+        (F.col("n").cast("double") / F.col("tot")).alias("frac"),
+    )
+
+
+@register(
+    "sim_mrl_prefix_rerank",
+    """
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, (embedding::DOUBLE[])[1:16] AS p
+  FROM embeddings
+),
+bb AS (
+  SELECT vec_id, v, p,
+    list_reduce(list_transform(v, x -> x * x), (a, x) -> a + x) AS n2,
+    list_reduce(list_transform(p, x -> x * x), (a, x) -> a + x) AS pn2
+  FROM b
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, p AS qp, n2 AS qn2, pn2 AS qpn2
+  FROM bb WHERE vec_id < 5
+),
+coarse AS (
+  SELECT q.qid, bb.vec_id, bb.v, bb.n2, q.qv, q.qn2,
+    list_reduce(list_transform(list_zip(bb.p, q.qp), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(bb.pn2) * sqrt(q.qpn2)) AS cscore
+  FROM bb, q
+),
+short AS (
+  SELECT qid, vec_id, v, n2, qv, qn2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, vec_id) AS crn
+    FROM coarse
+  ) WHERE crn <= 30
+),
+ex AS (
+  SELECT qid, vec_id,
+    list_reduce(list_transform(list_zip(v, qv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM short
+)
+SELECT qid, vec_id, cosine FROM (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM ex
+) WHERE rn <= 3
+""",
+)
+def sim_mrl_prefix_rerank(spark, sf_dir):
+    """Matryoshka (MRL) prefix-dimension ANN: coarse cosine on the
+    first 16 of 64 dims shortlists 30 candidates per query (1/4 of
+    the scoring FLOPs over the corpus), exact full-dim cosine
+    re-ranks to top-3 — the contemporary two-stage retrieval pattern
+    for front-loaded embeddings, complementing IVF (spatial cells)
+    and PQ (codebook ADC) with DIMENSION truncation. Shortlist and
+    final stages are deterministic (score, vec_id) windows; both dot
+    products are sequential folds, bit-identical across engines.
+    Scale: the corpus-sized stage reads only prefix slices; the
+    full-dimension work is shortlist-bounded."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.mrl_prefix_rerank(
+        emb, [0, 1, 2, 3, 4], k=3, prefix=16, shortlist=30
+    )
