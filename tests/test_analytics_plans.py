@@ -382,3 +382,21 @@ def test_q10_takeordered_broadcast_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     scans = [l for l in plan.splitlines() if "FileScan" in l and "lineitem" in l]
     assert any("l_returnflag" in s for s in scans), scans
+
+
+def test_skyline_is_exact_pareto_front(spark):
+    got = {
+        (r.cents, r.p_size)
+        for r in QUERIES["agg_skyline_pareto"](spark, SF).collect()
+    }
+    pts = [
+        (int(r.p_retailprice * 100), r.p_size)
+        for r in spark.read.parquet(f"{SF}/part.parquet").collect()
+    ]
+    def dominated(p):
+        return any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p
+            for q in set(pts)
+        )
+    naive = {p for p in set(pts) if not dominated(p)}
+    assert got == naive

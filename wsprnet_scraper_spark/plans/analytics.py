@@ -2319,3 +2319,62 @@ def win_weighted_ma_blocked(spark, sf_dir):
         F.col("c") * (F.lit(41).cast("bigint") - F.col("c"))
     ).cast("double")
     return f.select("event_id", (num / den).alias("wma20"))
+
+
+@register(
+    "agg_skyline_pareto",
+    """
+WITH g AS (
+  SELECT CAST(floor(p_retailprice * 100) AS BIGINT) AS cents, p_size,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1, 2
+),
+w AS (
+  SELECT cents, p_size, n_parts,
+    max(p_size) OVER (ORDER BY cents
+      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mp,
+    max(p_size) OVER (PARTITION BY cents) AS msame
+  FROM g
+)
+SELECT cents, CAST(p_size AS BIGINT) AS p_size, n_parts
+FROM w
+WHERE (mp IS NULL OR p_size > mp) AND p_size = msame
+""",
+)
+def agg_skyline_pareto(spark, sf_dir):
+    """2-D skyline (Pareto front): the parts not dominated on
+    (minimize price, maximize size) — the classic skyline operator,
+    as one sweep: a point survives iff its size beats the cumulative
+    max size of all STRICTLY cheaper points (integer RANGE frame
+    ending 1 PRECEDING, so price ties never see each other) and it is
+    the max size at its own price. Runs on the distinct (cents, size)
+    grid — an Aggregate, so the global sweep window is the
+    audit-sanctioned reduced shape, bounded by the value grid, never
+    the part count. At grids too big for one task the sweep
+    decomposes exactly like ranking.with_global_rank: per-range-cell
+    cummax plus a broadcast prefix-max of cell summaries."""
+    p = load(spark, sf_dir, "part")
+    g = (
+        p.select(
+            F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("cents"),
+            "p_size",
+        )
+        .groupBy("cents", "p_size")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    wr = (
+        W.orderBy("cents")
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    ws = W.partitionBy("cents")
+    w = g.select(
+        "cents",
+        "p_size",
+        "n_parts",
+        F.max("p_size").over(wr).alias("mp"),
+        F.max("p_size").over(ws).alias("msame"),
+    )
+    return w.where(
+        (F.col("mp").isNull() | (F.col("p_size") > F.col("mp")))
+        & (F.col("p_size") == F.col("msame"))
+    ).select("cents", F.col("p_size").cast("bigint").alias("p_size"), "n_parts")
