@@ -400,3 +400,11 @@ def test_skyline_is_exact_pareto_front(spark):
         )
     naive = {p for p in set(pts) if not dominated(p)}
     assert got == naive
+
+
+def test_drawdown_nonnegative_over_aggregated(spark):
+    plan = _plan(QUERIES["win_drawdown"](spark, SF))
+    # windows run over the rollup, not raw events: aggregate below
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    for r in QUERIES["win_drawdown"](spark, SF).collect():
+        assert r.max_drawdown_cents >= 0

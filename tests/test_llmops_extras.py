@@ -328,3 +328,13 @@ def test_mrl_rerank_subset_of_coarse_and_exact_scores(spark):
         assert abs(exact[(r.qid, r.vec_id)] - r.cosine) < 1e-12
         # every query's own vector survives the prefix shortlist
     assert all(any(r.qid == r.vec_id for r in got if r.qid == q) for q in range(5))
+
+
+def test_novelty_first_doc_is_fully_novel(spark):
+    rows = {r.doc_id: r for r in QUERIES["text_novelty_ratio"](spark, SF).collect()}
+    first = min(rows)
+    # the earliest doc can only contain first occurrences
+    assert rows[first].novelty == 1.0
+    for r in rows.values():
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_shingles

@@ -2378,3 +2378,68 @@ def agg_skyline_pareto(spark, sf_dir):
         (F.col("mp").isNull() | (F.col("p_size") > F.col("mp")))
         & (F.col("p_size") == F.col("msame"))
     ).select("cents", F.col("p_size").cast("bigint").alias("p_size"), "n_parts")
+
+
+@register(
+    "win_drawdown",
+    """
+WITH agg AS (
+  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, bucket_s, cents,
+    max(cents) OVER (PARTITION BY event_type ORDER BY bucket_s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM agg
+),
+d AS (
+  SELECT event_type, bucket_s, peak - cents AS dd FROM w
+)
+SELECT event_type, CAST(dd AS BIGINT) AS max_drawdown_cents,
+       CAST(bucket_s AS BIGINT) AS at_bucket_s
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY dd DESC, bucket_s) AS rn
+  FROM d
+) WHERE rn = 1
+""",
+)
+def win_drawdown(spark, sf_dir):
+    """Maximum drawdown per series — the running-peak-minus-current
+    financial risk metric, over the hourly integer-cents rollup:
+    cumulative max window, then a deterministic per-series argmax
+    (largest drawdown, earliest hour on ties). All integer exact.
+    Scale: both windows run on the aggregated hours x types relation,
+    never raw events; the fact shuffles once for the rollup."""
+    ev = load_events(spark, sf_dir)
+    agg = (
+        ev.withColumn("bucket_s", _bucket(F.col("ts"), _H1, 3600))
+        .groupBy("event_type", "bucket_s")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    d = agg.select(
+        "event_type",
+        "bucket_s",
+        (F.max("cents").over(wp) - F.col("cents")).alias("dd"),
+    )
+    wr = W.partitionBy("event_type").orderBy(F.desc("dd"), "bucket_s")
+    return (
+        d.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("dd").cast("bigint").alias("max_drawdown_cents"),
+            F.col("bucket_s").cast("bigint").alias("at_bucket_s"),
+        )
+    )

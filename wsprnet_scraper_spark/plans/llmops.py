@@ -3958,3 +3958,63 @@ def sim_mrl_prefix_rerank(spark, sf_dir):
     return similarity.mrl_prefix_rerank(
         emb, [0, 1, 2, 3, 4], k=3, prefix=16, shortlist=30
     )
+
+
+@register(
+    "text_novelty_ratio",
+    """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc,
+    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+),
+firsts AS (
+  SELECT shingle, CAST(min(doc) AS BIGINT) AS first_doc FROM sh GROUP BY shingle
+),
+per AS (
+  SELECT sh.doc,
+    CAST(count(*) AS BIGINT) AS n_shingles,
+    CAST(sum(CASE WHEN f.first_doc = sh.doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN firsts f ON sh.shingle = f.shingle
+  GROUP BY sh.doc
+)
+SELECT doc AS doc_id, n_shingles, n_novel,
+       CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+FROM per
+""",
+)
+def text_novelty_ratio(spark, sf_dir):
+    """Corpus novelty curve: per document, the fraction of its
+    word-3-grams that FIRST appear in it (doc_id order) — the
+    freshness signal dataset builders plot to decide where a crawl
+    stops adding information. First-occurrence attribution is one
+    min-aggregate over the distinct (doc, shingle) relation joined
+    back on the shingle key; the ratio is a single division of exact
+    BIGINTs. No pairwise anything — linear in the shingle volume."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    firsts = sh.groupBy("shingle").agg(
+        F.min("doc").cast("bigint").alias("first_doc")
+    )
+    per = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
+    )
