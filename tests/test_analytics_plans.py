@@ -408,3 +408,30 @@ def test_drawdown_nonnegative_over_aggregated(spark):
     assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
     for r in QUERIES["win_drawdown"](spark, SF).collect():
         assert r.max_drawdown_cents >= 0
+
+
+def test_ab_ttest_moments_consistency(spark):
+    import math
+
+    rows = QUERIES["agg_ab_ttest"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type",
+        "CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant",
+        "CAST(floor(value * 100) AS BIGINT) AS cents",
+    ).collect()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in ev:
+        a = agg[(r.event_type, r.variant)]
+        a[0] += 1
+        a[1] += r.cents
+        a[2] += r.cents * r.cents
+    for r in rows:
+        na, sa, qa = agg[(r.event_type, "a")]
+        nb, sb, qb = agg[(r.event_type, "b")]
+        assert (r.na, r.nb) == (na, nb)
+        assert abs(r.mean_a - sa / na) < 1e-9
+        va = (qa / na - (sa / na) ** 2) / na
+        vb = (qb / nb - (sb / nb) ** 2) / nb
+        assert abs(r.t_welch - (sa / na - sb / nb) / math.sqrt(va + vb)) < 1e-9

@@ -2443,3 +2443,87 @@ def win_drawdown(spark, sf_dir):
             F.col("bucket_s").cast("bigint").alias("at_bucket_s"),
         )
     )
+
+
+@register(
+    "agg_ab_ttest",
+    """
+WITH v AS (
+  SELECT event_type,
+    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, variant,
+    CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cents) AS DOUBLE) AS s1,
+    CAST(sum(cents * cents) AS DOUBLE) AS s2
+  FROM v GROUP BY event_type, variant
+),
+w AS (
+  SELECT event_type,
+    max(CASE WHEN variant = 'a' THEN n END) AS na,
+    max(CASE WHEN variant = 'a' THEN s1 END) AS sa,
+    max(CASE WHEN variant = 'a' THEN s2 END) AS qa,
+    max(CASE WHEN variant = 'b' THEN n END) AS nb,
+    max(CASE WHEN variant = 'b' THEN s1 END) AS sb,
+    max(CASE WHEN variant = 'b' THEN s2 END) AS qb
+  FROM m GROUP BY event_type
+)
+SELECT event_type, na, nb,
+  sa / na AS mean_a,
+  sb / nb AS mean_b,
+  (sa / na - sb / nb)
+    / sqrt((qa / na - (sa / na) * (sa / na)) / na
+         + (qb / nb - (sb / nb) * (sb / nb)) / nb) AS t_welch
+FROM w
+""",
+)
+def agg_ab_ttest(spark, sf_dir):
+    """Deterministic A/B experiment report: users split by parity of
+    user_id (the no-RNG assignment every replayable experiment
+    pipeline uses), per-type variant means and the Welch t-statistic
+    from exact integer moment sums (count, sum, sum-of-squares on
+    cents) — the experimentation-analytics workhorse. The moments are
+    BIGINT-exact and cast once; means/variances/t share one IEEE
+    expression tree, so both engines agree bit-exactly. Scale: one
+    grouped aggregate with map-side partials (types x 2 rows), then a
+    pivot-by-max over that tiny relation."""
+    ev = load_events(spark, sf_dir)
+    v = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b")).alias(
+            "variant"
+        ),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    m = v.groupBy("event_type", "variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("double").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("double").alias("s2"),
+    )
+
+    def pick(var, col):
+        return F.max(F.when(F.col("variant") == var, F.col(col)))
+
+    w = m.groupBy("event_type").agg(
+        pick("a", "n").alias("na"),
+        pick("a", "s1").alias("sa"),
+        pick("a", "s2").alias("qa"),
+        pick("b", "n").alias("nb"),
+        pick("b", "s1").alias("sb"),
+        pick("b", "s2").alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") / F.col("na") - ma * ma) / F.col("na")
+    vb = (F.col("qb") / F.col("nb") - mb * mb) / F.col("nb")
+    return w.select(
+        "event_type",
+        "na",
+        "nb",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        ((ma - mb) / F.sqrt(va + vb)).alias("t_welch"),
+    )

@@ -585,3 +585,63 @@ def evt_funnel(spark, sf_dir):
     return (
         cnt(v, "1_view").unionByName(cnt(c, "2_click")).unionByName(cnt(p, "3_purchase"))
     )
+
+
+@register(
+    "sub_small_qty_q17",
+    """
+WITH pb AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'
+),
+li AS (
+  SELECT l_partkey, l_quantity, CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+  FROM lineitem JOIN pb ON l_partkey = p_partkey
+),
+avgs AS (
+  SELECT l_partkey AS ak,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg_qty
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(SUM(price) / 7.0 AS DOUBLE) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small
+FROM li JOIN avgs ON l_partkey = ak
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def sub_small_qty_q17(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems of
+    one brand's parts whose quantity is below 20% of that part's
+    average — the correlated scalar-average-per-group pattern,
+    decorrelated into one grouped aggregate joined back on the part
+    key. The brand filter reduces parts to a broadcast; the per-part
+    average is one double division of a decimal sum and an integer
+    count, and the 0.2 cut is the same IEEE expression in both
+    engines. One shuffle on l_partkey; the revenue aggregate is a
+    1-row map-side-partial reduce."""
+    p = load(spark, sf_dir, "part", parallel="never").where(
+        F.col("p_brand") == "Brand#13"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_quantity",
+            F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        )
+    )
+    avgs = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(avgs, F.col("l_partkey") == F.col("ak"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum("price") / F.lit(7.0)).cast("double").alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small"),
+        )
+    )
