@@ -435,3 +435,33 @@ def test_ab_ttest_moments_consistency(spark):
         va = (qa / na - (sa / na) ** 2) / na
         vb = (qb / nb - (sb / nb) ** 2) / nb
         assert abs(r.t_welch - (sa / na - sb / nb) / math.sqrt(va + vb)) < 1e-9
+
+
+def test_churn_weekly_final_week_full_churn(spark):
+    rows = sorted(
+        QUERIES["evt_churn_weekly"](spark, SF).collect(), key=lambda r: r.week
+    )
+    assert len(rows) >= 2
+    last = rows[-1]
+    assert last.n_retained == 0 and last.churn_rate == 1.0
+    for r in rows:
+        assert 0.0 <= r.churn_rate <= 1.0
+        assert r.n_retained <= r.n_active
+
+
+def test_gini_bounds_and_naive_parity(spark):
+    r = QUERIES["agg_gini_concentration"](spark, SF).collect()[0]
+    counts = sorted(
+        (x.cnt, x.user_id)
+        for x in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    )
+    n = len(counts)
+    t = sum(c for c, _ in counts)
+    s = sum((i + 1) * c for i, (c, _) in enumerate(counts))
+    assert r.n_users == n and r.total_events == t
+    assert abs(r.gini - (2 * s / (n * t) - (n + 1) / n)) < 1e-12
+    assert 0.0 <= r.gini < 1.0

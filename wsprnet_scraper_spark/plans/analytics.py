@@ -2527,3 +2527,117 @@ def agg_ab_ttest(spark, sf_dir):
         mb.alias("mean_b"),
         ((ma - mb) / F.sqrt(va + vb)).alias("t_welch"),
     )
+
+
+@register(
+    "evt_churn_weekly",
+    """
+WITH um AS (
+  SELECT DISTINCT user_id,
+    CAST(strftime(date_trunc('week', ts), '%Y-%m-%d') AS VARCHAR) AS week,
+    CAST(strftime(date_trunc('week', ts) + INTERVAL 7 DAY, '%Y-%m-%d') AS VARCHAR) AS next_week
+  FROM events
+),
+j AS (
+  SELECT a.week, a.user_id,
+         CASE WHEN b.b_user IS NOT NULL THEN 1 ELSE 0 END AS retained
+  FROM um a LEFT JOIN (SELECT DISTINCT user_id AS b_user, week AS b_week FROM um) b
+    ON a.user_id = b.b_user AND a.next_week = b.b_week
+)
+SELECT week,
+  CAST(count(*) AS BIGINT) AS n_active,
+  CAST(sum(retained) AS BIGINT) AS n_retained,
+  1.0 - CAST(sum(retained) AS DOUBLE) / count(*) AS churn_rate
+FROM j GROUP BY week
+""",
+)
+def evt_churn_weekly(spark, sf_dir):
+    """Week-over-week churn — the subscription-analytics metric: of
+    the users active in week w, the fraction not seen in w+1 (the
+    final week churns 100% by construction; consumers drop it).
+    Calendar weeks via date_trunc (Monday start in both engines),
+    rendered to strings per the registry's timestamp discipline; the
+    self-join runs on the DISTINCT (user, week) relation keyed by
+    user, and the rate is one division of exact BIGINTs. Complements
+    evt_retention's cohort-day triangle with the calendar cut."""
+    ev = load_events(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    um = ev.select(
+        "user_id",
+        F.date_format(wk, "yyyy-MM-dd").alias("week"),
+        F.date_format(F.date_add(wk.cast("date"), 7), "yyyy-MM-dd").alias(
+            "next_week"
+        ),
+    ).distinct()
+    b = um.select(
+        F.col("user_id").alias("b_user"), F.col("week").alias("b_week")
+    ).distinct()
+    j = um.join(
+        b,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("next_week") == F.col("b_week")),
+        "left",
+    ).select(
+        "week",
+        F.when(F.col("b_user").isNotNull(), 1).otherwise(0).alias("retained"),
+    )
+    return j.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("retained").cast("bigint").alias("n_retained"),
+        (
+            F.lit(1.0)
+            - F.sum("retained").cast("double") / F.count(F.lit(1))
+        ).alias("churn_rate"),
+    )
+
+
+@register(
+    "agg_gini_concentration",
+    """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS i FROM c
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cnt) AS BIGINT) AS t,
+         CAST(sum(i * cnt) AS BIGINT) AS s
+  FROM r
+)
+SELECT n AS n_users, t AS total_events,
+  CAST(2 * s AS DOUBLE) / CAST(n * t AS DOUBLE)
+    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM m
+""",
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of per-user activity — the whale-concentration
+    audit (is the corpus a few power users or a broad base?). The
+    rank formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n stays in exact
+    BIGINTs until two final divisions of a shared tree; ties in the
+    count don't affect sum(i*x_i), so any valid rank order gives the
+    same value. The oracle ranks with a plain global ROW_NUMBER; the
+    engine goes through the DISTRIBUTED global rank over the
+    user-count aggregate (users, not events), then one 1-row reduce."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    from ..operators import ranking
+
+    r = ranking.with_global_rank(c, ["cnt", "user_id"], rank_col="i", total_col="_t")
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("t"),
+        F.sum(F.col("i") * F.col("cnt")).cast("bigint").alias("s"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("t").alias("total_events"),
+        (
+            (F.lit(2).cast("bigint") * F.col("s")).cast("double")
+            / (F.col("n") * F.col("t")).cast("double")
+            - (F.col("n") + F.lit(1).cast("bigint")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("gini"),
+    )
