@@ -645,3 +645,36 @@ def sub_small_qty_q17(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_small"),
         )
     )
+
+
+@register(
+    "sub_division_all_types",
+    """
+WITH t AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types FROM events),
+u AS (
+  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_seen
+  FROM events GROUP BY user_id
+)
+SELECT u.user_id, u.n_seen
+FROM u, t
+WHERE u.n_seen = t.n_types
+""",
+)
+def sub_division_all_types(spark, sf_dir):
+    """Relational division — the textbook 'suppliers who supply ALL
+    parts' operator, here 'users who performed every event type':
+    divide events(user, type) by the distinct type set. Expressed as
+    the count-comparison decorrelation (distinct-count per user =
+    global distinct count) instead of double-NOT-EXISTS — one grouped
+    distinct-count over the fact plus a broadcast 1-row divisor
+    cardinality. Exact integers; output is the quotient relation."""
+    ev = load_events(spark, sf_dir)
+    t = ev.agg(F.count_distinct("event_type").cast("bigint").alias("n_types"))
+    u = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").cast("bigint").alias("n_seen")
+    )
+    return (
+        u.crossJoin(F.broadcast(t))
+        .where(F.col("n_seen") == F.col("n_types"))
+        .select("user_id", "n_seen")
+    )
