@@ -62,6 +62,15 @@ QUERIES_100X = [
     "agg_autocorr_lag1",
     "agg_benford_digits",
     "evt_lift_pairs",
+    "agg_gap_histogram",
+    "win_drawdown",
+    "text_novelty_ratio",
+    "sim_mrl_prefix_rerank",
+    "diag_langid_confusion",
+    "agg_ab_ttest",
+    "evt_churn_weekly",
+    "agg_gini_concentration",
+    "sub_division_all_types",
 ]
 
 
