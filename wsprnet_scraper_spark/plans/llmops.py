@@ -4018,3 +4018,73 @@ def text_novelty_ratio(spark, sf_dir):
         "n_novel",
         (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+@register(
+    "diag_vocab_drift",
+    """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+c AS (
+  SELECT term,
+    CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS ca,
+    CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS cb
+  FROM tok GROUP BY term
+),
+t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c
+),
+d AS (
+  SELECT CAST(sum(abs(ca * t.nb - cb * t.na)) AS BIGINT) AS num,
+         CAST(max(t.na) AS BIGINT) AS na, CAST(max(t.nb) AS BIGINT) AS nb,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM c, t
+)
+SELECT n_terms, na AS n_tokens_a, nb AS n_tokens_b,
+       CAST(num AS DOUBLE) / CAST(2 * na * nb AS DOUBLE) AS tvd
+FROM d
+""",
+)
+def diag_vocab_drift(spark, sf_dir):
+    """Vocabulary drift between two sources as the total variation
+    distance of their term distributions — the distribution-shift
+    audit run before mixing a new crawl in. TVD instead of KL/JS
+    deliberately: TVD = sum|p_i - q_i|/2 restates as
+    sum|ca_i*nb - cb_i*na| / (2*na*nb) — the numerator is an exact
+    BIGINT sum (order-independent), the whole metric is ONE double
+    division, and there is no logarithm for libm to disagree on.
+    Scale: one term-count aggregate with map-side partials, a 1-row
+    total broadcast, a 1-row reduce."""
+    d = load(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src1")
+    )
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    c = tok.groupBy("term").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).cast("bigint").alias("ca"),
+        F.count(F.when(F.col("source") == "src1", 1)).cast("bigint").alias("cb"),
+    )
+    t = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    dd = c.crossJoin(F.broadcast(t)).agg(
+        F.sum(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+        .cast("bigint")
+        .alias("num"),
+        F.max("na").cast("bigint").alias("na"),
+        F.max("nb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    return dd.select(
+        "n_terms",
+        F.col("na").alias("n_tokens_a"),
+        F.col("nb").alias("n_tokens_b"),
+        (
+            F.col("num").cast("double")
+            / (F.lit(2).cast("bigint") * F.col("na") * F.col("nb")).cast("double")
+        ).alias("tvd"),
+    )
