@@ -71,6 +71,7 @@ QUERIES_100X = [
     "evt_churn_weekly",
     "agg_gini_concentration",
     "sub_division_all_types",
+    "diag_vocab_drift",
 ]
 
 
