@@ -465,3 +465,12 @@ def test_gini_bounds_and_naive_parity(spark):
     assert r.n_users == n and r.total_events == t
     assert abs(r.gini - (2 * s / (n * t) - (n + 1) / n)) < 1e-12
     assert 0.0 <= r.gini < 1.0
+
+
+def test_hits_scores_bounded_and_top_normalized(spark):
+    rows = QUERIES["graph_hits"](spark, SF).collect()
+    assert rows
+    qs = [r.auth_q for r in rows]
+    # per-half-step max normalization: scores in (0, 1e6], max exactly 1e6
+    assert max(qs) == 1_000_000
+    assert all(0 < q <= 1_000_000 for q in qs)

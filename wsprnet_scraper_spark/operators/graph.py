@@ -321,3 +321,53 @@ def label_propagation(edges_sym: DataFrame, rounds: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def hits_quantized(
+    e0: DataFrame, iterations: int = 2, persist_edges: bool = True
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED (src, dst) relation,
+    `iterations` unrolled mutual-reinforcement rounds in integer
+    micro-units: authority(d) = sum of hub scores over in-edges,
+    hub(s) = sum of authority scores over out-edges, each side
+    max-normalized back to <= 1e6 after every half-step so the
+    BIGINTs never grow unbounded. The max is a 1-row reduce per
+    half-step (scalar-sized, like pagerank's convergence
+    fingerprint); quantized division (DuckDB // vs Spark div) agrees
+    because every quantity is non-negative. Returns (nid, auth_q) for
+    authority-side nodes after the final round.
+
+    Same strategy notes as pagerank_quantized: this form broadcasts
+    the node-sized score relation per half-step; at billion-node
+    scale pin SHUFFLE_HASH joins against the once-shuffled edge
+    relation instead — the integer math is strategy-invariant."""
+    edges = e0.select("src", "dst")
+    if persist_edges:
+        edges = edges.persist()
+        edges.count()
+    hub = edges.select("src").distinct().select(
+        F.col("src").alias("nid"), F.lit(1_000_000).cast("bigint").alias("h")
+    )
+    auth = None
+    for _ in range(iterations):
+        araw = (
+            edges.join(F.broadcast(hub), edges.src == hub.nid)
+            .groupBy("dst")
+            .agg(F.sum("h").cast("bigint").alias("a_raw"))
+        )
+        amax = araw.agg(F.max("a_raw").alias("m"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            F.col("dst").alias("nid"),
+            F.expr("(1000000 * a_raw) div m").cast("bigint").alias("a"),
+        )
+        hraw = (
+            edges.join(F.broadcast(auth), edges.dst == auth.nid)
+            .groupBy("src")
+            .agg(F.sum("a").cast("bigint").alias("h_raw"))
+        )
+        hmax = hraw.agg(F.max("h_raw").alias("m"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            F.col("src").alias("nid"),
+            F.expr("(1000000 * h_raw) div m").cast("bigint").alias("h"),
+        )
+    return auth.select("nid", F.col("a").alias("auth_q"))

@@ -453,3 +453,66 @@ def graph_kcore(spark, sf_dir):
     from ..operators.graph import kcore
 
     return kcore(sym, _KCORE_K, _KCORE_ROUNDS)
+
+
+def _hits_oracle(iterations: int) -> str:
+    steps = [
+        "d0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst"
+        " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
+        "h0 AS (SELECT DISTINCT src AS nid, CAST(1000000 AS BIGINT) AS h FROM d0)",
+    ]
+    prev_h = "h0"
+    a = None
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"ar{i} AS (SELECT d0.dst, CAST(SUM(p.h) AS BIGINT) AS a_raw"
+            f" FROM d0 JOIN {prev_h} p ON d0.src = p.nid GROUP BY d0.dst)"
+        )
+        steps.append(f"am{i} AS (SELECT max(a_raw) AS m FROM ar{i})")
+        a = f"a{i}"
+        steps.append(
+            f"a{i} AS (SELECT dst AS nid,"
+            f" CAST((1000000 * a_raw) // am{i}.m AS BIGINT) AS a"
+            f" FROM ar{i}, am{i})"
+        )
+        steps.append(
+            f"hr{i} AS (SELECT d0.src, CAST(SUM(q.a) AS BIGINT) AS h_raw"
+            f" FROM d0 JOIN a{i} q ON d0.dst = q.nid GROUP BY d0.src)"
+        )
+        steps.append(f"hm{i} AS (SELECT max(h_raw) AS m FROM hr{i})")
+        steps.append(
+            f"h{i} AS (SELECT src AS nid,"
+            f" CAST((1000000 * h_raw) // hm{i}.m AS BIGINT) AS h"
+            f" FROM hr{i}, hm{i})"
+        )
+        prev_h = f"h{i}"
+    return (
+        f"WITH {', '.join(steps)}\n"
+        f"SELECT nid, a AS auth_q FROM {a}"
+    )
+
+
+@register("graph_hits", _hits_oracle(2))
+def graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities over the DIRECTED customer→supplier
+    graph (two mutual-reinforcement rounds): which suppliers are
+    endorsed by the best-connected customers — the second classic
+    link-analysis eigenvector next to PageRank, with a new wrinkle
+    the PageRank form doesn't have: a per-half-step 1-row max reduce
+    that renormalizes the integer scores, keeping the BIGINTs bounded
+    with no float drift. The oracle unrolls the same half-steps as
+    chained CTEs; integer quantization makes the chain bit-identical
+    to the DataFrame loop (operators/graph.py hits_quantized)."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    from ..operators.graph import hits_quantized
+
+    return hits_quantized(e0, iterations=2)
