@@ -2641,3 +2641,39 @@ def agg_gini_concentration(spark, sf_dir):
             / F.col("n").cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_equiwidth_hist",
+    """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+h AS (
+  SELECT least(CAST(floor((value - b.lo) * 10.0 / (b.hi - b.lo)) AS BIGINT),
+               CAST(9 AS BIGINT)) AS bucket
+  FROM events, b
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY bucket
+""",
+)
+def agg_equiwidth_hist(spark, sf_dir):
+    """Equi-WIDTH 10-bucket histogram of value (the other
+    optimizer-statistics histogram next to agg_equidepth_hist's
+    quantile form): bucket = floor((v-lo)*10/(hi-lo)), clamped so the
+    maximum lands in bucket 9. The bounds are a broadcast 1-row
+    aggregate and the bucket expression is one shared IEEE tree, so
+    both engines bin identically; the count is a 10-key
+    map-side-combinable aggregate over one scan."""
+    ev = load_events(spark, sf_dir)
+    b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    h = ev.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * 10.0
+                / (F.col("hi") - F.col("lo"))
+            ).cast("bigint"),
+            F.lit(9).cast("bigint"),
+        ).alias("bucket")
+    )
+    return h.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n"))

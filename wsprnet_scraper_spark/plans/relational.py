@@ -1623,3 +1623,55 @@ def join_returned_q10(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "join_local_supplier_q5",
+    f"""
+SELECT n_name,
+  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+)
+def join_local_supplier_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): revenue per nation
+    where the CUSTOMER and the SUPPLIER share the nation — the 6-way
+    star join whose distinguishing feature is the non-key equality
+    (c_nationkey = s_nationkey) carried as a join condition rather
+    than a filter. lineitem-orders is the one fact shuffle; customer,
+    supplier, nation, region all broadcast; the year predicate cuts
+    orders at its scan."""
+    c = load(spark, sf_dir, "customer", parallel="never")
+    s = load(spark, sf_dir, "supplier", parallel="never")
+    n = load(spark, sf_dir, "nation", parallel="never")
+    r = load(spark, sf_dir, "region", parallel="never").where(
+        F.col("r_name") == "ASIA"
+    )
+    o = load(spark, sf_dir, "orders", parallel="never").where(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    price, discount = dec("l_extendedprice"), dec("l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * (one() - discount)).cast("double").alias("revenue"))
+    )
