@@ -1675,3 +1675,48 @@ def join_local_supplier_q5(spark, sf_dir):
         .groupBy("n_name")
         .agg(F.sum(price * (one() - discount)).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "agg_promo_share_q14",
+    f"""
+SELECT
+  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+    THEN {_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+    / CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE)
+    AS promo_revenue_pct,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+)
+def agg_promo_share_q14(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): the share of one month's
+    revenue from promo-type parts — the conditional-aggregate-ratio
+    pattern. Both sums stay DECIMAL-exact (the ELSE arm is a decimal
+    zero so the conditional sum never mixes types), cast once, one
+    division. The month predicate pushes to the lineitem scan; part
+    broadcasts; 1-row output from a map-side-partial reduce."""
+    p = load(spark, sf_dir, "part", parallel="never")
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01")
+        & (F.col("l_shipdate") < "1997-04-01")
+    )
+    price, discount = dec("l_extendedprice"), dec("l_discount")
+    rev = price * (one() - discount)
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
