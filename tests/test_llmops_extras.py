@@ -338,3 +338,24 @@ def test_novelty_first_doc_is_fully_novel(spark):
     for r in rows.values():
         assert 0.0 <= r.novelty <= 1.0
         assert r.n_novel <= r.n_shingles
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    from wsprnet_scraper_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.qid, r.vec_id)
+        for r in S.cosine_topk(emb, [0, 1, 2, 3, 4], k=3).collect()
+    }
+    single = {
+        (r.qid, r.vec_id)
+        for r in S.lsh_bucket_topk(emb, [0, 1, 2, 3, 4], k=3).collect()
+    }
+    multi = {
+        (r.qid, r.vec_id)
+        for r in S.lsh_multiprobe_topk(emb, [0, 1, 2, 3, 4], k=3).collect()
+    }
+    # widening the probe set can only add candidates, so recall of the
+    # exact top-3 never decreases
+    assert len(multi & exact) >= len(single & exact)

@@ -1695,3 +1695,51 @@ def mrl_prefix_rerank(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine")
     )
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 3, num_planes: int = 8
+) -> DataFrame:
+    """Multi-probe LSH top-k: candidates from the query's own bucket
+    PLUS every bucket at Hamming distance 1 (one hyperplane bit
+    flipped) — the standard recall-vs-cost dial for hyperplane LSH:
+    planes+1 probes instead of independent replica tables. Probe
+    buckets are distinct by construction (xor with distinct bits), so
+    no candidate dedup is needed; the exact cosine re-rank and the
+    deterministic (cosine desc, vec_id) order match the single-probe
+    form."""
+    buckets = hyperplane_buckets(emb, num_planes)
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .join(buckets, "vec_id")
+    )
+    q0 = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probe_cols = [F.col("qbucket")] + [
+        F.col("qbucket").bitwiseXOR(F.lit(1 << j).cast("bigint"))
+        for j in range(num_planes)
+    ]
+    probes = q0.select(
+        "qid", "qv", "qn2", F.explode(F.array(*probe_cols)).alias("pb")
+    )
+    scored = base.join(
+        F.broadcast(probes), F.col("bucket") == F.col("pb")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "cosine")
+    )

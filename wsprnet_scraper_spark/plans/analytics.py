@@ -2677,3 +2677,65 @@ def agg_equiwidth_hist(spark, sf_dir):
         ).alias("bucket")
     )
     return h.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+@register(
+    "evt_cohort_ltv",
+    """
+WITH f AS (
+  SELECT user_id,
+    CAST(strftime(min(date_trunc('week', ts)) OVER (PARTITION BY user_id),
+                  '%Y-%m-%d') AS VARCHAR) AS cohort,
+    CAST(floor(epoch_us(ts) / 604800000000.0) AS BIGINT)
+      - CAST(floor(epoch_us(min(ts) OVER (PARTITION BY user_id))
+                   / 604800000000.0) AS BIGINT) AS week_idx,
+    CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+g AS (
+  SELECT cohort, week_idx, CAST(sum(cents) AS BIGINT) AS rev
+  FROM f GROUP BY cohort, week_idx
+)
+SELECT cohort, week_idx, rev,
+  CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY week_idx
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev
+FROM g
+""",
+)
+def evt_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves — cumulative purchase revenue per signup-week
+    cohort by weeks-since-first-purchase: the revenue companion to
+    evt_retention's activity triangle, the curve every growth model
+    is fit against. Cohort and week index are pure integer epoch
+    arithmetic (fixed 7-day buckets relative to the user's first
+    purchase, so no calendar ambiguity); revenue stays integer cents
+    through the cumulative window, which runs over the AGGREGATED
+    cohort x week relation. One user-partitioned min window on the
+    fact, one rollup shuffle, one tiny cumulative window."""
+    ev = load_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    wu = W.partitionBy("user_id")
+    wk = F.lit(604800000000.0)
+    f = ev.select(
+        F.date_format(
+            F.min(F.date_trunc("week", "ts")).over(wu), "yyyy-MM-dd"
+        ).alias("cohort"),
+        (
+            F.floor(F.unix_micros("ts") / wk).cast("bigint")
+            - F.floor(F.unix_micros(F.min("ts").over(wu)) / wk).cast("bigint")
+        ).alias("week_idx"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    g = f.groupBy("cohort", "week_idx").agg(
+        F.sum("cents").cast("bigint").alias("rev")
+    )
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("week_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return g.select(
+        "cohort",
+        "week_idx",
+        "rev",
+        F.sum("rev").over(wc).cast("bigint").alias("cum_rev"),
+    )

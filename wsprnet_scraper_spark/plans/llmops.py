@@ -4088,3 +4088,53 @@ def diag_vocab_drift(spark, sf_dir):
             / (F.lit(2).cast("bigint") * F.col("na") * F.col("nb")).cast("double")
         ).alias("tvd"),
     )
+
+
+@register(
+    "sim_lsh_multiprobe",
+    f"""
+WITH {_LSH_SQL},
+base AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2,
+    b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+q AS (
+  SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket
+  FROM base WHERE vec_id < 5
+),
+probes AS (
+  SELECT qid, qv, qn2, qbucket AS pb FROM q
+  UNION ALL
+  SELECT qid, qv, qn2,
+         xor(qbucket, 1::BIGINT << CAST(j AS INT)) AS pb
+  FROM q, (SELECT unnest(generate_series(0, {_LSH_PLANES_SQL} - 1)) AS j) planes
+),
+scored AS (
+  SELECT probes.qid, base.vec_id,
+    list_reduce(list_transform(list_zip(v, qv), z -> z[1] * z[2]), (a, b) -> a + b)
+      / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM base JOIN probes ON base.bucket = probes.pb
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
+""",
+)
+def sim_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (sim_lsh_bucketed's recall dial): each
+    query probes its own hyperplane bucket plus all buckets one bit
+    away — planes+1 probes widen the candidate set roughly
+    (planes+1)x without any extra index, the standard multi-probe
+    trade from the LSH literature. Probe buckets are distinct by
+    construction (xor of distinct bits), so candidates never need
+    dedup; exact cosine re-rank, deterministic order, same
+    corpus-derived plane rule as the single-probe entry."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_multiprobe_topk(
+        emb, [0, 1, 2, 3, 4], k=3, num_planes=_lsh_planes(emb)
+    )
