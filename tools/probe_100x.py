@@ -72,6 +72,9 @@ QUERIES_100X = [
     "agg_gini_concentration",
     "sub_division_all_types",
     "diag_vocab_drift",
+    "agg_equiwidth_hist",
+    "evt_cohort_ltv",
+    "sim_lsh_multiprobe",
 ]
 
 
