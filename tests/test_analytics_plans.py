@@ -474,3 +474,12 @@ def test_hits_scores_bounded_and_top_normalized(spark):
     # per-half-step max normalization: scores in (0, 1e6], max exactly 1e6
     assert max(qs) == 1_000_000
     assert all(0 < q <= 1_000_000 for q in qs)
+
+
+def test_dau_wau_bounds(spark):
+    rows = QUERIES["evt_dau_wau"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.wau  # trailing-7 window contains the day
+        assert abs(r.stickiness - r.dau / r.wau) < 1e-15
+        assert r.stickiness <= 1.0

@@ -2739,3 +2739,65 @@ def evt_cohort_ltv(spark, sf_dir):
         "rev",
         F.sum("rev").over(wc).cast("bigint").alias("cum_rev"),
     )
+
+
+@register(
+    "evt_dau_wau",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+contrib AS (
+  SELECT DISTINCT user_id, day + k.k AS tday
+  FROM ud, (SELECT unnest(generate_series(0, 6)) AS k) k
+),
+wau AS (
+  SELECT c.tday AS day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM contrib c JOIN days d ON c.tday = d.day
+  GROUP BY c.tday
+)
+SELECT dau.day, dau.dau, wau.wau,
+       CAST(dau.dau AS DOUBLE) / wau.wau AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day
+""",
+)
+def evt_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio product
+    teams track: daily actives over trailing-7-day actives. The
+    rolling DISTINCT is the part a window can't do; instead each
+    (user, day) contributes itself to the 7 target days it is inside
+    (a fixed 7x fan-out of the DISTINCT user-day relation, not the
+    event stream), and WAU is a plain distinct-count per target day —
+    map-side combinable, exact. Days outside the observed range drop
+    via the join against the real day list. One division on exact
+    BIGINTs."""
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("tday")
+    ).distinct()
+    wau = (
+        contrib.join(F.broadcast(days), contrib.tday == days.day)
+        .groupBy("tday")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.tday)
+        .select(
+            dau.day,
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+    )

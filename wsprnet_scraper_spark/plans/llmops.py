@@ -4138,3 +4138,86 @@ def sim_lsh_multiprobe(spark, sf_dir):
     return similarity.lsh_multiprobe_topk(
         emb, [0, 1, 2, 3, 4], k=3, num_planes=_lsh_planes(emb)
     )
+
+
+@register(
+    "pipe_bpe_apply_step",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (SELECT tok, count(*) AS n FROM toks WHERE len(tok) >= 2 GROUP BY tok),
+pairs AS (
+  SELECT substr(tok, i, 2) AS pair, SUM(n) AS cnt
+  FROM vocab, unnest(generate_series(1, len(tok) - 1)) AS t(i)
+  GROUP BY 1
+),
+best AS (
+  SELECT pair FROM (
+    SELECT pair, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM pairs
+  ) WHERE rn = 1
+),
+applied AS (
+  SELECT doc_id,
+    replace(text, best.pair, '[' || best.pair || ']') AS new_text,
+    length(text) AS l0
+  FROM documents, best
+)
+SELECT doc_id,
+  CAST((length(new_text) - l0) / 2 AS BIGINT) AS n_applied,
+  md5(new_text) AS merged_md5
+FROM applied
+""",
+)
+def pipe_bpe_apply_step(spark, sf_dir):
+    """The APPLY half of one BPE merge (pipe_bpe_merge_step learns the
+    pair; this encodes with it): the corpus-best adjacent character
+    pair is rewritten to a single bracketed symbol in every document
+    — one replace() pass, with n_applied recovered exactly from the
+    length delta (each application adds 2 bracket chars). The winning
+    pair comes from the same vocabulary-relation derivation as the
+    training step (deterministic tie-break) and reaches the corpus
+    scan as a broadcast 1-row relation; replace() is leftmost
+    non-overlapping in both engines, so the rewritten text hashes
+    identically. Scale: vocabulary-sized training work + one linear
+    corpus pass."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        vocab.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    wb = W.orderBy(F.desc("cnt"), "pair")
+    best = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("pair")
+    )
+    applied = d.crossJoin(F.broadcast(best)).select(
+        "doc_id",
+        F.replace(
+            F.col("text"),
+            F.col("pair"),
+            F.concat(F.lit("["), F.col("pair"), F.lit("]")),
+        ).alias("new_text"),
+        F.length("text").alias("l0"),
+    )
+    return applied.select(
+        "doc_id",
+        ((F.length("new_text") - F.col("l0")) / 2).cast("bigint").alias("n_applied"),
+        F.md5("new_text").alias("merged_md5"),
+    )
