@@ -75,6 +75,8 @@ QUERIES_100X = [
     "agg_equiwidth_hist",
     "evt_cohort_ltv",
     "sim_lsh_multiprobe",
+    "evt_dau_wau",
+    "pipe_bpe_apply_step",
 ]
 
 
