@@ -90,6 +90,9 @@ HEADLINE = [
     "win_weighted_ma",         # exact linear-decay WMA, two-sum identity (r4)
     "dedup_substring_strip",   # exact-substring dedup removal pass (r4)
     "pipe_mixture_epochs",     # source-weighted multi-epoch repetition (r4)
+    "win_weighted_ma_blocked", # halo-block frames: the WMA scale twin (r4)
+    "graph_hits",              # HITS with quantized renormalization (r4)
+    "sim_lsh_multiprobe",      # 1-bit multi-probe LSH recall dial (r4)
 ]
 
 

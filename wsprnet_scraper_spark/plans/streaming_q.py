@@ -653,3 +653,48 @@ def strm_topk_window(spark, sf_dir):
         agg.withColumn("rn", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@register(
+    "strm_distinct_daily",
+    """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events
+)
+SELECT day, CAST(count(*) AS BIGINT) AS dau
+FROM ud GROUP BY day
+""",
+)
+def strm_distinct_daily(spark, sf_dir):
+    """Streaming exact daily-active-users: a REAL streaming run that
+    dropDuplicates the (user, day) identity — streaming stateful
+    exact distinct, state keyed and bounded by identities, not events
+    — then counts per day (complete mode, availableNow) and must
+    equal the batch oracle. Complements strm_dedup_watermark (event-id
+    dedup) with IDENTITY-level dedup feeding an aggregate; in a live
+    deployment the same query carries a watermark on day so identity
+    state expires after the window closes."""
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(
+        f"{sf_dir}/events.parque[t]"
+    )
+    stream = _norm_ts(stream, raw_schema)
+    ud = stream.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("bigint")
+        .alias("day"),
+    ).dropDuplicates(["user_id", "day"])
+    agg = ud.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    name = f"strm_distinct_daily_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("day", "dau")
