@@ -28,6 +28,7 @@ EAGER_OPS = (
     "kcore(",
     "label_propagation(",
     "bfs_layers(",
+    "hits_quantized(",
 )
 
 

@@ -492,7 +492,7 @@ def _hits_oracle(iterations: int) -> str:
     )
 
 
-@register("graph_hits", _hits_oracle(2))
+@register("graph_hits", _hits_oracle(2), cache_plans=False)
 def graph_hits(spark, sf_dir):
     """HITS hubs-and-authorities over the DIRECTED customer→supplier
     graph (two mutual-reinforcement rounds): which suppliers are
