@@ -2801,3 +2801,62 @@ def evt_dau_wau(spark, sf_dir):
             (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
         )
     )
+
+
+@register(
+    "agg_top_decile_share",
+    """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS i,
+         count(*) OVER () AS n
+  FROM c
+),
+m AS (
+  SELECT CAST(max(n) AS BIGINT) AS n,
+         CAST(max(n) // 10 AS BIGINT) AS k,
+         CAST(sum(cnt) AS BIGINT) AS total,
+         CAST(sum(CASE WHEN i <= n // 10 THEN cnt ELSE 0 END) AS BIGINT) AS top
+  FROM r
+)
+SELECT n AS n_users, k AS top_decile_users, top AS top_events,
+       total AS total_events,
+       CAST(top AS DOUBLE) / total AS top_decile_share
+FROM m
+""",
+)
+def agg_top_decile_share(spark, sf_dir):
+    """The 80/20 point: what share of all events the top 10% most
+    active users produce — the single concentration number next to
+    agg_gini_concentration's integral. Rank via the distributed
+    global rank (count desc, user tiebreak), threshold k = n//10 in
+    integer arithmetic, exact BIGINT sums, one division. Everything
+    after the user-count aggregate runs on users, not events."""
+    ev = load_events(spark, sf_dir)
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    from ..operators import ranking
+
+    r = ranking.with_global_rank(
+        c.select("user_id", "cnt", (-F.col("cnt")).alias("neg")),
+        ["neg", "user_id"],
+        rank_col="i",
+        total_col="n",
+    )
+    m = r.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.expr("max(n) div 10").cast("bigint").alias("k"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.when(F.col("i") <= F.expr("n div 10"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("top"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("k").alias("top_decile_users"),
+        F.col("top").alias("top_events"),
+        F.col("total").alias("total_events"),
+        (F.col("top").cast("double") / F.col("total")).alias("top_decile_share"),
+    )

@@ -1720,3 +1720,66 @@ def agg_promo_share_q14(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@register(
+    "join_order_gap_median",
+    """
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS us, o_orderkey,
+         lag(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey
+         ) AS pus
+  FROM orders
+),
+g AS (
+  SELECT o_custkey,
+         CAST(floor((us - pus) / 86400000000.0) AS BIGINT) AS gap_days
+  FROM o WHERE pus IS NOT NULL
+)
+SELECT o_custkey AS custkey,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       median(gap_days) AS median_gap_days
+FROM g GROUP BY o_custkey
+HAVING count(*) >= 3
+""",
+)
+def join_order_gap_median(spark, sf_dir):
+    """Repeat-purchase cycle per customer: the median days between
+    consecutive orders (3+ repeat intervals required) — the metric
+    replenishment and win-back campaigns key on. One customer-
+    partitioned lag window, integer day gaps, exact grouped median:
+    Spark's percentile at p=0.5 interpolates the same two middle
+    values as DuckDB's median on the identical integer multiset, so
+    the doubles are bit-equal (the win_rolling_median argument).
+    Scale: window and median both run per customer key; nothing
+    global."""
+    o = load(spark, sf_dir, "orders")
+    wo = W.partitionBy("o_custkey").orderBy(
+        F.unix_micros("o_orderdate"), "o_orderkey"
+    )
+    g = (
+        o.select(
+            "o_custkey",
+            F.unix_micros("o_orderdate").alias("us"),
+            F.lag(F.unix_micros("o_orderdate")).over(wo).alias("pus"),
+        )
+        .where(F.col("pus").isNotNull())
+        .select(
+            "o_custkey",
+            F.floor((F.col("us") - F.col("pus")) / F.lit(86400000000.0))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.percentile(F.col("gap_days"), F.lit(0.5)).alias("median_gap_days"),
+        )
+        .where(F.col("n_gaps") >= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"), "n_gaps", "median_gap_days"
+        )
+    )
