@@ -2860,3 +2860,95 @@ def agg_top_decile_share(spark, sf_dir):
         F.col("total").alias("total_events"),
         (F.col("top").cast("double") / F.col("total")).alias("top_decile_share"),
     )
+
+
+@register(
+    "agg_ks_statistic",
+    """
+WITH a AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+  WHERE event_type = 'click'
+),
+b AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+  WHERE event_type = 'view'
+),
+g AS (
+  SELECT v,
+    CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+  FROM (
+    SELECT v, 1 AS ca, 0 AS cb FROM a
+    UNION ALL
+    SELECT v, 0 AS ca, 1 AS cb FROM b
+  ) GROUP BY v
+),
+c AS (
+  SELECT v,
+    CAST(sum(ca) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fa,
+    CAST(sum(cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fb
+  FROM g
+),
+t AS (
+  SELECT CAST(max(fa) AS BIGINT) AS na, CAST(max(fb) AS BIGINT) AS nb,
+         CAST(max(abs(fa * (SELECT max(fb) FROM c)
+                      - fb * (SELECT max(fa) FROM c))) AS BIGINT) AS supnum
+  FROM c
+)
+SELECT na, nb, supnum,
+       CAST(supnum AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks_d
+FROM t
+""",
+)
+def agg_ks_statistic(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov D between the value
+    distributions of two event types — the distribution-shift test
+    with NO float CDFs: on the aggregated distinct-value grid, the
+    empirical CDF difference |Fa - Fb| restates as the integer
+    |fa*nb - fb*na| (cross-multiplied counts), so the supremum is an
+    exact BIGINT max and D is its single division by na*nb. The
+    cumulative counts run over the value GRID (an Aggregate —
+    audit-sanctioned), not the events; the sup and totals are 1-row
+    reduces."""
+    ev = load_events(spark, sf_dir)
+    v = F.floor(F.col("value") * 100).cast("bigint").alias("v")
+    a = ev.where(F.col("event_type") == "click").select(
+        v, F.lit(1).alias("ca"), F.lit(0).alias("cb")
+    )
+    b = ev.where(F.col("event_type") == "view").select(
+        v, F.lit(0).alias("ca"), F.lit(1).alias("cb")
+    )
+    g = (
+        a.unionByName(b)
+        .groupBy("v")
+        .agg(
+            F.sum("ca").cast("bigint").alias("ca"),
+            F.sum("cb").cast("bigint").alias("cb"),
+        )
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select(
+        "v",
+        F.sum("ca").over(wc).cast("bigint").alias("fa"),
+        F.sum("cb").over(wc).cast("bigint").alias("fb"),
+    )
+    tot = c.agg(
+        F.max("fa").cast("bigint").alias("na"), F.max("fb").cast("bigint").alias("nb")
+    )
+    t = c.crossJoin(F.broadcast(tot)).agg(
+        F.max("na").cast("bigint").alias("na"),
+        F.max("nb").cast("bigint").alias("nb"),
+        F.max(F.abs(F.col("fa") * F.col("nb") - F.col("fb") * F.col("na")))
+        .cast("bigint")
+        .alias("supnum"),
+    )
+    return t.select(
+        "na",
+        "nb",
+        "supnum",
+        (
+            F.col("supnum").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double")
+        ).alias("ks_d"),
+    )

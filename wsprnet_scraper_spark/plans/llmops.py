@@ -4221,3 +4221,89 @@ def pipe_bpe_apply_step(spark, sf_dir):
         ((F.length("new_text") - F.col("l0")) / 2).cast("bigint").alias("n_applied"),
         F.md5("new_text").alias("merged_md5"),
     )
+
+
+@register(
+    "text_collocation_lift",
+    """
+WITH toks AS (
+  SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term FROM documents
+),
+top AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+    FROM toks GROUP BY term
+  ) WHERE rn <= 20
+),
+dt AS (
+  SELECT DISTINCT doc, toks.term FROM toks JOIN top ON toks.term = top.term
+),
+nd AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS n FROM toks),
+m AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),
+p AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc = b.doc AND a.term < b.term
+  GROUP BY 1, 2
+)
+SELECT term_a, term_b, n_ab,
+       CAST(n_ab * nd.n AS DOUBLE) / CAST(ma.df * mb.df AS DOUBLE) AS lift
+FROM p
+JOIN m ma ON ma.term = term_a
+JOIN m mb ON mb.term = term_b
+CROSS JOIN nd
+""",
+)
+def text_collocation_lift(spark, sf_dir):
+    """Collocation mining over the corpus top-20 vocabulary: for each
+    pair of frequent terms, the lift of their document co-occurrence
+    over independence — the association score behind phrase/topic
+    discovery, evt_lift_pairs' text twin. The vocabulary cap bounds
+    the pair space at vocab^2 regardless of corpus size (the same
+    df-cap discipline as the dedup family); membership is the
+    DISTINCT (doc, term) relation against the broadcast top list,
+    the pair join is doc-keyed, and lift is the single division
+    (n_ab*N)/(df_a*df_b) on exact BIGINTs."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("doc"), F.explode(F.split("text", " ")).alias("term")
+    )
+    wt = W.orderBy(F.desc("cnt"), "term")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= 20)
+        .select("term")
+    )
+    dt = toks.join(F.broadcast(top), "term").select("doc", "term").distinct()
+    nd = toks.agg(F.count_distinct("doc").cast("bigint").alias("n"))
+    m = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.doc") == F.col("b.doc"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    ma = m.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    mb = m.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        p.join(F.broadcast(ma), "term_a")
+        .join(F.broadcast(mb), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n")).cast("double")
+                / (F.col("df_a") * F.col("df_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
