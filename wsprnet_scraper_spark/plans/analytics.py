@@ -2952,3 +2952,67 @@ def agg_ks_statistic(spark, sf_dir):
             / (F.col("na") * F.col("nb")).cast("double")
         ).alias("ks_d"),
     )
+
+
+@register(
+    "agg_runs_test",
+    """
+WITH med AS (
+  SELECT event_type, median(CAST(floor(value * 100) AS BIGINT)) AS med
+  FROM events GROUP BY event_type
+),
+s AS (
+  SELECT e.event_type,
+         CASE WHEN CAST(floor(value * 100) AS BIGINT) > m.med
+              THEN 1 ELSE 0 END AS sgn,
+         epoch_us(ts) AS us, event_id
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+l AS (
+  SELECT event_type, sgn,
+         lag(sgn) OVER (PARTITION BY event_type
+                        ORDER BY us, event_id) AS psgn
+  FROM s
+)
+SELECT event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(sgn) AS BIGINT) AS n_above,
+  CAST(sum(CASE WHEN psgn IS NULL OR sgn <> psgn THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_runs
+FROM l GROUP BY event_type
+""",
+)
+def agg_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs count per series — the randomness screen:
+    how many maximal runs the above/below-median sign sequence has
+    (too few = trending, too many = oscillating; consumers compare
+    n_runs against the known mean 2*n1*n0/n + 1). The median cut is
+    an exact grouped median on integer cents (broadcast back), the
+    run boundaries are one lag window per series, and every output is
+    an exact BIGINT count — the test statistic's moments are left to
+    the consumer so no engine ever computes a float the other must
+    bit-match."""
+    ev = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    med = ev.groupBy("event_type").agg(
+        F.percentile(cents, F.lit(0.5)).alias("med")
+    )
+    s = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.when(cents > F.col("med"), 1).otherwise(0).alias("sgn"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    wl = W.partitionBy("event_type").orderBy("us", "event_id")
+    l = s.select("event_type", "sgn", F.lag("sgn").over(wl).alias("psgn"))
+    return l.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sgn").cast("bigint").alias("n_above"),
+        F.sum(
+            F.when(
+                F.col("psgn").isNull() | (F.col("sgn") != F.col("psgn")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )

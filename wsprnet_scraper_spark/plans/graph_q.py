@@ -516,3 +516,67 @@ def graph_hits(spark, sf_dir):
     from ..operators.graph import hits_quantized
 
     return hits_quantized(e0, iterations=2)
+
+
+@register(
+    "graph_assortativity",
+    f"""
+WITH {_GRAPH_SQL},
+ed AS (
+  SELECT ds.deg AS x, dd.deg AS y
+  FROM edges e
+  JOIN deg ds ON ds.src = e.src
+  JOIN deg dd ON dd.src = e.dst
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM ed
+)
+SELECT n AS n_edges,
+       (n * sxy - sx * sy)
+         / nullif(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0.0)
+         AS assortativity
+FROM m
+""",
+)
+def graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the interaction graph — the one-number
+    'do hubs attach to hubs' diagnostic (Newman 2002): the Pearson
+    correlation of endpoint degrees over the directed edge list of
+    the symmetrized graph. Non-iterative, so unlike the
+    PageRank/HITS family it is a pure two-join + moments shape: the
+    degree relation (node-sized) joins onto each edge endpoint, and
+    the correlation comes from exact BIGINT moment sums cast once
+    into the shared IEEE tree (the agg_autocorr_lag1 recipe),
+    nullif-guarded for regular graphs. One fact derivation, two
+    degree joins, a 1-row reduce."""
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ds = deg.select(F.col("src").alias("s_"), F.col("deg").alias("x"))
+    dd = deg.select(F.col("src").alias("d_"), F.col("deg").alias("y"))
+    ed = (
+        e.join(ds, e.src == F.col("s_"))
+        .join(dd, e.dst == F.col("d_"))
+        .select("x", "y")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        (num / F.nullif(den, F.lit(0.0))).alias("assortativity"),
+    )
