@@ -77,6 +77,10 @@ QUERIES_100X = [
     "sim_lsh_multiprobe",
     "evt_dau_wau",
     "pipe_bpe_apply_step",
+    "agg_top_decile_share",
+    "agg_ks_statistic",
+    "agg_runs_test",
+    "text_collocation_lift",
 ]
 
 

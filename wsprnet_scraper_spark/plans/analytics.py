@@ -2988,7 +2988,12 @@ def agg_runs_test(spark, sf_dir):
     (too few = trending, too many = oscillating; consumers compare
     n_runs against the known mean 2*n1*n0/n + 1). The median cut is
     an exact grouped median on integer cents (broadcast back), the
-    run boundaries are one lag window per series, and every output is
+    run boundaries come from BLOCK-partitioned lags (the
+    sequence_gaps decomposition: block-local run starts, minus one
+    for every block boundary the run crosses, detected on a tiny
+    per-block first/last summary — a 5-value series key would
+    otherwise serialize the whole stream through 5 tasks; measured
+    slope 20 at the 100x probe before the fix), and every output is
     an exact BIGINT count — the test statistic's moments are left to
     the consumer so no engine ever computes a float the other must
     bit-match."""
@@ -3002,17 +3007,52 @@ def agg_runs_test(spark, sf_dir):
         F.when(cents > F.col("med"), 1).otherwise(0).alias("sgn"),
         F.unix_micros("ts").alias("us"),
         "event_id",
+        F.expr("unix_micros(ts) div 21600000000").alias("blk"),
     )
-    wl = W.partitionBy("event_type").orderBy("us", "event_id")
-    l = s.select("event_type", "sgn", F.lag("sgn").over(wl).alias("psgn"))
-    return l.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("sgn").cast("bigint").alias("n_above"),
+    wl = W.partitionBy("event_type", "blk").orderBy("us", "event_id")
+    l = s.select(
+        "event_type", "blk", "sgn", F.lag("sgn").over(wl).alias("psgn")
+    )
+    per_blk = l.groupBy("event_type", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bn"),
+        F.sum("sgn").cast("bigint").alias("babove"),
         F.sum(
             F.when(
                 F.col("psgn").isNull() | (F.col("sgn") != F.col("psgn")), 1
             ).otherwise(0)
         )
         .cast("bigint")
-        .alias("n_runs"),
+        .alias("bruns"),
+    )
+    ends = s.groupBy("event_type", "blk").agg(
+        F.min_by("sgn", F.struct("us", "event_id")).alias("first_sgn"),
+        F.max_by("sgn", F.struct("us", "event_id")).alias("last_sgn"),
+    )
+    # summary window over the per-block relation (aggregate-reduced)
+    ws = W.partitionBy("event_type").orderBy("blk")
+    merges = (
+        ends.withColumn("prev_last", F.lag("last_sgn").over(ws))
+        .select(
+            "event_type",
+            F.when(
+                F.col("prev_last").isNotNull()
+                & (F.col("prev_last") == F.col("first_sgn")),
+                1,
+            )
+            .otherwise(0)
+            .alias("merge"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("merge").cast("bigint").alias("n_merges"))
+    )
+    tot = per_blk.groupBy("event_type").agg(
+        F.sum("bn").cast("bigint").alias("n"),
+        F.sum("babove").cast("bigint").alias("n_above"),
+        F.sum("bruns").cast("bigint").alias("raw_runs"),
+    )
+    return tot.join(merges, "event_type").select(
+        "event_type",
+        "n",
+        "n_above",
+        (F.col("raw_runs") - F.col("n_merges")).cast("bigint").alias("n_runs"),
     )
