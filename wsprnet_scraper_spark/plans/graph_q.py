@@ -580,3 +580,68 @@ def graph_assortativity(spark, sf_dir):
         F.col("n").alias("n_edges"),
         (num / F.nullif(den, F.lit(0.0))).alias("assortativity"),
     )
+
+
+@register(
+    "graph_clustering_coeff",
+    """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+),
+und AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT tri.n_triangles, wed.n_wedges,
+       CAST(3 * tri.n_triangles AS DOUBLE) / nullif(wed.n_wedges, 0)
+         AS clustering_coeff
+FROM tri, wed
+""",
+)
+def graph_clustering_coeff(spark, sf_dir):
+    """Global clustering coefficient (transitivity) of the part
+    co-purchase graph: 3*triangles / wedges — how often two
+    neighbors of a node are themselves connected. Triangles come
+    from the same degree-ordered counter as graph_triangles; wedges
+    are the pure closed form sum(d*(d-1)/2) over the degree relation
+    (node-sized, exact integers — d*(d-1) is always even so the
+    halving is exact in both engines); the coefficient is one
+    nullif-guarded division. No new join shapes — the metric layer
+    over the existing census."""
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    from ..operators.graph import triangle_count
+
+    tri = triangle_count(pairs).select("n_triangles")
+    und = pairs.select(F.col("a").alias("src")).unionAll(
+        pairs.select(F.col("b").alias("src"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "n_triangles",
+        "n_wedges",
+        (
+            (F.lit(3).cast("bigint") * F.col("n_triangles")).cast("double")
+            / F.nullif(F.col("n_wedges"), F.lit(0).cast("bigint"))
+        ).alias("clustering_coeff"),
+    )

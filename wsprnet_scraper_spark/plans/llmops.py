@@ -4307,3 +4307,97 @@ def text_collocation_lift(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "dedup_minhash_estimate",
+    f"""
+WITH {_SHINGLES_FULL_SQL},
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt) AS sig
+  FROM hashed GROUP BY doc, band
+),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST(sum(CASE WHEN ha.minh = hb.minh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+  FROM cand c
+  JOIN hashed ha ON ha.doc = c.doc_a
+  JOIN hashed hb ON hb.doc = c.doc_b AND hb.salt = ha.salt
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_match,
+       CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard
+FROM m
+""",
+)
+def dedup_minhash_estimate(spark, sf_dir):
+    """MinHash as an ESTIMATOR, not just a bucketizer: for each LSH
+    candidate pair, the matching-minhash fraction n_match/8 — the
+    unbiased Jaccard estimate the MinHash construction exists for
+    (dedup_minhash stops at candidacy; downstream thresholds want the
+    score). The estimate is an exact dyadic rational (k/8), so no
+    cross-engine float risk. The per-salt signature relation is
+    8 rows per doc; scoring joins it onto the candidate pairs
+    by (doc, salt) — candidate-bounded work, never all-pairs. Runs on
+    the FULL corpus: the %10 sample the bucketizer entry uses has no
+    candidate pairs at the judged SFs."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    salts = spark.range(8).select(F.col("id").cast("int").alias("salt"))
+    hashed = (
+        sh.crossJoin(F.broadcast(salts))
+        .select(
+            "doc",
+            "salt",
+            F.md5(
+                F.concat(
+                    F.col("salt").cast("string"), F.lit("|"), F.col("shingle")
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc", "salt")
+        .agg(F.min("h").alias("minh"))
+    )
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    cand = dedup.candidate_pairs(sigs)
+    ha = hashed.select(
+        F.col("doc").alias("doc_a"), "salt", F.col("minh").alias("minh_a")
+    )
+    hb = hashed.select(
+        F.col("doc").alias("b_doc"),
+        F.col("salt").alias("salt_b"),
+        F.col("minh").alias("minh_b"),
+    )
+    m = (
+        cand.join(ha, "doc_a")
+        .join(
+            hb,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("salt") == F.col("salt_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("minh_a") == F.col("minh_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_match")
+        )
+    )
+    return m.select(
+        "doc_a",
+        "doc_b",
+        "n_match",
+        (F.col("n_match").cast("double") / F.lit(8.0)).alias("est_jaccard"),
+    )
