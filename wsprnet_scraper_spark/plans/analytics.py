@@ -3056,3 +3056,72 @@ def agg_runs_test(spark, sf_dir):
         "n_above",
         (F.col("raw_runs") - F.col("n_merges")).cast("bigint").alias("n_runs"),
     )
+
+
+@register(
+    "agg_mannwhitney_u",
+    """
+WITH g AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1
+),
+c AS (
+  SELECT v, ca, cb,
+    CAST(coalesce(sum(cb) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb_less
+  FROM g
+),
+t AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+         CAST(sum(ca * (2 * cb_less + cb)) AS BIGINT) AS u2
+  FROM c
+)
+SELECT na, nb, u2, CAST(u2 AS DOUBLE) / 2.0 AS u
+FROM t
+""",
+)
+def agg_mannwhitney_u(spark, sf_dir):
+    """Exact Mann-Whitney U between two event types' value
+    distributions, ties handled by the midrank convention with NO
+    floats: doubling the statistic makes it integral —
+    2U = sum_v ca_v * (2*cb_below_v + cb_v) — so u2 is an exact
+    BIGINT sum over the aggregated value grid (the cumulative count
+    runs on the grid, audit-sanctioned) and U itself is one division
+    by 2 (exact dyadic). The rank-sum companion to agg_ks_statistic's
+    sup-difference test."""
+    ev = load_events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "view")
+    )
+    g = ev.groupBy(
+        F.floor(F.col("value") * 100).cast("bigint").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(wc), F.lit(0)).cast("bigint").alias("cb_less"),
+    )
+    t = c.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("ca")
+            * (F.lit(2).cast("bigint") * F.col("cb_less") + F.col("cb"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return t.select(
+        "na", "nb", "u2", (F.col("u2").cast("double") / F.lit(2.0)).alias("u")
+    )

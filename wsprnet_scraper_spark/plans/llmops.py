@@ -4401,3 +4401,121 @@ def dedup_minhash_estimate(spark, sf_dir):
         "n_match",
         (F.col("n_match").cast("double") / F.lit(8.0)).alias("est_jaccard"),
     )
+
+
+@register(
+    "pipe_dataset_diff",
+    """
+WITH v1 AS (
+  SELECT doc_id, md5('v1:' || text) AS h FROM documents WHERE doc_id % 7 <> 0
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN 'v1:' || text || ' EDITED'
+                  ELSE 'v1:' || text END) AS h
+  FROM documents
+),
+j AS (
+  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+         v1.h AS h1, v2.h AS h2
+  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT
+  CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j
+""",
+)
+def pipe_dataset_diff(spark, sf_dir):
+    """Snapshot reconciliation — the dataset-versioning audit: given
+    two corpus versions (synthesized deterministically here: v1 drops
+    every 7th doc, v2 edits every 11th), report added / removed /
+    changed / unchanged counts from ONE full outer join on the key
+    with content-hash comparison. The inverse of the CDC family:
+    snk_cdc_apply turns a change feed into a snapshot; this recovers
+    the change summary from two snapshots. Scale: key-partitioned
+    full join, constant-width output, hashes computed in-scan."""
+    d = load(spark, sf_dir, "documents")
+    v1 = d.where(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.concat(F.lit("v1:"), F.col("text"))).alias("h1")
+    )
+    v2 = d.select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("v1:"), F.col("text"), F.lit(" EDITED")),
+            ).otherwise(F.concat(F.lit("v1:"), F.col("text")))
+        ).alias("h2"),
+    )
+    j = v1.join(v2, "doc_id", "full")
+    return j.agg(
+        F.sum(F.when(F.col("h1").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.when(F.col("h2").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("h1").isNotNull()
+                & F.col("h2").isNotNull()
+                & (F.col("h1") != F.col("h2")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum(F.when(F.col("h1") == F.col("h2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
+
+
+@register(
+    "text_hapax_ratio",
+    """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(n) AS BIGINT) AS n_tokens
+  FROM v
+)
+SELECT vocab, hapax, n_tokens,
+       CAST(hapax AS DOUBLE) / vocab AS hapax_ratio,
+       CAST(vocab AS DOUBLE) / n_tokens AS type_token_ratio
+FROM t
+""",
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena ratio and type-token ratio — the two one-number
+    lexical-diversity statistics corpus reports lead with (a shrinking
+    hapax share signals a crawl re-scraping itself). Two stacked
+    map-side-combinable aggregates (term counts, then a 1-row reduce),
+    exact BIGINTs, two single divisions."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term"))
+    v = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+    )
+    return t.select(
+        "vocab",
+        "hapax",
+        "n_tokens",
+        (F.col("hapax").cast("double") / F.col("vocab")).alias("hapax_ratio"),
+        (F.col("vocab").cast("double") / F.col("n_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )
