@@ -81,6 +81,9 @@ QUERIES_100X = [
     "agg_ks_statistic",
     "agg_runs_test",
     "text_collocation_lift",
+    "agg_mannwhitney_u",
+    "pipe_dataset_diff",
+    "text_hapax_ratio",
 ]
 
 
