@@ -84,6 +84,7 @@ QUERIES_100X = [
     "agg_mannwhitney_u",
     "pipe_dataset_diff",
     "text_hapax_ratio",
+    "evt_transition_2nd",
 ]
 
 

@@ -3125,3 +3125,57 @@ def agg_mannwhitney_u(spark, sf_dir):
     return t.select(
         "na", "nb", "u2", (F.col("u2").cast("double") / F.lit(2.0)).alias("u")
     )
+
+
+@register(
+    "evt_transition_2nd",
+    """
+WITH l AS (
+  SELECT event_type AS nxt,
+    lag(event_type, 1) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS p1,
+    lag(event_type, 2) OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id) AS p2
+  FROM events
+),
+c AS (
+  SELECT p2, p1, nxt, CAST(count(*) AS BIGINT) AS n
+  FROM l WHERE p2 IS NOT NULL
+  GROUP BY p2, p1, nxt
+),
+m AS (
+  SELECT p2, p1, CAST(sum(n) AS BIGINT) AS ctx_n FROM c GROUP BY p2, p1
+)
+SELECT c.p2, c.p1, c.nxt, c.n,
+       CAST(c.n AS DOUBLE) / m.ctx_n AS p_next
+FROM c JOIN m ON c.p2 = m.p2 AND c.p1 = m.p1
+""",
+)
+def evt_transition_2nd(spark, sf_dir):
+    """Second-order Markov transitions: P(next | previous TWO events)
+    — evt_transition_matrix's higher-order sibling, the model that
+    catches 'view->click->purchase differs from click->view->
+    purchase'. Two lags from ONE user-partitioned window pass, counts
+    keyed by the (state-pair, next) triple, conditionals as single
+    divisions against the broadcast context marginals. Output bounded
+    by |types|^3."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    l = ev.select(
+        F.col("event_type").alias("nxt"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    c = (
+        l.where(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "nxt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = c.groupBy("p2", "p1").agg(F.sum("n").cast("bigint").alias("ctx_n"))
+    return c.join(F.broadcast(m), ["p2", "p1"]).select(
+        "p2",
+        "p1",
+        "nxt",
+        "n",
+        (F.col("n").cast("double") / F.col("ctx_n")).alias("p_next"),
+    )
