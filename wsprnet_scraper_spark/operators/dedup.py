@@ -260,7 +260,13 @@ def connected_components(
     # shuffle from the MEASURED edge count (the checkpoint makes the
     # count a local-block scan) at ~2M edge rows per task; AQE still
     # coalesces small rounds back down. Conf is set only for the
-    # eager loop below and restored before returning.
+    # eager loop below and restored before returning — but it is
+    # SESSION-GLOBAL while set: any query planned concurrently on the
+    # same session (e.g. a streaming micro-batch firing mid-loop) sees
+    # the inflated partition count for that window. AQE coalescing
+    # makes that benign (extra small partitions, never wrong results);
+    # a deployment that can't tolerate it should run CC on
+    # spark.newSession(), which shares the context but scopes SQL conf.
     spark = pairs.sparkSession
     n_edges = sym.count()
     saved = spark.conf.get("spark.sql.shuffle.partitions")

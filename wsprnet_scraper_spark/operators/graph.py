@@ -350,36 +350,63 @@ def hits_quantized(
     )
     auth = None
     kept = []
-    for _ in range(iterations):
-        # persist each node-sized half-step result and collect its max
-        # as a SCALAR: without this, the 1-row max branch and the next
-        # half-step each re-execute the whole upstream join/agg tree,
-        # and the recompute doubles per half-step (measured 4.5 s for
-        # two rounds at sf0.1; 1.1 s with the cut). The persisted
-        # relations are node-sized; the collect is one value — the
-        # pagerank-convergence-fingerprint pattern.
-        araw = (
-            edges.join(F.broadcast(hub), edges.src == hub.nid)
-            .groupBy("dst")
-            .agg(F.sum("h").cast("bigint").alias("a_raw"))
-            .persist()
-        )
-        kept.append(araw)
-        am = araw.agg(F.max("a_raw")).collect()[0][0]
-        auth = araw.select(
-            F.col("dst").alias("nid"),
-            F.expr(f"(1000000 * a_raw) div {am}").cast("bigint").alias("a"),
-        )
-        hraw = (
-            edges.join(F.broadcast(auth), edges.dst == auth.nid)
-            .groupBy("src")
-            .agg(F.sum("a").cast("bigint").alias("h_raw"))
-            .persist()
-        )
-        kept.append(hraw)
-        hm = hraw.agg(F.max("h_raw")).collect()[0][0]
-        hub = hraw.select(
-            F.col("src").alias("nid"),
-            F.expr(f"(1000000 * h_raw) div {hm}").cast("bigint").alias("h"),
-        )
-    return auth.select("nid", F.col("a").alias("auth_q"))
+    try:
+        for _ in range(iterations):
+            # persist each node-sized half-step result and collect its
+            # max as a SCALAR: without this, the 1-row max branch and
+            # the next half-step each re-execute the whole upstream
+            # join/agg tree, and the recompute doubles per half-step
+            # (measured 4.5 s for two rounds at sf0.1; 1.1 s with the
+            # cut). The persisted relations are node-sized; the collect
+            # is one value — the pagerank-convergence-fingerprint
+            # pattern.
+            araw = (
+                edges.join(F.broadcast(hub), edges.src == hub.nid)
+                .groupBy("dst")
+                .agg(F.sum("h").cast("bigint").alias("a_raw"))
+                .persist()
+            )
+            kept.append(araw)
+            am = araw.agg(F.max("a_raw")).collect()[0][0]
+            if am is None or am == 0:
+                # empty (or all-zero) edge relation: a clean empty
+                # result, not a malformed `div None` expression
+                return araw.select(
+                    F.col("dst").alias("nid"),
+                    F.lit(0).cast("bigint").alias("auth_q"),
+                ).limit(0)
+            auth = araw.select(
+                F.col("dst").alias("nid"),
+                F.expr(f"(1000000 * a_raw) div {am}").cast("bigint").alias("a"),
+            )
+            hraw = (
+                edges.join(F.broadcast(auth), edges.dst == auth.nid)
+                .groupBy("src")
+                .agg(F.sum("a").cast("bigint").alias("h_raw"))
+                .persist()
+            )
+            kept.append(hraw)
+            hm = hraw.agg(F.max("h_raw")).collect()[0][0]
+            if hm is None or hm == 0:
+                return araw.select(
+                    F.col("dst").alias("nid"),
+                    F.lit(0).cast("bigint").alias("auth_q"),
+                ).limit(0)
+            hub = hraw.select(
+                F.col("src").alias("nid"),
+                F.expr(f"(1000000 * h_raw) div {hm}").cast("bigint").alias("h"),
+            )
+        # Pin the final authority relation OUTSIDE the half-step caches
+        # (localCheckpoint materializes it), then release every
+        # intermediate: without this, repeated invocations (bench loops
+        # re-build the plan since cache_plans=False) accumulate 2
+        # node-sized cached relations per iteration until LRU eviction.
+        final = auth.select(
+            "nid", F.col("a").alias("auth_q")
+        ).localCheckpoint(eager=True)
+    finally:
+        for df in kept:
+            df.unpersist()
+        if persist_edges:
+            edges.unpersist()
+    return final

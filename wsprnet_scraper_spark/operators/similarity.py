@@ -438,24 +438,32 @@ def _argmax_fold(book, vec_col, n2_col):
     `_argmax_cell`/the SQL oracle chain, so results are bit-parity
     safe; and because the codebook is DATA (an array value), the
     expression is O(1) codegen terms regardless of k — the dynamic
-    counterpart of the inlined-literal expression tree."""
+    counterpart of the inlined-literal expression tree.
 
-    def sim(c):
-        return _dot(vec_col, c["cv"]) / (F.sqrt(n2_col) * F.sqrt(c["cn2"]))
-
+    The cosines are staged through one `transform` pass so each
+    centroid similarity is computed exactly ONCE: higher-order folds
+    are interpreted with no common-subexpression elimination, so
+    putting sim(c) in both the WHEN condition and the result struct
+    (the original form) paid the O(dim) dot product twice per book
+    entry — the same no-CSE trap hyperplane_buckets already staged
+    around. Same fold order, same arithmetic, same tie rule."""
+    scored = F.transform(
+        book,
+        lambda c: F.struct(
+            (
+                _dot(vec_col, c["cv"]) / (F.sqrt(n2_col) * F.sqrt(c["cn2"]))
+            ).alias("s"),
+            (-c["cid"]).cast("long").alias("negc"),
+        ),
+    )
     init = F.struct(
         F.lit(float("-inf")).cast("double").alias("s"),
         F.lit(None).cast("long").alias("negc"),
     )
     best = F.aggregate(
-        book,
+        scored,
         init,
-        lambda acc, c: F.when(
-            sim(c) > acc["s"],
-            F.struct(
-                sim(c).alias("s"), (-c["cid"]).cast("long").alias("negc")
-            ),
-        ).otherwise(acc),
+        lambda acc, c: F.when(c["s"] > acc["s"], c).otherwise(acc),
     )
     return (-best["negc"]).cast("long")
 

@@ -245,10 +245,16 @@ def importance_select(
     see bigram_lm_score): DSIR's per-bucket log-likelihood ratio
     log(p_t(b)/p_r(b)) is replaced by the quantized RATIO
     q_b = floor(1e9 * (ct_b+1)(R+B) / ((cr_b+1)(T+B))) — add-one
-    smoothing, exact long products (headroom: counts×(total+B) stays
-    far under 2^53 so the ::double conversions are exact), ONE IEEE
-    division and one multiply in the same order in both engines, so
-    q_b is bit-identical; the per-doc score Σ c_b·q_b is then exact
+    smoothing with exact long products. Precision bound, stated
+    honestly: the products counts×(total+B) are exactly representable
+    in a double only while they stay under 2^53 (~9e15) — true for
+    corpora to ~10^7-ish token-occurrence scale per side, NOT for a
+    full 100 TB corpus (≫1e13 tokens), where q_b becomes a correctly-
+    rounded but inexact quotient. Cross-engine parity still holds at
+    any scale because both engines apply the same IEEE-754 long→
+    double conversion, ONE division and one multiply in the same
+    order — the guarantee is identical rounding, not exactness; the
+    per-doc score Σ c_b·q_b over the quantized q_b is then exact
     integer arithmetic in any order. Ranking by Σ c·q is monotone
     per-bucket in the same direction as DSIR's Σ c·log r — a
     documented estimator deviation, not an accident.
