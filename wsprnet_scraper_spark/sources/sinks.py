@@ -128,19 +128,46 @@ def write_partitioned_sink(
 
 
 def insert_on_conflict_sql(
-    table: str, cols: list[str], conflict_col: str = "Spotnum"
+    table: str,
+    cols: list[str],
+    conflict_col: str = "Spotnum",
+    paramstyle: str = "format",
 ) -> str:
     """The idempotent insert statement, generated from the batch's
     columns — the engine-side equivalent of the reference's
     insert-spots.sql:1 (`INSERT INTO wsprnet.spots (...) VALUES (...)
     ON CONFLICT ("Spotnum") DO NOTHING`). Quoted identifiers because
-    the spot columns are mixed-case on the TimescaleDB side."""
+    the spot columns are mixed-case on the TimescaleDB side.
+
+    `paramstyle` follows PEP 249 module attributes: "format" (`%s`,
+    psycopg2) or "qmark" (`?`, sqlite3 and most JDBC bridges) — the
+    ON CONFLICT clause itself is identical in PostgreSQL ≥9.5 and
+    SQLite ≥3.24, which is what lets the sqlite3 round-trip suite
+    drive this exact statement through a real DBAPI engine."""
+    if paramstyle not in ("format", "qmark"):
+        raise ValueError(f"unsupported paramstyle: {paramstyle!r}")
+    marker = "%s" if paramstyle == "format" else "?"
     col_list = ", ".join(f'"{c}"' for c in cols)
-    params = ", ".join(["%s"] * len(cols))
+    params = ", ".join([marker] * len(cols))
     return (
         f'INSERT INTO {table} ({col_list}) VALUES ({params}) '
         f'ON CONFLICT ("{conflict_col}") DO NOTHING'
     )
+
+
+def sqlite_connect(conninfo: str):
+    """Picklable `connect_fn` for `upsert_jdbc_on_conflict` backed by
+    stdlib sqlite3 — a REAL DBAPI engine (cursor/executemany/commit/
+    rollback, ON CONFLICT enforced by a genuine PK index), so the
+    sink's transaction logic is exercised end-to-end without a
+    driver jar or server. `conninfo` is the database file path.
+
+    timeout=30 mirrors the reference's 30 s transport ceiling
+    (wsprnet-scraper.sh:112) and serializes concurrent partition
+    writers on SQLite's single-writer lock instead of failing."""
+    import sqlite3  # noqa: PLC0415
+
+    return sqlite3.connect(conninfo, timeout=30)
 
 
 def _psycopg2_connect(conninfo: str):  # pragma: no cover - needs a database
@@ -156,6 +183,7 @@ def upsert_jdbc_on_conflict(
     page_size: int = 1000,
     table: str = "spots",
     connect_fn: Callable | None = None,
+    paramstyle: str = "format",
 ) -> None:
     """Exactly-once JDBC sink: `INSERT ... ON CONFLICT ("Spotnum") DO
     NOTHING` executed in pages per partition — the upsert form of
@@ -170,10 +198,15 @@ def upsert_jdbc_on_conflict(
     psycopg2 is absent and nothing is injected. Paging uses
     psycopg2's execute_batch when available (the reference's "1.7 s
     vs 124 s" batching, ts_upload_batch.py:37) and falls back to
-    DB-API executemany per page for other transports.
+    DB-API executemany per page for other transports. `paramstyle`
+    flows to `insert_on_conflict_sql` so a qmark engine (sqlite3 —
+    see `sqlite_connect`) runs the generated statement verbatim, no
+    shim in between.
     """
     if insert_sql is None:
-        insert_sql = insert_on_conflict_sql(table, batch_df.columns)
+        insert_sql = insert_on_conflict_sql(
+            table, batch_df.columns, paramstyle=paramstyle
+        )
     if connect_fn is None:
         try:
             import psycopg2  # noqa: F401, PLC0415
