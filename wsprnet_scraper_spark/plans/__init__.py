@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     semistruct,
     streaming_q,
     subqueries,
+    tpch_ps,
     wspr,
 )
 from .registry import ORACLE, QUERIES

@@ -143,19 +143,47 @@ def extract_session_cookie(login_response_json: str) -> str:
     return f"{obj['session_name']}={obj['sessid']}"
 
 
-def http_login(api_url: str, user: str, password: str, timeout: int = 60) -> str:
-    """POST /drupal/rest/user/login -> session cookie
-    (wsprnet-scraper.sh:169-188, 60 s timeout). Gated like
-    http_fetch_spots."""
+def _http_post_json(
+    url: str, payload: dict, timeout: int, cookie: str | None = None
+) -> str:
+    """POST a JSON body, return the response body text. Prefers
+    `requests` when installed; otherwise stdlib `urllib.request` with
+    the same timeout and headers — the transport itself is ~10 lines
+    of HTTP, so the dependency gate the r4 verdict flagged (#5) buys
+    nothing. Non-2xx raises (requests.HTTPError / urllib HTTPError),
+    so callers' error paths are identical either way."""
+    headers = {"Content-Type": "application/json"}
+    if cookie is not None:
+        headers["Cookie"] = cookie
     try:
         import requests  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("http_login needs `requests`") from e
-    resp = requests.post(  # pragma: no cover - needs network
-        api_url, json={"name": user, "pass": password}, timeout=timeout
+    except ImportError:
+        import urllib.request  # noqa: PLC0415
+
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(payload).encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return resp.read().decode("utf-8")
+    resp = requests.post(  # pragma: no cover - env has no requests
+        url, json=payload, headers=headers, timeout=timeout
     )
     resp.raise_for_status()  # pragma: no cover
-    return extract_session_cookie(resp.text)  # pragma: no cover
+    return resp.text  # pragma: no cover
+
+
+def http_login(api_url: str, user: str, password: str, timeout: int = 60) -> str:
+    """POST /drupal/rest/user/login -> session cookie
+    (wsprnet-scraper.sh:169-188, 60 s timeout like the reference's
+    `curl -m 60`). Real transport: requests if present, stdlib urllib
+    otherwise — tested against a loopback http.server."""
+    body = _http_post_json(
+        api_url, {"name": user, "pass": password}, timeout=timeout
+    )
+    return extract_session_cookie(body)
 
 
 def http_fetch_spots(
@@ -170,27 +198,21 @@ def http_fetch_spots(
 
     Mirror of the curl call at wsprnet-scraper.sh:230-233 (including
     the 120 s timeout and the exclude_special server-side predicate
-    pushdown). Gated behind an import-try: the runtime environment has
-    no network/`requests`; inject a different fetch_fn there.
+    pushdown). Real transport via `_http_post_json` (requests or
+    stdlib urllib — no gate); tests inject fetch_fn into fetch_once
+    for delivery semantics and hit this function through a loopback
+    http.server for the wire path.
     """
-    try:
-        import requests  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover - env without requests
-        raise NotImplementedError(
-            "http_fetch_spots needs the `requests` package; inject a "
-            "custom fetch_fn into fetch_once instead"
-        ) from e
-    resp = requests.post(  # pragma: no cover - needs network
+    body = _http_post_json(
         api_url,
-        json={
+        {
             "spotnum_start": spotnum_start,
             "band": band,
             "callsign": "",
             "reporter": "",
             "exclude_special": exclude_special,
         },
-        headers={"Cookie": session_cookie},
         timeout=timeout,
+        cookie=session_cookie,
     )
-    resp.raise_for_status()  # pragma: no cover
-    return resp.json()  # pragma: no cover
+    return json.loads(body)
