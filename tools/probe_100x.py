@@ -87,13 +87,34 @@ QUERIES_100X = [
     "evt_transition_2nd",
 ]
 
+# Graph queries probe against a SEPARATE 100x corpus in which each
+# copy offsets o_custkey/l_suppkey as well as the orderkeys, so every
+# copy is a disjoint subgraph: nodes AND edges grow 100x (r4 verdict
+# #9 — under the main corpus's fixed dims the node set never grew, so
+# graph slopes measured edge-multiset dedup, not graph growth).
+# Results land under a "<name>@grownodes" key.
+GRAPH_QUERIES_100X = [
+    "graph_pagerank",
+    "graph_pagerank_bucketed",
+    "graph_cc",
+    "graph_kcore",
+    "graph_hits",
+    "graph_label_propagation",
+    "graph_degree_dist",
+    "graph_triangles",
+]
+GRAPH_ID_COLS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_suppkey"],
+}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
-    ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r4")
+    ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
-    ap.add_argument("--json-out", default="tools/probe_results_r4_100x.json")
+    ap.add_argument("--json-out", default="tools/probe_results_r5_100x.json")
     args = ap.parse_args()
 
     import tools.scaling_probe as sp
@@ -102,10 +123,10 @@ def main() -> None:
 
     spark = get_session("probe-100x")
     mid = Path(args.mid)
-    if not mid.is_dir():
+    out = Path(args.out)
+    if not mid.is_dir() and not out.is_dir():  # mid only feeds out
         print("synthesizing 10x ...", file=sys.stderr)
         sp.synth_10x(spark, args.base, args.mid)
-    out = Path(args.out)
     if not out.is_dir():
         # only the tables this probe's queries read are grown to 100x
         # (events/documents/embeddings); lineitem/orders at 100x would
@@ -130,6 +151,22 @@ def main() -> None:
         finally:
             sp.FACTS, sp.OFFSET = old_facts, old_offset
 
+    # graph corpus: disjoint-subgraph copies (nodes grow with data)
+    gmid, gout = Path(str(mid) + "_graph"), Path(str(out) + "_graph")
+    saved = sp.FACTS, sp.OFFSET, sp.ID_COLS
+    try:
+        sp.FACTS, sp.ID_COLS = ["orders", "lineitem"], GRAPH_ID_COLS
+        if not gmid.is_dir() and not gout.is_dir():
+            print("synthesizing graph 10x ...", file=sys.stderr)
+            sp.OFFSET = 10_000_000_000
+            sp.synth_10x(spark, args.base, str(gmid))
+        if not gout.is_dir():
+            print("synthesizing graph 100x from 10x ...", file=sys.stderr)
+            sp.OFFSET = 1_000_000_000_000  # > the whole 10x id span
+            sp.synth_10x(spark, str(gmid), str(gout))
+    finally:
+        sp.FACTS, sp.OFFSET, sp.ID_COLS = saved
+
     def run(name: str, at: str) -> float:
         t0 = time.perf_counter()
         QUERIES[name](spark, at).write.format("noop").mode("overwrite").save()
@@ -139,20 +176,23 @@ def main() -> None:
     results = {}
     if out_path.is_file():  # resume: skip already-measured queries
         results = json.loads(out_path.read_text())
-    for name in QUERIES_100X:
-        if name not in QUERIES or name in results:
+    probes = [(n, str(out), n) for n in QUERIES_100X] + [
+        (n, str(gout), f"{n}@grownodes") for n in GRAPH_QUERIES_100X
+    ]
+    for name, big_dir, key in probes:
+        if name not in QUERIES or key in results:
             continue
         run(name, args.base)  # warm the plan shape
         base_t = min(run(name, args.base), run(name, args.base))
-        big_t = run(name, str(out))
+        big_t = run(name, big_dir)
         if big_t < 120:  # min-of-2 only when a re-run is cheap
-            big_t = min(big_t, run(name, str(out)))
-        results[name] = {
+            big_t = min(big_t, run(name, big_dir))
+        results[key] = {
             "sf0.1_sec": round(base_t, 3),
             "x100_sec": round(big_t, 3),
             "slope100": round(big_t / base_t, 1) if base_t > 0 else None,
         }
-        print(name, results[name], file=sys.stderr, flush=True)
+        print(key, results[key], file=sys.stderr, flush=True)
         # write after every query so a timeout loses nothing
         out_path.write_text(json.dumps(results, indent=1) + "\n")
     print(json.dumps(results))

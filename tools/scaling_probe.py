@@ -37,6 +37,19 @@ FACTS = ["lineitem", "orders", "events", "documents", "embeddings"]
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 ALPHA = "abcdefghij"
 
+# Which columns get the per-copy id offset. Module-level so probe
+# variants can extend it — the graph-growth probe (probe_100x.py)
+# additionally offsets o_custkey/l_suppkey so each copy is a DISJOINT
+# subgraph and the node set actually grows with the data (r4 verdict
+# #9: facts-under-fixed-dims growth never grew the graph).
+ID_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
 
 def synth_10x(spark, base: str, out: str) -> None:
     from pyspark.sql import functions as F
@@ -47,13 +60,7 @@ def synth_10x(spark, base: str, out: str) -> None:
     outp.mkdir(parents=True)
     for t in DIMS:
         shutil.copy(f"{base}/{t}.parquet", outp / f"{t}.parquet")
-    id_cols = {
-        "lineitem": ["l_orderkey"],
-        "orders": ["o_orderkey"],
-        "events": ["event_id"],
-        "documents": ["doc_id"],
-        "embeddings": ["vec_id"],
-    }
+    id_cols = ID_COLS
     for t in FACTS:
         df = spark.read.parquet(f"{base}/{t}.parquet")
         parts = []
