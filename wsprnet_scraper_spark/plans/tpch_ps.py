@@ -242,3 +242,73 @@ def sub_excess_avail_q20(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+@register(
+    "agg_profit_q9",
+    f"""
+WITH {PARTSUPP_CTE}
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       CAST(SUM(
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (1 - CAST(l.l_discount AS DECIMAL(12,2))) * 10000 AS BIGINT)
+         - ps.ps_cost_cents * CAST(l.l_quantity AS BIGINT) * 100
+       ) AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN partsupp ps
+  ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%blue%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+""",
+)
+def agg_profit_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and order year —
+    revenue minus synthesized supply cost, over lineitem joined to
+    partsupp on BOTH keys. All money in exact integer ten-thousandths:
+    price(2dp) x (1-discount)(2dp) is an exact 4dp decimal scaled by
+    1e4; cost cents x integral quantity scales by 1e2 to match — the
+    SUM is pure BIGINT, order-independent, bit-equal across engines.
+    Scale: partsupp rides the broadcast part dim onto the lineitem
+    scan (it IS 4x|part| rows); orders joins on the orderkey shuffle;
+    one aggregate by (nation, year). The reference's remaining
+    unported TPC-H shapes (Q12/Q16-comment) need shipmode/comment
+    columns the driver schema lacks."""
+    ps = partsupp_df(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    part = load(spark, sf_dir, "part")
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    blue = part.filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    sn = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "n_name")
+    dec = "decimal(12,2)"
+    profit_e4 = (
+        F.col("l_extendedprice").cast(dec)
+        * (F.lit(1) - F.col("l_discount").cast(dec))
+        * 10000
+    ).cast("bigint") - (
+        F.col("ps_cost_cents") * F.col("l_quantity").cast("bigint") * 100
+    )
+    return (
+        li.join(F.broadcast(blue), li.l_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(ps),
+            (li.l_partkey == F.col("ps_partkey"))
+            & (li.l_suppkey == F.col("ps_suppkey")),
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit_e4.alias("pe4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("pe4").cast("bigint").alias("profit_e4"))
+    )
