@@ -424,8 +424,8 @@ _LSH_PLANES_SQL = (
 
 
 def _lsh_planes(emb) -> int:
-    """Python mirror of _LSH_PLANES_SQL (one count job, like
-    _semdedup_k)."""
+    """Python mirror of _LSH_PLANES_SQL (one count job, same pattern
+    as semantic_dedup_auto's size dispatch)."""
     return max(8, ((emb.count() + 63) // 64 - 1).bit_length())
 
 
@@ -1439,11 +1439,6 @@ _SEMDEDUP_K_SQL = "(SELECT greatest(8, count(*) // 256) FROM embeddings)"
 # dedup_semantic's at the judged SFs and the two entries stay
 # genuinely distinct clusterings.
 _SEMDEDUP_K16_SQL = "(SELECT greatest(16, count(*) // 256) FROM embeddings)"
-
-
-def _semdedup_k(emb) -> int:
-    """Python mirror of _SEMDEDUP_K_SQL."""
-    return max(8, emb.count() // 256)
 
 
 def _semdedup_oracle(k_expr: str) -> str:
