@@ -168,6 +168,13 @@ def main() -> None:
         sp.FACTS, sp.OFFSET, sp.ID_COLS = saved
 
     def run(name: str, at: str) -> float:
+        # Every timed run pays its own materialization: the graph
+        # builders persist their edge relation, and Spark's cache
+        # matches by canonicalized plan — without this, any query
+        # sharing the edge subtree with an earlier one is served from
+        # cache and its slope measures only the post-edge work
+        # (graph_degree_dist probed 0.3 s at 100x that way).
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         QUERIES[name](spark, at).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0

@@ -1441,6 +1441,14 @@ _SEMDEDUP_K_SQL = "(SELECT greatest(8, count(*) // 256) FROM embeddings)"
 _SEMDEDUP_K16_SQL = "(SELECT greatest(16, count(*) // 256) FROM embeddings)"
 
 
+def _semdedup_k(n_or_df) -> int:
+    """Python mirror of _SEMDEDUP_K_SQL — the same k rule
+    semantic_dedup_auto applies internally (k_min=8, scale_div=256).
+    Kept as the named mirror the SQL-agreement suite
+    (tests/test_scale_rules.py) pins against the oracle's text."""
+    return max(8, n_or_df.count() // 256)
+
+
 def _semdedup_oracle(k_expr: str) -> str:
     """The full SemDeDup mirror for a given SQL k rule: trained
     codebook chain (k-rule init), raw-vector cell assignment,
