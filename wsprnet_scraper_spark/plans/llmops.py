@@ -4544,3 +4544,125 @@ def text_hapax_ratio(spark, sf_dir):
             "type_token_ratio"
         ),
     )
+
+
+_NORM_H_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+)
+
+
+@register(
+    "pipe_dedup_cascade",
+    f"""
+WITH k1 AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM documents GROUP BY md5(text)
+),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN k1 USING (doc_id)),
+k2 AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+  FROM s1 GROUP BY {_NORM_H_SQL}
+),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN k2 USING (doc_id)),
+docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM s2
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+),
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt)
+           AS sig
+  FROM hashed GROUP BY doc, band
+),
+drop3 AS (
+  SELECT DISTINCT b.doc AS doc_id
+  FROM sigs a JOIN sigs b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+)
+SELECT d.doc_id,
+  CASE WHEN k1.doc_id IS NULL THEN 'exact_dup'
+       WHEN k2.doc_id IS NULL THEN 'normalized_dup'
+       WHEN dr.doc_id IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN k1 ON k1.doc_id = d.doc_id
+LEFT JOIN k2 ON k2.doc_id = d.doc_id
+LEFT JOIN drop3 dr ON dr.doc_id = d.doc_id
+""",
+)
+def pipe_dedup_cascade(spark, sf_dir):
+    """The lexical dedup CASCADE a curation pipeline actually ships
+    (the RefinedWeb/FineWeb recipe order): exact hash dedup, then
+    normalization-collapsed dedup over the exact survivors, then
+    MinHash-LSH near-dup over what remains — each stage shrinks the
+    input of the strictly more expensive next stage, which is the
+    entire economics of cascading at 100 TB (the near-dup stage's
+    shingle explode runs on the corpus AFTER the cheap hash stages
+    removed the bulk copies). Per-document verdict: kept / exact_dup /
+    normalized_dup / near_dup (near-dup drop rule = has a candidate
+    neighbor with a smaller id, the greedy keep-first rule — CC
+    clustering is the separately-judged dedup_cluster).
+
+    Composition of the already-judged primitives: stage 1 is
+    dedup_exact's keep rule, stage 2 dedup_normalized's, stage 3
+    dedup_minhash's banded LSH (word-3-shingles, 8 salted hashes,
+    4 bands x 2 rows) — same SQL text, chained. Statuses assemble as
+    id-width LEFT joins against the keep sets: nothing wider than an
+    id ever joins back to the corpus."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text")
+    k1 = (
+        base.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = base.join(k1, "doc_id", "left_semi")
+    norm_h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    k2 = (
+        s1.groupBy(norm_h.alias("h"))
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(k2, "doc_id", "left_semi")
+    sh = dedup.word_shingles(s2, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    drop3 = (
+        dedup.candidate_pairs(sigs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("d3", F.lit(1))
+    )
+    return (
+        d.select("doc_id")
+        .join(k1.withColumn("v1", F.lit(1)), "doc_id", "left")
+        .join(k2.withColumn("v2", F.lit(1)), "doc_id", "left")
+        .join(drop3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("v1").isNull(), F.lit("exact_dup"))
+            .when(F.col("v2").isNull(), F.lit("normalized_dup"))
+            .when(F.col("d3").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
