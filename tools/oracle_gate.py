@@ -86,12 +86,25 @@ def main() -> int:
             p += "/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    import gc
+
     failures = 0
     for name in names:
         if name not in queries:
             print(f"{name}: UNKNOWN")
             failures += 1
             continue
+        # Per-query isolation: a ~300-query sweep in ONE default-heap
+        # JVM accumulates persisted relations (graph edges) and
+        # localCheckpoint blocks until the heap tips (r5: OOM at query
+        # ~261 in vanilla mode; r4's 291 squeaked through). clearCache
+        # drops CacheManager entries; the gc.collect() lets Spark's
+        # ContextCleaner reap checkpoint RDDs whose Python refs died
+        # with the previous iteration. Neither changes any query's
+        # plan or confs — vanilla mode still mirrors the driver
+        # harness per query.
+        spark.catalog.clearCache()
+        gc.collect()
         sdf = queries[name](spark, args.sf)
         scols = sorted(sdf.columns)
         srows = sorted(
