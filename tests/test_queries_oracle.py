@@ -77,6 +77,13 @@ ORACLE = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, ddb):
+    # same per-query isolation as tools/oracle_gate.py: ~300 pinned
+    # plan trees + persisted graph relations in one JVM eventually
+    # tip the heap (measured in the r5 vanilla gate at ~261 queries)
+    from wsprnet_scraper_spark.plans.registry import clear_plan_cache
+
+    clear_plan_cache()
+    spark.catalog.clearCache()
     sdf = QUERIES[name](spark, SF_ORACLE)
     spark_cols = sorted(sdf.columns)
     spark_rows = [

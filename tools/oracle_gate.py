@@ -88,6 +88,8 @@ def main() -> int:
 
     import gc
 
+    from wsprnet_scraper_spark.plans.registry import clear_plan_cache
+
     failures = 0
     for name in names:
         if name not in queries:
@@ -95,14 +97,18 @@ def main() -> int:
             failures += 1
             continue
         # Per-query isolation: a ~300-query sweep in ONE default-heap
-        # JVM accumulates persisted relations (graph edges) and
-        # localCheckpoint blocks until the heap tips (r5: OOM at query
-        # ~261 in vanilla mode; r4's 291 squeaked through). clearCache
-        # drops CacheManager entries; the gc.collect() lets Spark's
-        # ContextCleaner reap checkpoint RDDs whose Python refs died
-        # with the previous iteration. Neither changes any query's
-        # plan or confs — vanilla mode still mirrors the driver
-        # harness per query.
+        # JVM accumulates JVM-side state until the heap tips (r5: OOM
+        # at query ~261 in vanilla mode, reproducibly — the same
+        # query alone passes; r4's 291 squeaked through). Three
+        # leases to release, none of which changes any query's plan
+        # or confs: the registry's prepared-plan cache pins every
+        # prior DataFrame's JVM plan tree (and any localCheckpoint
+        # RDDs in its lineage) via py4j refs; CacheManager holds the
+        # graph builders' persisted relations; gc.collect() runs the
+        # py4j finalizers + lets ContextCleaner reap dead checkpoint
+        # RDDs. A long-running SERVICE wants the plan cache — a
+        # 296-query sweep wants the memory.
+        clear_plan_cache()
         spark.catalog.clearCache()
         gc.collect()
         sdf = queries[name](spark, args.sf)
