@@ -93,6 +93,8 @@ HEADLINE = [
     "win_weighted_ma_blocked", # halo-block frames: the WMA scale twin (r4)
     "graph_hits",              # HITS with quantized renormalization (r4)
     "sim_lsh_multiprobe",      # 1-bit multi-probe LSH recall dial (r4)
+    "pipe_dedup_cascade",      # exact -> normalized -> MinHash cascade (r5)
+    "agg_profit_q9",           # Q9 profit over synthesized partsupp (r5)
 ]
 
 
