@@ -312,3 +312,96 @@ def agg_profit_q9(spark, sf_dir):
         .groupBy("nation", "o_year")
         .agg(F.sum("pe4").cast("bigint").alias("profit_e4"))
     )
+
+
+# Q12's shipmode/commitdate/receiptdate columns, synthesized from the
+# keys the schema does have — same both-engine determinism as
+# partsupp: mode = 7-way modular pick, commit = ship + ([-30, 29]
+# days), receipt = ship + ([1, 30] days). Day arithmetic on a UTC
+# session is exact and DST-free in both engines.
+SHIPMODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+
+LINEMODE_CTE = f"""
+lm AS (
+  SELECT l_orderkey, l_linenumber, l_shipdate,
+         (['{"','".join(SHIPMODES)}'])
+           [(l_orderkey*3 + l_linenumber) % 7 + 1] AS l_shipmode,
+         l_shipdate + ((l_orderkey + l_linenumber) % 60 - 30)
+           * INTERVAL 1 DAY AS l_commitdate,
+         l_shipdate + ((l_orderkey*7 + l_linenumber*3) % 30 + 1)
+           * INTERVAL 1 DAY AS l_receiptdate
+  FROM lineitem
+)
+"""
+
+
+def linemode_df(spark, sf_dir: str) -> DataFrame:
+    """Spark twin of the lm CTE, column for column."""
+    li = load(spark, sf_dir, "lineitem")
+    ok, ln = F.col("l_orderkey"), F.col("l_linenumber").cast("bigint")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in SHIPMODES]),
+        (F.pmod(ok * 3 + ln, F.lit(7)) + 1).cast("int"),
+    )
+    commit_off = (F.pmod(ok + ln, F.lit(60)) - 30).cast("int")
+    receipt_off = (F.pmod(ok * 7 + ln * 3, F.lit(30)) + 1).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        mode.alias("l_shipmode"),
+        F.timestamp_add("DAY", commit_off, F.col("l_shipdate")).alias(
+            "l_commitdate"
+        ),
+        F.timestamp_add("DAY", receipt_off, F.col("l_shipdate")).alias(
+            "l_receiptdate"
+        ),
+    )
+
+
+@register(
+    "agg_shipmode_q12",
+    f"""
+WITH {LINEMODE_CTE}
+SELECT lm.l_shipmode,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lm
+JOIN orders o ON o.o_orderkey = lm.l_orderkey
+WHERE lm.l_shipmode IN ('MAIL', 'SHIP')
+  AND lm.l_commitdate < lm.l_receiptdate
+  AND lm.l_shipdate < lm.l_commitdate
+  AND lm.l_receiptdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND lm.l_receiptdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY lm.l_shipmode
+""",
+)
+def agg_shipmode_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority audit) — the last
+    TPC-H query shape the driver schema blocked, unlocked by the
+    synthesized line-mode columns above. The mode + late-commit
+    predicates are pure integer/day arithmetic pushed below the join,
+    so only the qualifying sliver of lineitem ever joins orders (one
+    orderkey shuffle at scale; orders carries just the priority).
+    Conditional counts in one aggregation pass."""
+    lm = linemode_df(spark, sf_dir)
+    o = load(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lm.filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_receiptdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(o.select("o_orderkey", "o_orderpriority"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
