@@ -84,6 +84,12 @@ def main() -> int:
         p = f"{args.sf}/{t}.parquet"
         if os.path.isdir(p):  # multi-file dataset (e.g. probe synth)
             p += "/*.parquet"
+        elif not os.path.exists(p):
+            # probe corpora are PARTIAL by design (only the tables the
+            # probed queries read are grown) — skip the view; a query
+            # needing it fails visibly at execution
+            print(f"note: {t} absent at {args.sf}, view skipped")
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     import gc
