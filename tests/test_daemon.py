@@ -97,3 +97,31 @@ def test_run_scrape_daemon_end_to_end(spark, tmp_path):
     # each tick's drain processed exactly its batch (monitor saw 3)
     assert [r["n_spots"] for r in monitor.records] == [5, 5, 5]
     assert all(r["boundary_gap"] in (None, 0) for r in monitor.records)
+
+
+def test_maintenance_fires_on_cadence(spark, tmp_path):
+    """session_maintenance runs every `maintenance_every` ticks and
+    actually clears the prepared-plan cache."""
+    from wsprnet_scraper_spark.plans.registry import _PLAN_CACHE
+    from wsprnet_scraper_spark.plans import QUERIES
+    from wsprnet_scraper_spark.streaming.daemon import run_scrape_daemon
+
+    # seed the plan cache with a real prepared plan
+    QUERIES["agg_count_rows"](spark, "/root/testdata/sf0.001")
+    assert _PLAN_CACHE
+
+    from tests.test_streaming_ingest import make_spot
+
+    ticks = run_scrape_daemon(
+        spark,
+        lambda start: [make_spot(start + 1)],
+        str(tmp_path / "landing"),
+        str(tmp_path / "sink"),
+        str(tmp_path / "ckpt"),
+        clock=lambda: 0.0,
+        sleep=lambda s: None,
+        max_ticks=2,
+        maintenance_every=2,
+    )
+    assert ticks == 2
+    assert not _PLAN_CACHE  # cleared on the 2nd tick

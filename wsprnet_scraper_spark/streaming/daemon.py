@@ -56,6 +56,25 @@ def phase_locked_loop(
     return n
 
 
+def session_maintenance(spark) -> None:
+    """Reclaim the slow session-lifetime leases a long-running driver
+    accumulates: prepared-plan cache entries (each pins a JVM plan
+    tree via py4j), CacheManager persisted relations, and dead
+    checkpoint RDDs waiting on Python GC for ContextCleaner to reap.
+    Measured consequence of NOT doing this: the r5 full-registry gate
+    OOM'd a default-heap JVM at ~261 queries with every individual
+    query innocent. Call it at a coarse cadence (the daemon defaults
+    to every 720 ticks ≈ 8 h at the 30 s scrape cadence) — it costs
+    re-planning the next query of each shape, nothing else."""
+    import gc
+
+    from ..plans.registry import clear_plan_cache
+
+    clear_plan_cache()
+    spark.catalog.clearCache()
+    gc.collect()
+
+
 def run_scrape_daemon(
     spark,
     fetch_fn: Callable[[int], list[dict]],
@@ -69,6 +88,7 @@ def run_scrape_daemon(
     sleep: Callable[[float], None] = time.sleep,
     max_ticks: int | None = None,
     stop: Callable[[], bool] | None = None,
+    maintenance_every: int | None = 720,
 ) -> int:
     """Phase-locked fetch -> land -> availableNow-drain loop.
 
@@ -86,12 +106,14 @@ def run_scrape_daemon(
 
     cursor = cursor or Cursor(Path(landing_dir) / "_cursor.json")
 
-    def tick(_n: int) -> None:
+    def tick(n: int) -> None:
         fetch_once(fetch_fn, cursor, landing_dir)
         q = start_ingest(
             spark, landing_dir, sink_dir, checkpoint_dir, monitor=monitor
         )
         q.awaitTermination()
+        if maintenance_every and (n + 1) % maintenance_every == 0:
+            session_maintenance(spark)
 
     return phase_locked_loop(
         tick, clock=clock, sleep=sleep, max_ticks=max_ticks, stop=stop
