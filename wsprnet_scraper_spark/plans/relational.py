@@ -35,13 +35,20 @@ def _money(x: str) -> str:
 
 @register(
     "agg_group_q1",
+    # decimal -> double goes through the VARCHAR hop (like
+    # agg_stats_moments): DuckDB's direct DECIMAL(38,6)->DOUBLE cast
+    # is int128->double THEN /1e6 — double-rounded once the scaled
+    # units exceed 2^53, which bit-diverged from Spark's correctly-
+    # rounded BigDecimal.doubleValue by 1 ulp at the 100x probe
+    # corpus (sum_charge, group N/O). The string hop is a correctly-
+    # rounded single conversion at any magnitude.
     f"""
 SELECT l_returnflag, l_linestatus,
   SUM(l_quantity) AS sum_qty,
-  CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')}) * ({_money('1')} + {_money('l_tax')})) AS DOUBLE) AS sum_charge,
-  CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(CAST(SUM({_money('l_extendedprice')}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')}) * ({_money('1')} + {_money('l_tax')})) AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM({_money('l_extendedprice')}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
