@@ -66,11 +66,26 @@ def test_qmark_sql_generation():
         "spots", ["Spotnum", "Reporter"], paramstyle="qmark"
     )
     assert sql == (
-        'INSERT INTO spots ("Spotnum", "Reporter") VALUES (?, ?) '
+        'INSERT INTO "spots" ("Spotnum", "Reporter") VALUES (?, ?) '
         'ON CONFLICT ("Spotnum") DO NOTHING'
     )
     with pytest.raises(ValueError):
         insert_on_conflict_sql("spots", ["a"], paramstyle="named")
+
+
+def test_identifiers_are_quoted_and_escaped():
+    # ADVICE r5: table names with spaces/quotes must survive (and the
+    # untrusted .option("table", ...) path must not be an injection
+    # vector). Each dot part of a qualified name quotes separately.
+    sql = insert_on_conflict_sql(
+        'my sch.we"ird', ['a"b'], conflict_col='a"b', paramstyle="qmark"
+    )
+    assert sql == (
+        'INSERT INTO "my sch"."we""ird" ("a""b") VALUES (?) '
+        'ON CONFLICT ("a""b") DO NOTHING'
+    )
+    with pytest.raises(ValueError):
+        insert_on_conflict_sql("sp\x00ots", ["a"], paramstyle="qmark")
 
 
 def test_raw_sqlite_upsert_replay_and_overlap(spark, tmp_path):

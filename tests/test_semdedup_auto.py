@@ -132,6 +132,31 @@ def test_incremental_auto_above_ceiling_dedups_against_corpus(synth):
     )
 
 
+def test_oracle_bound_records_the_dispatch_ceiling():
+    """ADVICE r5 (medium): the registered SQL oracles encode the FLAT
+    k-means form, so exact-value gating only applies below
+    FLAT_ASSIGN_MAX embeddings — the dispatch ceiling. The boundary
+    must be machine-readable (ORACLE_BOUND) for every judged entry
+    that routes through the auto front doors, so the gate downgrades
+    an out-of-domain corpus to rows-only instead of a false FAIL."""
+    import wsprnet_scraper_spark.plans  # noqa: F401  (populates registry)
+    from wsprnet_scraper_spark.plans.registry import ORACLE, ORACLE_BOUND
+
+    for name in ("dedup_semantic", "dedup_semantic_scaled",
+                 "dedup_semantic_incremental", "pipe_semdedup_e2e"):
+        assert ORACLE_BOUND[name] == (
+            "embeddings", similarity.FLAT_ASSIGN_MAX
+        ), name
+    # every bounded entry must still HAVE an oracle (the bound scopes
+    # it, it doesn't replace it), and nothing else claims a bound
+    for name in ORACLE_BOUND:
+        assert name in ORACLE, name
+    assert set(ORACLE_BOUND) == {
+        "dedup_semantic", "dedup_semantic_scaled",
+        "dedup_semantic_incremental", "pipe_semdedup_e2e",
+    }
+
+
 def test_judged_entries_route_through_the_front_doors():
     from wsprnet_scraper_spark.plans import QUERIES
 

@@ -107,7 +107,7 @@ def _spot_df(spark, start, n):
 def test_insert_sql_generation():
     sql = insert_on_conflict_sql("wsprnet.spots", ["Spotnum", "Reporter"])
     assert sql == (
-        'INSERT INTO wsprnet.spots ("Spotnum", "Reporter") VALUES (%s, %s) '
+        'INSERT INTO "wsprnet"."spots" ("Spotnum", "Reporter") VALUES (%s, %s) '
         'ON CONFLICT ("Spotnum") DO NOTHING'
     )
 

@@ -130,6 +130,10 @@ def cmd_scrape(args) -> int:
         args.checkpoint,
         monitor=monitor,
         cursor=cursor,
+        # the CLI daemon OWNS its session (built above, nothing else
+        # caches on it), so the clearCache-based maintenance is safe
+        # here; library embedders get the opt-in default (None)
+        maintenance_every=720,
     )
     return 0
 

