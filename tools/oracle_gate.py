@@ -94,6 +94,7 @@ def main() -> int:
 
     import gc
 
+    from wsprnet_scraper_spark.plans.graph_q import clear_edge_cache
     from wsprnet_scraper_spark.plans.registry import (
         ORACLE_BOUND,
         clear_plan_cache,
@@ -118,6 +119,7 @@ def main() -> int:
         # RDDs. A long-running SERVICE wants the plan cache — a
         # 296-query sweep wants the memory.
         clear_plan_cache()
+        clear_edge_cache()
         spark.catalog.clearCache()
         gc.collect()
         sdf = queries[name](spark, args.sf)
