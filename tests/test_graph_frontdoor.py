@@ -44,16 +44,18 @@ def test_one_build_per_key_and_identity_stable(spark, monkeypatch):
         s1 = graph_q._sliced_edges(spark, SF_SMOKE)
         s2 = graph_q._sliced_edges(spark, SF_SMOKE + "/")  # normalized
         p1 = graph_q._copurchase_pairs(spark, SF_SMOKE)
+        # one build per derivation, no matter how many callers
+        assert builds == [
+            "full_directed", "sliced_directed", "copurchase_pairs"
+        ]
+        # the sliced relation is the SAME materialized DataFrame object
+        assert s1 is s2
+        # _edges symmetrizes on top of the one shared directed
+        # relation: both calls see identical content
+        assert e1.count() == e2.count() > 0
+        assert p1.columns == ["a", "b"]
     finally:
         graph_q.clear_edge_cache()
-    # one build per derivation, no matter how many callers
-    assert builds == ["full_directed", "sliced_directed", "copurchase_pairs"]
-    # the sliced relation is the SAME materialized DataFrame object
-    assert s1 is s2
-    # _edges symmetrizes on top of the one shared directed relation:
-    # both calls see identical content
-    assert e1.count() == e2.count() > 0
-    assert p1.columns == ["a", "b"]
 
 
 def test_materialization_survives_clearCache(spark):
@@ -69,8 +71,10 @@ def test_materialization_survives_clearCache(spark):
         e2 = graph_q._sliced_edges(spark, SF_SMOKE)
         assert e2 is e
         assert e2.count() == n
-        # and the plan is a checkpoint scan, not the join derivation
-        assert "ExistingRDD" in e2._jdf.queryExecution().simpleString()
+        # and the plan is a parquet scan of the written edge files,
+        # not the join derivation
+        plan = e2._jdf.queryExecution().simpleString()
+        assert "parquet" in plan.lower() and "Join" not in plan
     finally:
         graph_q.clear_edge_cache()
 
@@ -79,12 +83,11 @@ def test_clear_edge_cache_releases_and_rebuilds(spark):
     _fresh(spark)
     try:
         e1 = graph_q._sliced_edges(spark, SF_SMOKE)
-        graph_q.clear_edge_cache()
+        rows1 = sorted(map(tuple, e1.collect()))
+        graph_q.clear_edge_cache()  # deletes the backing files too
         e2 = graph_q._sliced_edges(spark, SF_SMOKE)
         assert e1 is not e2
-        assert sorted(map(tuple, e1.collect())) == sorted(
-            map(tuple, e2.collect())
-        )
+        assert sorted(map(tuple, e2.collect())) == rows1
     finally:
         graph_q.clear_edge_cache()
 

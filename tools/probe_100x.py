@@ -99,6 +99,7 @@ GRAPH_QUERIES_100X = [
     "graph_cc",
     "graph_kcore",
     "graph_hits",
+    "graph_hits_bucketed",
     "graph_label_propagation",
     "graph_degree_dist",
     "graph_triangles",
@@ -114,7 +115,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
-    ap.add_argument("--json-out", default="tools/probe_results_r5_100x.json")
+    ap.add_argument("--json-out", default="tools/probe_results_r6_100x.json")
     args = ap.parse_args()
 
     import tools.scaling_probe as sp
@@ -183,6 +184,40 @@ def main() -> None:
     results = {}
     if out_path.is_file():  # resume: skip already-measured queries
         results = json.loads(out_path.read_text())
+
+    # The graph family reads its edge relations through the shared
+    # materialized front door (plans/graph_q.py, r6): per-query times
+    # below are the AMORTIZED steady state — the derivation is paid
+    # once per corpus, like a 100 TB deployment's write-once edge
+    # parquet. Publish that one-time build cost explicitly so the
+    # amortization stays visible instead of silently vanishing from
+    # every per-query number.
+    from wsprnet_scraper_spark.plans import graph_q
+
+    if "graph_edge_build@grownodes" not in results:
+        graph_q.clear_edge_cache()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        graph_q._edges(spark, args.base).count()
+        graph_q._sliced_edges(spark, args.base).count()
+        base_build = time.perf_counter() - t0
+        graph_q.clear_edge_cache()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        graph_q._edges(spark, str(gout)).count()
+        graph_q._sliced_edges(spark, str(gout)).count()
+        big_build = time.perf_counter() - t0
+        results["graph_edge_build@grownodes"] = {
+            "sf0.1_sec": round(base_build, 3),
+            "x100_sec": round(big_build, 3),
+            "slope100": round(big_build / base_build, 1) if base_build > 0 else None,
+            "note": "one-time shared edge materialization, amortized "
+            "across every graph_* query below",
+        }
+        print("graph_edge_build@grownodes",
+              results["graph_edge_build@grownodes"], file=sys.stderr)
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+
     probes = [(n, str(out), n) for n in QUERIES_100X] + [
         (n, str(gout), f"{n}@grownodes") for n in GRAPH_QUERIES_100X
     ]
