@@ -2,10 +2,11 @@
 bucketed HITS twin (r5 verdict #2).
 
 Every graph_* plan reads its edge relation through
-plans.graph_q._materialized_edges, which localCheckpoints the derived
-relation ONCE per (application, sf_dir, derivation) — the in-session
-form of the 100 TB pattern (materialize the edge relation once, run
-every graph workload against it). These tests pin that the
+plans.graph_q._materialized_edges, which writes the derived relation
+to a write-once scratch parquet ONCE per (application, sf_dir,
+derivation) and hands every later caller a plain scan of the written
+files — the in-session form of the 100 TB pattern (materialize the
+edge relation once, run every graph workload against it). These tests pin that the
 amortization is real (one build per key, identity-stable returns,
 survives spark.catalog.clearCache()), that the cache keys distinguish
 what must be distinguished, and that the SHUFFLE_HASH HITS twin is

@@ -52,12 +52,39 @@ _EDGE_CACHE: dict = {}
 
 
 def clear_edge_cache() -> None:
+    """Delete every scratch edge parquet and drop the handles.
+
+    Also clears the registry plan cache (ADVICE r6): cached graph
+    plans hold DataFrames that SCAN the files deleted here, so an
+    edge-cache-only clear would leave the plan cache serving
+    FileNotFoundException time bombs. The coupling is enforced here
+    rather than relied on per call site."""
+    import shutil
+
+    from .registry import clear_plan_cache
+
+    for bucket in _EDGE_CACHE.values():
+        for _df, path in bucket.values():
+            shutil.rmtree(path, ignore_errors=True)
+    _EDGE_CACHE.clear()
+    clear_plan_cache()
+
+
+def _cleanup_scratch_at_exit() -> None:
+    # atexit, not clear_edge_cache (ADVICE r6): at interpreter
+    # shutdown the JVM may already be gone, so only the file deletes
+    # are safe — no plan-cache or Spark calls.
     import shutil
 
     for bucket in _EDGE_CACHE.values():
         for _df, path in bucket.values():
             shutil.rmtree(path, ignore_errors=True)
     _EDGE_CACHE.clear()
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_scratch_at_exit)
 
 
 def _materialized_edges(spark, sf_dir: str, kind: str, build):

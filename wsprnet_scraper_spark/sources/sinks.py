@@ -160,7 +160,16 @@ def insert_on_conflict_sql(
     to be interpolated raw, which broke on names with spaces and was
     an injection vector once the spots_sqlite DataSource started
     feeding it from a user-supplied .option("table", ...) (ADVICE
-    r5)."""
+    r5).
+
+    Quoting contract (ADVICE r6): names are taken LITERALLY. A quoted
+    identifier in PostgreSQL is case-SENSITIVE, so pass the exact
+    stored case — `MyTable` no longer matches a table created as
+    unquoted `mytable` (lower-folded). Every `.` in `table` is a
+    schema separator; an identifier containing a literal dot cannot
+    be expressed through this function. In-tree callers pass
+    lowercase dot-qualified names, which behave identically under
+    both conventions."""
     if paramstyle not in ("format", "qmark"):
         raise ValueError(f"unsupported paramstyle: {paramstyle!r}")
     marker = "%s" if paramstyle == "format" else "?"
