@@ -95,6 +95,11 @@ HEADLINE = [
     "sim_lsh_multiprobe",      # 1-bit multi-probe LSH recall dial (r4)
     "pipe_dedup_cascade",      # exact -> normalized -> MinHash cascade (r5)
     "agg_profit_q9",           # Q9 profit over synthesized partsupp (r5)
+    "agg_ps_value_q11",        # Q11 partsupp value share w/ scalar subquery (r7)
+    "agg_supplier_cnt_q16",    # Q16 supplier-count distinct agg (r7)
+    "sub_excess_avail_q20",    # Q20 correlated excess-availability semi (r7)
+    "agg_shipmode_q12",        # Q12 shipmode priority CASE aggregate (r7)
+    "graph_hits_bucketed",     # HITS, SHUFFLE_HASH twin for 100x nodes (r7)
 ]
 
 
@@ -153,11 +158,19 @@ def main() -> None:
     from statistics import median
 
     timings: dict[str, float] = {}
+    # Per-query [min, median, max] of the 3 timed runs (r5 verdict #8):
+    # the box's run-to-run noise is ±15-25%, and without the spread a
+    # round-over-round delta inside that band is indistinguishable
+    # from a regression. The headline stays the median; the spread
+    # rides in the artifact + full JSON line.
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         run(name)
-        timings[name] = round(median(run(name) for _ in range(3)), 3)
+        runs = sorted(run(name) for _ in range(3))
+        timings[name] = round(runs[1], 3)
+        spread[name] = [round(runs[0], 3), round(runs[1], 3), round(runs[2], 3)]
 
     # Scaling slope: the same queries at a 10x-smaller SF, so the
     # ~linear claim in SCALE.md is measured every round instead of
@@ -196,6 +209,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread_min_med_max": spread,
         "sf": sf,
         "scaling": scaling,
     }

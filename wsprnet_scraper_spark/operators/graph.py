@@ -53,11 +53,20 @@ def pagerank_quantized(
     table exceeds any broadcast threshold, so nothing node-sized is
     ever broadcast. The degree attach and the per-round rank joins
     are SHUFFLE_HASH joins on src; the edge relation is shuffled onto
-    hash(src) ONCE (and persisted with that distribution), after
-    which each superstep exchanges only the node-sized rank relation
-    — and since each round's ranks emerge from groupBy(dst) already
-    hash-distributed on the node id, successive rounds reuse that
-    partitioning instead of re-exchanging. The SHUFFLE_HASH hint is
+    hash(src) ONCE, persisted with that distribution, and — the r7
+    fix — MATERIALIZED EAGERLY before the rounds are planned: with a
+    lazy persist, the cached plan is still an unfinished adaptive
+    plan at planning time, its output partitioning is unknown, and
+    EnsureRequirements inserts a fresh EDGE-SIZED exchange under
+    every superstep's join (measured: 3 extra src-exchanges in the
+    3-round plan, and the 24.8 s vs broadcast's 17.4 s at the 100×
+    grown-node probe). Once the cache is finalized first, the
+    InMemoryTableScan advertises hash(src) and each superstep
+    exchanges ONLY the node-sized rank relation — which itself
+    emerges from groupBy(dst) already hash-distributed on the node
+    id, so successive rounds reuse that partitioning instead of
+    re-exchanging (pinned by tests/test_graph_frontdoor.py's
+    exchange-count assertions). The SHUFFLE_HASH hint is
     load-bearing: it pins the strategy so AQE can't flip a small rank
     table back to broadcast mid-plan (the judged plan must be the one
     that survives 100×). Ranks are lineage-truncated every
@@ -65,6 +74,9 @@ def pagerank_quantized(
     plans otherwise grow linearly in depth until analysis time blows
     up (on a cluster, prefer reliable `checkpoint()` with a
     checkpoint dir so executor loss can't orphan the truncation).
+    The eager materialization makes this builder EAGER — its registry
+    entries must opt out of plan caching (cache_plans=False) so timed
+    re-runs do not serve pre-built state.
     """
     if strategy not in ("broadcast", "bucketed"):
         raise ValueError(f"unknown strategy {strategy!r}")
@@ -88,6 +100,12 @@ def pagerank_quantized(
         )
     if persist_edges:
         ed = ed.persist()
+        if strategy == "bucketed":
+            # finalize the cached plan NOW so its hash(src)
+            # distribution is visible when the supersteps are planned
+            # (see docstring); also finalizes deg, so the rank init
+            # below propagates hash(src)->nid through its projection
+            ed.count()
     ranks = deg.select(
         F.col("src").alias("nid"),
         F.lit(SCALE).cast("bigint").alias("r"),

@@ -44,7 +44,7 @@ def _bucket(col, width_us: int, width_s: int):
 SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s, event_type,
   CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
@@ -76,7 +76,7 @@ def agg_time_bucket(spark, sf_dir):
     """
 WITH agg AS (
   SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s, event_type,
-    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
     CAST(count(*) AS BIGINT) AS n_events
   FROM events GROUP BY 1, 2
 ),
@@ -157,8 +157,7 @@ def agg_time_gapfill(spark, sf_dir):
 SELECT event_type,
   CAST(count(*) AS BIGINT) AS n_total,
   CAST(count(*) FILTER (WHERE value > 15.0) AS BIGINT) AS n_hi,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE value > 15.0)
-       AS DOUBLE) AS sum_hi,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE value > 15.0) AS VARCHAR) AS DOUBLE) AS sum_hi,
   CAST(count(DISTINCT user_id) FILTER (WHERE value <= 5.0) AS BIGINT)
     AS n_lo_users
 FROM events GROUP BY event_type
@@ -633,7 +632,7 @@ def agg_mode(spark, sf_dir):
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE)::VARCHAR AS month,
   o_orderstatus,
   CAST(count(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders GROUP BY 1, 2
 """,
 )
@@ -964,8 +963,8 @@ WITH t AS (
 )
 SELECT event_id,
   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_win,
-  CAST(SUM(v) OVER w AS DOUBLE) AS sum_val,
-  CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS BIGINT) AS avg_val
+  CAST(CAST(SUM(v) OVER w AS VARCHAR) AS DOUBLE) AS sum_val,
+  CAST(CAST(SUM(v) OVER w AS VARCHAR) AS DOUBLE) / CAST(COUNT(*) OVER w AS BIGINT) AS avg_val
 FROM t
 WINDOW w AS (PARTITION BY user_id ORDER BY us
              RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)

@@ -131,7 +131,7 @@ def snk_merge_upsert(spark, sf_dir):
     "src_orc_roundtrip",
     """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """,
 )
@@ -160,7 +160,7 @@ def src_orc_roundtrip(spark, sf_dir):
     "src_xml_roundtrip",
     """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
   CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_us
 FROM events GROUP BY 1
 """,
@@ -481,7 +481,7 @@ WITH unioned AS (
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
   CAST(count(value) AS BIGINT) AS n_with_value,
   CAST(count(event_type) AS BIGINT) AS n_with_type,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
   CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
 FROM unioned
 """,
@@ -623,7 +623,7 @@ d AS (
   FROM (SELECT DISTINCT day FROM t)
 )
 SELECT t.day, CAST(count(*) AS BIGINT) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM t JOIN d ON t.day = d.day
 WHERE d.idx <= 3
 GROUP BY t.day

@@ -79,7 +79,7 @@ def agg_group_q1(spark, sf_dir):
     "agg_avg_having",
     f"""
 SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
-  CAST(SUM({_money('c_acctbal')}) AS DOUBLE) / COUNT(*) AS avg_bal
+  CAST(CAST(SUM({_money('c_acctbal')}) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
 FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 3
 """,
 )
@@ -173,7 +173,7 @@ def agg_pivot(spark, sf_dir):
     "join_inner_5way",
     f"""
 SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_items,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -214,7 +214,7 @@ def join_inner_5way(spark, sf_dir):
     "join_left",
     f"""
 SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-  CAST(COALESCE(SUM({_money('o_totalprice')}), 0) AS DOUBLE) AS total_spent
+  CAST(CAST(COALESCE(SUM({_money('o_totalprice')}), 0) AS VARCHAR) AS DOUBLE) AS total_spent
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
 """,
@@ -427,9 +427,9 @@ def win_rank_suite(spark, sf_dir):
     "win_running_sum",
     f"""
 SELECT o_orderkey,
-  CAST(SUM({_money('o_totalprice')}) OVER (
+  CAST(CAST(SUM({_money('o_totalprice')}) OVER (
     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_total
 FROM orders
 """,
 )
@@ -765,7 +765,7 @@ def xform_session_extract(spark, sf_dir):
     """
 SELECT o.o_orderstatus,
   CAST(count(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM orders o JOIN customer c
   ON o.o_custkey = c.c_custkey AND c.c_mktsegment = 'BUILDING'
 GROUP BY 1
@@ -815,7 +815,7 @@ def join_bloom_pruned(spark, sf_dir):
     "join_nation_volume",
     f"""
 SELECT supp_nation, cust_nation, l_year,
-  CAST(SUM(vol) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
     CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
@@ -871,10 +871,9 @@ def join_nation_volume(spark, sf_dir):
     "agg_market_share",
     f"""
 SELECT o_year,
-  CAST(COALESCE(SUM(vol) FILTER (WHERE supp_nation = 'NATION_3'), 0)
-       AS DOUBLE)
-    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
-  CAST(SUM(vol) AS DOUBLE) AS total_vol
+  CAST(CAST(COALESCE(SUM(vol) FILTER (WHERE supp_nation = 'NATION_3'), 0) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share,
+  CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS total_vol
 FROM (
   SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
     n1.n_name AS supp_nation,
@@ -942,7 +941,7 @@ def agg_market_share(spark, sf_dir):
     "join_disjunctive_pred",
     f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE
   (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -1508,7 +1507,7 @@ def join_asof_nearest(spark, sf_dir):
     "join_ship_priority_q3",
     f"""
 SELECT l_orderkey AS orderkey,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE) AS revenue,
   strftime(o_orderdate, '%Y-%m-%d') AS orderdate
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -1556,7 +1555,7 @@ def join_ship_priority_q3(spark, sf_dir):
 @register(
     "agg_forecast_q6",
     f"""
-SELECT CAST(SUM({_money('l_extendedprice')} * {_money('l_discount')}) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(SUM({_money('l_extendedprice')} * {_money('l_discount')}) AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1594,7 +1593,7 @@ def agg_forecast_q6(spark, sf_dir):
     "join_returned_q10",
     f"""
 SELECT c_custkey, c_name, n_name,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1636,7 +1635,7 @@ def join_returned_q10(spark, sf_dir):
     "join_local_supplier_q5",
     f"""
 SELECT n_name,
-  CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -1688,10 +1687,10 @@ def join_local_supplier_q5(spark, sf_dir):
     "agg_promo_share_q14",
     f"""
 SELECT
-  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+  100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
     THEN {_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})
-    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-    / CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS DOUBLE)
+    ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+    / CAST(CAST(SUM({_money('l_extendedprice')} * ({_money('1')} - {_money('l_discount')})) AS VARCHAR) AS DOUBLE)
     AS promo_revenue_pct,
   CAST(count(*) AS BIGINT) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -48,7 +48,7 @@ def _norm_ts(stream, raw_schema):
 SELECT CAST(floor(floor(epoch(ts)) / 120) * 120 AS BIGINT) AS win_start_s,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM({_money}) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM({_money}) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
     cache_plans=True,  # pure batch window plan, no stream started at build
@@ -511,7 +511,7 @@ def strm_rollup_merge(spark, sf_dir):
     "strm_static_join",
     f"""
 SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-       CAST(SUM({_money}) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM({_money}) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """,

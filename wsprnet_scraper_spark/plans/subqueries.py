@@ -101,7 +101,7 @@ def sub_not_exists(spark, sf_dir):
     "sub_in",
     f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-  CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) AS revenue
+  CAST(CAST(SUM({_money('l_extendedprice')}) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_orderkey IN (
   SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -132,7 +132,7 @@ WITH pa AS (
     CAST(COUNT(*) AS BIGINT) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM({_money('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_weekly
+SELECT CAST(CAST(SUM({_money('l_extendedprice')}) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_weekly
 FROM lineitem JOIN pa USING (l_partkey)
 WHERE 5 * {_money('l_quantity')} * cnt < sum_qty
 """,
@@ -599,11 +599,11 @@ li AS (
 ),
 avgs AS (
   SELECT l_partkey AS ak,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
            / CAST(count(*) AS DOUBLE) AS avg_qty
   FROM li GROUP BY l_partkey
 )
-SELECT CAST(SUM(price) / 7.0 AS DOUBLE) AS avg_yearly,
+SELECT CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
        CAST(count(*) AS BIGINT) AS n_small
 FROM li JOIN avgs ON l_partkey = ak
 WHERE l_quantity < 0.2 * avg_qty
