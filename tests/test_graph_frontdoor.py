@@ -134,3 +134,61 @@ def test_hits_bucketed_halfstep_plan_pins_shuffle_hash(spark):
     a = sorted(map(tuple, hits_quantized(edges, 2, strategy="broadcast").collect()))
     b = sorted(map(tuple, hits_quantized(edges, 2, strategy="bucketed").collect()))
     assert a == b and len(a) > 0
+
+
+def _exchange_keys_by_plan_id(df):
+    """(key_column -> count) over DISTINCT Exchange plan_ids in the
+    printed physical plan — cached subtrees print the same plan_id at
+    every reference, so deduping by id counts each real exchange
+    once."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seen = {}
+    for m in re.finditer(r"Exchange hashpartitioning\((\w+)#\d+", plan):
+        pid = re.search(r"plan_id=(\d+)", plan[m.start() : m.start() + 200])
+        if pid:
+            seen[pid.group(1)] = m.group(1)
+    from collections import Counter
+
+    return Counter(seen.values())
+
+
+def test_pagerank_bucketed_supersteps_reuse_edge_distribution(spark):
+    """r6 verdict #8: the bucketed PageRank's 100× cost claim is that
+    the edge relation shuffles onto hash(src) ONCE and every
+    superstep reuses that distribution. With a lazy edge persist the
+    cached plan's partitioning is unknown at planning time and
+    EnsureRequirements inserts one EDGE-SIZED src-exchange per round
+    (the 24.8 s vs 17.4 s probe gap); the eager materialization in
+    pagerank_quantized fixes it. Pin the invariants:
+    - dst-keyed exchanges == visible rounds (the per-round aggregate,
+      the only per-superstep exchange);
+    - src-keyed (edge-sized) exchanges are BUILD-ONLY: the count does
+      not grow with iterations;
+    - nid-keyed rank re-exchanges appear only at localCheckpoint
+      truncation boundaries (the checkpointed RDD's AQE-coalesced
+      partitioning can't be proven compatible), never per round."""
+    from wsprnet_scraper_spark.operators.graph import pagerank_quantized
+
+    _fresh(spark)
+
+    def counts(iters):
+        spark.catalog.clearCache()
+        edges = spark.range(0, 2000).selectExpr(
+            "id % 97 AS src", "(id * 7) % 97 AS dst"
+        )
+        return _exchange_keys_by_plan_id(
+            pagerank_quantized(edges, iterations=iters, strategy="bucketed")
+        )
+
+    c3, c6 = counts(3), counts(6)
+    assert c3["dst"] == 3 and c3["nid"] == 0, c3
+    # checkpoint at round 3 truncates rounds 1-3 out of the printed
+    # plan: 3 visible rounds, and at most one nid re-exchange at the
+    # truncation boundary
+    assert c6["dst"] == 3 and c6["nid"] <= 1, c6
+    # the edge side never re-exchanges per round: same fixed build
+    # count at 3 and 6 iterations
+    assert c3["src"] == c6["src"], (c3, c6)
+    spark.catalog.clearCache()

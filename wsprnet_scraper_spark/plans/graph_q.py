@@ -173,15 +173,24 @@ def graph_pagerank(spark, sf_dir):
     return pagerank_quantized(_edges(spark, sf_dir), _ITERATIONS)
 
 
-@register("graph_pagerank_bucketed", _pagerank_oracle(_ITERATIONS))
+# cache_plans=False: the bucketed builder materializes its shuffled
+# edge cache eagerly (operators/graph.py, r7 — the materialization is
+# what lets every superstep reuse the hash(src) distribution), so a
+# cached plan would serve pre-built state to timed re-runs.
+@register(
+    "graph_pagerank_bucketed", _pagerank_oracle(_ITERATIONS), cache_plans=False
+)
 def graph_pagerank_bucketed(spark, sf_dir):
     """The same PageRank under the strategy that survives a
     billion-node graph: no node-sized relation is ever broadcast —
     SHUFFLE_HASH-pinned rank joins against the once-shuffled,
-    persisted edge relation (see operators/graph.py). The integer
-    quantization makes the result bit-identical to the broadcast
-    plan, so this entry shares graph_pagerank's oracle — the gate
-    proves the scale plan computes the same ranks."""
+    EAGERLY-persisted edge relation (see operators/graph.py: the
+    eager cache finalization is what lets each superstep plan against
+    the edge relation's hash(src) distribution instead of
+    re-exchanging it every round). The integer quantization makes the
+    result bit-identical to the broadcast plan, so this entry shares
+    graph_pagerank's oracle — the gate proves the scale plan computes
+    the same ranks."""
     return pagerank_quantized(
         _edges(spark, sf_dir), _ITERATIONS, strategy="bucketed"
     )
