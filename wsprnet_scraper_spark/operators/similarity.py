@@ -1427,6 +1427,67 @@ def _incremental_cell_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _incremental_cell_pairs_gemm(
+    assigned: DataFrame, threshold: float
+) -> DataFrame:
+    """Arrow/GEMM twin of `_incremental_cell_pairs` (same output
+    contract: batch rows only, corpus-near then batch-near then
+    new_unique). One applyInPandas per cell, all pairwise cosines as
+    one numpy M·Mᵀ. BLAS summation order — use only above the
+    ORACLE_BOUND ceiling where checks are rows-only, exactly like
+    `_twolevel_pairs_gemm` (r7)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", T.LongType()),
+            T.StructField("dup_of_corpus_id", T.LongType()),
+            T.StructField("n_corpus_near", T.LongType()),
+            T.StructField("dup_in_batch_id", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy())
+        n2 = pdf["n2"].to_numpy(dtype=np.float64)
+        isb = pdf["is_batch"].to_numpy(dtype=bool)
+        sims = (mat @ mat.T) / np.sqrt(np.outer(n2, n2))
+        near = sims >= thr
+        sentinel = np.iinfo(np.int64).max
+        corpus_near = near & ~isb[None, :]
+        n_corpus = corpus_near.sum(axis=1).astype(np.int64)
+        corpus_min = np.where(corpus_near, ids[None, :], sentinel).min(axis=1)
+        batch_near = near & isb[None, :] & (ids[None, :] < ids[:, None])
+        n_batch = batch_near.sum(axis=1)
+        batch_min = np.where(batch_near, ids[None, :], sentinel).min(axis=1)
+        out = pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(dtype=np.int64),
+                "dup_of_corpus_id": pd.array(corpus_min, dtype="Int64"),
+                "n_corpus_near": n_corpus,
+                "dup_in_batch_id": pd.array(batch_min, dtype="Int64"),
+                "status": np.where(
+                    n_corpus > 0,
+                    "dup_of_corpus",
+                    np.where(n_batch > 0, "dup_in_batch", "new_unique"),
+                ),
+            }
+        )
+        out.loc[n_corpus == 0, "dup_of_corpus_id"] = pd.NA
+        out.loc[n_batch == 0, "dup_in_batch_id"] = pd.NA
+        return out[isb]
+
+    return assigned.groupBy("cell").applyInPandas(fn, schema)
+
+
 def semantic_dedup_incremental(
     emb: DataFrame,
     is_batch_col,
@@ -1568,11 +1629,15 @@ def semantic_dedup_incremental_auto(
     """`semantic_dedup_auto`'s incremental twin: flat corpus-trained
     codebook below `flat_max` STANDING-CORPUS rows (the oracle-
     certified region), balanced two-level above — the codebook is
-    trained on the corpus side only in both branches, every vector
-    (corpus + batch) routes through it, and the pair stage is the
-    shared `_incremental_cell_pairs` on whichever cell labeling the
-    branch produced. Same (vec_id, cell, dup_of_corpus_id,
-    n_corpus_near, dup_in_batch_id, status) schema either way."""
+    trained on the corpus side only in both branches and every vector
+    (corpus + batch) routes through it. Pair stages mirror the
+    non-incremental dispatch (r7): the flat branch keeps the
+    fold-expression `_incremental_cell_pairs` (bit-exact vs the
+    mirrored CTE oracle), the above-ceiling branch uses
+    `_incremental_cell_pairs_gemm` (Arrow/BLAS; rows-only region by
+    ORACLE_BOUND; row-identical to the expression stage at the 100×
+    corpus). Same (vec_id, cell, dup_of_corpus_id, n_corpus_near,
+    dup_in_batch_id, status) schema either way."""
     corpus = emb.filter(~is_batch_col)
     corpus_n = corpus.count()
     if corpus_n <= flat_max:
@@ -1615,7 +1680,11 @@ def semantic_dedup_incremental_auto(
     assigned = base.select(
         "vec_id", _composite_cell(k).alias("cell"), "v", "n2", "is_batch"
     )
-    return _incremental_cell_pairs(assigned, threshold)
+    # above-ceiling branch only (corpus_n > flat_max): the callers'
+    # ORACLE_BOUND makes this region rows-only, so the pair stage is
+    # the Arrow/GEMM kernel, same dispatch logic as
+    # semantic_dedup_auto's balanced branch (r7)
+    return _incremental_cell_pairs_gemm(assigned, threshold)
 
 
 def topk_twolevel(
