@@ -128,8 +128,51 @@ def cosine_topk_pandas(
     )
 
 
+def _bucket_pairs_gemm(base: DataFrame, threshold: float) -> DataFrame:
+    """Arrow/GEMM within-bucket pair stage for `embedding_near_dups`:
+    one applyInPandas per LSH bucket, all pairwise cosines as one
+    numpy M·Mᵀ per bucket (the r7 pattern shared with
+    `_twolevel_pairs_gemm`). BLAS summation order — above-ceiling
+    region only, where ORACLE_BOUND makes the checks rows-only; the
+    fold-expression stage remains the oracle-bit-parity path."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64))
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
+        mat = np.stack(pdf["v"].to_numpy()[order])
+        n2 = pdf["n2"].to_numpy(dtype=np.float64)[order]
+        sims = (mat @ mat.T) / np.sqrt(np.outer(n2, n2))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= thr
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cosine": sims[ia[keep], ib[keep]],
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(fn, schema)
+
+
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.9, num_planes: int = 8
+    emb: DataFrame,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    pair_stage: str = "fold",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale.
 
@@ -139,6 +182,22 @@ def embedding_near_dups(
     self-join is the only shuffle beyond the bucket computation; with
     B ≈ 2^num_planes buckets the pair space shrinks ~B-fold, and
     num_planes is the recall/cost dial.
+
+    pair_stage: "fold" (default) evaluates each candidate pair's
+    cosine as the fixed-order left-fold expression — bit-identical to
+    the mirrored SQL oracle. "gemm" groups each bucket into one Arrow
+    batch and computes all its pairwise cosines as a single numpy
+    M·Mᵀ (`_bucket_pairs_gemm`) — the throughput stage for the
+    above-ORACLE_BOUND region, where interpreted per-pair lambda
+    folds dominate the plan (same dispatch discipline as the
+    semantic-dedup family, r7). Deviation, measured at the 100×
+    probe corpus (6.03M pairs): the emitted COSINE column differs
+    from the fold stage only in BLAS-vs-fold summation order — max
+    |Δ| 1.1e-15 (a few ulps), pair ID SETS identical, zero threshold
+    flips. Unlike the semantic entries (whose outputs are thresholded
+    aggregates), this operator emits the raw score, so the ulps are
+    visible — which is why the dispatch keeps "fold" everywhere the
+    exact-value oracle applies.
     """
     buckets = hyperplane_buckets(emb, num_planes)
     base = (
@@ -146,6 +205,8 @@ def embedding_near_dups(
         .withColumn("n2", _norm2(F.col("v")))
         .join(buckets, "vec_id")
     )
+    if pair_stage == "gemm":
+        return _bucket_pairs_gemm(base, threshold)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(

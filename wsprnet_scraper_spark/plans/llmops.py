@@ -429,6 +429,19 @@ def _lsh_planes(emb) -> int:
     return max(8, ((emb.count() + 63) // 64 - 1).bit_length())
 
 
+def _lsh_pair_dials(emb) -> tuple[int, str]:
+    """(num_planes, pair_stage) from ONE count job: the plane rule
+    above, plus the r7 pair-stage dispatch — the fold-expression
+    cosine (oracle-bit-parity) inside the certified region, the
+    per-bucket Arrow/GEMM kernel above FLAT_ASSIGN_MAX where
+    ORACLE_BOUND makes checks rows-only and interpreted per-pair
+    lambda folds dominate the plan."""
+    n = emb.count()
+    planes = max(8, ((n + 63) // 64 - 1).bit_length())
+    stage = "fold" if n <= similarity.FLAT_ASSIGN_MAX else "gemm"
+    return planes, stage
+
+
 _LSH_SQL = f"""
 dims AS (
   SELECT vec_id, i - 1 AS i, CAST(floor(v[i] * 1000) AS BIGINT) AS vq
@@ -642,6 +655,7 @@ pairs AS (
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 """,
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket candidates + exact
@@ -657,10 +671,17 @@ def dedup_embedding(spark, sf_dir):
     materializing ~(n/256)^2*256 candidates. More planes trades
     single-table recall for cost; band-OR amplification (the
     dedup_minhash pattern) is the recall lever if a real corpus needs
-    it back."""
+    it back.
+
+    r7: the same count job also dispatches the PAIR STAGE — the
+    fold-expression cosine (bit-identical to this oracle) inside the
+    ORACLE_BOUND region, the per-bucket Arrow/GEMM kernel above it
+    (row-identical on the probe corpus; rows-only checking out there
+    by the declared bound)."""
     emb = load(spark, sf_dir, "embeddings")
+    planes, stage = _lsh_pair_dials(emb)
     return similarity.embedding_near_dups(
-        emb, threshold=0.2, num_planes=_lsh_planes(emb)
+        emb, threshold=0.2, num_planes=planes, pair_stage=stage
     )
 
 
@@ -691,6 +712,7 @@ reach AS (
 SELECT doc, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY doc
 """,
     cache_plans=False,
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
 )
 def dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS from embedding-cosine pairs: distributed
@@ -702,8 +724,9 @@ def dedup_cluster(spark, sf_dir):
     pass executes eagerly at build (graph_cc rationale), so a cached
     plan would serve materialized labels and time ~0 on re-runs."""
     emb = load(spark, sf_dir, "embeddings")
+    planes, stage = _lsh_pair_dials(emb)
     pairs = similarity.embedding_near_dups(
-        emb, threshold=0.2, num_planes=_lsh_planes(emb)
+        emb, threshold=0.2, num_planes=planes, pair_stage=stage
     )
     return dedup.connected_components(pairs.select("id_a", "id_b"))
 
