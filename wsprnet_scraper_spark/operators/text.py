@@ -300,59 +300,62 @@ def importance_select(
         .alias("b"),
     )
 
-    # Plan-shape note: the feature stream is referenced by four
-    # branches (target counts, rest counts, bucket domain, per-doc
-    # counts) and Catalyst does NOT share it between them — filter
-    # pushdown through the aggregates specializes each branch, so a
-    # "compute (doc, b) counts once" rewrite measurably re-explodes
-    # MORE (12 Generate ops vs 8 here; verified against the physical
-    # plan). Each branch's shuffle is tiny (map-side combine to ≤
-    # `buckets` keys, or doc×bucket for the scoring branch), so the
-    # honest default is four parallel map scans. At 100 TB the knob a
-    # real pipeline flips is materializing the hashed feature matrix
-    # once (persist/write of the (doc, b, c) relation — exactly what
-    # the DSIR reference implementation does) and feeding all four
-    # branches from it; kept out of the judged default so every timed
-    # run re-reads the corpus like the rest of the registry.
-    tgt = (
-        feats.filter(F.col("dom") == target_value)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # Plan shape (r7 restructure — the r5-r6 form ran FOUR token-
+    # volume explodes because Catalyst specializes the feature stream
+    # per consuming branch and shares nothing; this one runs ONE):
+    # 1. (doc, dom, b, c) counts from a single explode + one
+    #    map-side-combined shuffle — the hashed feature matrix, kept
+    #    as a flowing relation (a 100 TB pipeline would write it once,
+    #    DSIR-reference style; in-plan it is consumed by exactly one
+    #    chain so no materialization is needed).
+    # 2. Per-bucket domain counts as WINDOW sums over partition(b) —
+    #    ≤`buckets` distinct keys, hash-spread across tasks, no
+    #    second derivation and no join (the per-b window value IS the
+    #    broadcast-model value of the old plan, same arithmetic).
+    # 3. The global totals need NO explode at all: every document
+    #    contributes exactly size(toks) unigrams + max(size-1, 0)
+    #    bigrams, so t_total/r_total are a cheap scalar aggregate
+    #    over the document table — broadcast as a 1-row relation.
+    # 4. One groupBy(doc) for the score, TakeOrderedAndProject top-k.
+    # qb's operands and operation order are IDENTICAL to the old
+    # model join (one long->double conversion each side, one divide,
+    # one multiply), so the oracle is unchanged bit for bit.
+    from pyspark.sql import Window
+
+    ds = feats.groupBy("doc", "dom", "b").agg(F.count(F.lit(1)).alias("c"))
+    wb = Window.partitionBy("b")
+    ct = F.coalesce(
+        F.sum(F.when(F.col("dom") == target_value, F.col("c"))).over(wb),
+        F.lit(0).cast("long"),
     )
-    raw = (
-        feats.filter(F.col("dom") != target_value)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cr"))
+    cr = F.coalesce(
+        F.sum(F.when(F.col("dom") != target_value, F.col("c"))).over(wb),
+        F.lit(0).cast("long"),
     )
-    tot = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_total")).crossJoin(
-        raw.agg(F.coalesce(F.sum("cr"), F.lit(0)).alias("r_total"))
+    n_feats_doc = (
+        F.size("toks")
+        + F.when(F.size("toks") >= 2, F.size("toks") - 1).otherwise(0)
+    ).cast("long")
+    tot = d.select("dom", n_feats_doc.alias("nf")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dom") == target_value, F.col("nf"))), F.lit(0)
+        ).alias("t_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("dom") != target_value, F.col("nf"))), F.lit(0)
+        ).alias("r_total"),
     )
-    model = (
-        feats.select("b")
-        .distinct()
-        .join(tgt, "b", "left")
-        .join(raw, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            F.floor(
-                (
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                    * (F.col("r_total") + buckets)
-                ).cast("double")
-                / (
-                    (F.coalesce(F.col("cr"), F.lit(0)) + 1)
-                    * (F.col("t_total") + buckets)
-                ).cast("double")
-                * F.lit(1e9)
-            )
-            .cast("long")
-            .alias("qb"),
+    qb = (
+        F.floor(
+            ((ct + 1) * (F.col("r_total") + buckets)).cast("double")
+            / ((cr + 1) * (F.col("t_total") + buckets)).cast("double")
+            * F.lit(1e9)
         )
+        .cast("long")
+        .alias("qb")
     )
-    ds = feats.groupBy("doc", "b").agg(F.count(F.lit(1)).alias("c"))
     scored = (
-        ds.join(F.broadcast(model), "b")
+        ds.crossJoin(F.broadcast(tot))
+        .select("doc", "c", qb)
         .groupBy("doc")
         .agg(
             F.sum("c").cast("long").alias("n_feats"),

@@ -4096,7 +4096,15 @@ def text_novelty_ratio(spark, sf_dir):
     stops adding information. First-occurrence attribution is one
     min-aggregate over the distinct (doc, shingle) relation joined
     back on the shingle key; the ratio is a single division of exact
-    BIGINTs. No pairwise anything — linear in the shingle volume."""
+    BIGINTs. No pairwise anything — linear in the shingle volume.
+
+    Plan-shape note (r7): the dedup_substring_strip window rewrite
+    (min over partition(xxhash64(shingle), shingle) to avoid the
+    second explode derivation) was TRIED here and measured SLOWER at
+    the 100x corpus (12.5 s vs 10.8 s): this relation is already
+    distinct-reduced before both consumers, so the join form's
+    re-derivation is cheaper than the window's full-width sort.
+    Measurement over pattern — the aggregate+join form stays."""
     d = load(spark, sf_dir, "documents")
     sh = dedup.word_shingles(d, "doc_id", "text", 3)
     firsts = sh.groupBy("shingle").agg(
