@@ -3245,37 +3245,26 @@ def dedup_normalized(spark, sf_dir):
     never the corpus. The normalization is the documented dial —
     plug stemming/number-masking in without touching the plan.
 
-    The normalization chain is pure per-byte CPU and dominated the
-    r5 100× probe (slope 40.8 — two java.util.regex passes, the
-    second of which matched and re-appended EVERY single space). The
-    engine now runs ONE regex pass — the char class with a `+`
-    quantifier, so a run of junk characters is one match instead of
-    one match per character — and collapses space runs with the
-    marker 3-replace idiom: replace ' '→' \\x01', then '\\x01 '→'',
-    then '\\x01'→'' (plain char-scan StringReplace, no Matcher, no
-    per-space append). \\x01 cannot occur: after the regex pass the
-    alphabet is exactly [a-z0-9 ]. The final string is bit-identical
-    to the oracle's two-regex spec (the gate proves it).
-
-    The r5 slope-40.8 probe number was mostly NOT the regex: the
-    entry read with parallel="never", so the whole normalization ran
-    single-task on the one-row-group probe file. Default scan heal
-    restored (the per-byte work is exactly what the heal exists for);
-    together with the fused pass the 100× probe dropped ~15.4 s →
-    ~1.6 s (slope 40.8 → ~4)."""
+    The normalization chain is pure per-byte CPU and has dominated
+    this entry's probe number in every round. History, honestly: r5
+    ran two java.util.regex passes single-task (slope 40.8); r6
+    fused them into one regex + a marker-trick StringReplace collapse
+    and claimed ~1.6 s at 100× from a spot probe — the r7 committed
+    probe measured 14.4 s and a quiet 3-run re-measurement confirmed
+    15-16 s, so the r6 spot number was a measurement error (likely a
+    warm cache). r7 profiling isolated the cost: Spark's
+    RegExpReplace ran the strip pass at ~9 MB/s aggregate over 32
+    cores (149 MB of text) — the per-row UTF8String→String→Matcher→
+    StringBuffer round trip, not the pattern. The chain now runs
+    through `text.normalized_text`: lowercasing JVM-side, then the
+    two re.sub passes in ONE Arrow-batched pandas UDF (2.6 s for the
+    same work, 6×). Output equals the oracle's two-regex spec byte
+    for byte (gate-proven); see the helper's docstring for the
+    parity argument."""
     d = load(spark, sf_dir, "documents")
-    cleaned = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]+", "")
-    sp, marker = F.lit(" "), F.lit("\x01")
-    collapsed = F.replace(
-        F.replace(
-            F.replace(cleaned, sp, F.lit(" \x01")),
-            F.lit("\x01 "),
-            F.lit(""),
-        ),
-        marker,
-        F.lit(""),
-    )
-    h = F.md5(F.trim(collapsed))
+    from ..operators.text import normalized_text
+
+    h = F.md5(F.trim(normalized_text(F.col("text"))))
     w = W.partitionBy("h").orderBy("doc_id")
     return (
         d.select("doc_id", "lang", "source", h.alias("h"))
