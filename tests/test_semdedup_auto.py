@@ -151,9 +151,12 @@ def test_oracle_bound_records_the_dispatch_ceiling():
     # it, it doesn't replace it), and nothing else claims a bound
     for name in ORACLE_BOUND:
         assert name in ORACLE, name
+    # r7 additions: the LSH pair machinery dispatches its pair stage
+    # (fold below / per-bucket GEMM above) on the same ceiling
     assert set(ORACLE_BOUND) == {
         "dedup_semantic", "dedup_semantic_scaled",
         "dedup_semantic_incremental", "pipe_semdedup_e2e",
+        "dedup_embedding", "dedup_cluster",
     }
 
 
