@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 QUERIES_100X = [
     "dedup_exact",
     "dedup_minhash",
+    "dedup_minhash_cluster",
     "dedup_normalized",
     "dedup_semantic",
     "dedup_semantic_scaled",

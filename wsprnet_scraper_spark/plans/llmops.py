@@ -117,6 +117,72 @@ def dedup_minhash(spark, sf_dir):
 
 
 @register(
+    "dedup_minhash_cluster",
+    """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+),
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt) AS sig
+  FROM hashed GROUP BY doc, band
+),
+prs AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+e2 AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT a AS doc, a AS label FROM e2
+  UNION
+  SELECT e.a AS doc, r.label FROM e2 e JOIN reach r ON r.doc = e.b
+)
+SELECT doc, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY doc
+""",
+    cache_plans=False,
+)
+def dedup_minhash_cluster(spark, sf_dir):
+    """Lexical fuzzy-dedup CLUSTERS: MinHash+LSH candidate pairs
+    (dedup_minhash's exact pipeline — 8 salted hashes, 4 bands of 2)
+    closed into duplicate groups by distributed min-label connected
+    components, keep-min-id per cluster — the SlimPajama/RedPajama
+    production recipe (pairwise LSH candidates → union-find →
+    one survivor per group), previously present only for EMBEDDING
+    pairs (dedup_cluster). Composition of two judged primitives:
+    `dedup.candidate_pairs` over `minhash_signatures` and
+    `dedup.connected_components` (pointer-jumping, O(log diameter)
+    rounds); the oracle replays the closure as a recursive CTE.
+    cache_plans=False: the CC pass executes eagerly at build
+    (graph_cc rationale), so a cached plan would serve materialized
+    labels and time ~0 on re-runs.
+
+    Scale shape: inherits the banded-LSH bound (pairs come from
+    equal-signature buckets, never all-pairs; the capped twin's
+    max_bucket dial applies if a dup-saturated corpus makes one
+    bucket the whole job) and CC's join+groupBy-min supersteps
+    (map-side combinable, lineage cut per round). Unlike
+    dedup_minhash this entry runs the FULL documents table (no %10
+    slice) so the judged closure is non-trivially exercised — 29+
+    candidate pairs at sf0.01."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    pairs = dedup.candidate_pairs(sigs)
+    return dedup.connected_components(pairs)
+
+
+@register(
     "dedup_jaccard_capped",
     f"""
 WITH {_SHINGLES_SQL},
