@@ -100,6 +100,7 @@ HEADLINE = [
     "sub_excess_avail_q20",    # Q20 correlated excess-availability semi (r7)
     "agg_shipmode_q12",        # Q12 shipmode priority CASE aggregate (r7)
     "graph_hits_bucketed",     # HITS, SHUFFLE_HASH twin for 100x nodes (r7)
+    "dedup_minhash_cluster",   # MinHash bands -> CC duplicate groups (r7)
 ]
 
 
