@@ -1,24 +1,25 @@
-"""The r7 Arrow/GEMM pair stages, pinned against their fold-expression
+"""The r7 vectorized pair kernels, pinned against their fold-expression
 twins on crafted corpora.
 
-Three kernels ship behind the ORACLE_BOUND dispatch (fold-expression
-below FLAT_ASSIGN_MAX — the oracle-bit-parity region — GEMM above):
-`_twolevel_pairs_gemm` (semantic_dedup_auto's balanced branch),
-`_incremental_cell_pairs_gemm` (the incremental twin), and
-`_bucket_pairs_gemm` (embedding_near_dups). The full-corpus parity
-runs live at the 100× probe corpus (SCALE.md round 7); these tests
-pin the same contracts at unit scale so a kernel regression fails in
-seconds, not in a probe:
+Four kernels ship behind the pair-stage dispatch:
+- `_twolevel_pairs_gemm` / `_incremental_cell_pairs_gemm` (BLAS M·Mᵀ,
+  summation order differs in the last ulps) — used ONLY in
+  semantic_dedup_auto's above-FLAT_ASSIGN_MAX branches, where the
+  balanced clustering differs from the flat oracle anyway and
+  ORACLE_BOUND declares rows-only checking; pinned here for identical
+  ROW SETS of the thresholded/aggregated outputs (dup_of / n_near /
+  status are integer decisions on cosines that agree to ~1e-15).
+- `_twolevel_pairs_foldvec` / `_bucket_pairs_vec` (fold-ORDER
+  vectorization: dots accumulated dimension-by-dimension — the same
+  float ops in the same IEEE order as the fold expression) — the
+  judged configurations of dedup_semantic_2level and the above-bound
+  stage of dedup_embedding/dedup_cluster; pinned here for FULL-ROW
+  bitwise equality, raw cosine doubles included.
 
-- identical ROW SETS for the thresholded/aggregated outputs
-  (dup_of / n_near / status are integer decisions);
-- identical pair ID SETS for the raw-score kernel, with the cosine
-  column allowed only BLAS-vs-fold summation noise (documented
-  deviation: max |Δ| observed 1.1e-15 over 6.03M pairs at 100×).
-
-The vectors are integer-valued so most cosines are exactly equal in
-both summation orders; the threshold sits away from any attainable
-cosine, so no flip can hide in the tolerance.
+The full-corpus parity runs live at the 100× probe corpus (SCALE.md
+round 7); these fail in seconds instead. The vectors are
+integer-valued and thresholds sit away from attainable cosines, so a
+summation-order flip cannot hide.
 """
 
 from __future__ import annotations
@@ -79,19 +80,28 @@ def test_incremental_gemm_matches_expr(spark):
     assert "dup_of_corpus" in statuses
 
 
-def test_bucket_pairs_gemm_matches_fold(spark):
+def test_bucket_pairs_vec_bit_identical_to_fold(spark):
+    """The fold-order vectorized kernel performs the fold expression's
+    float ops in the same IEEE order, so FULL ROWS — including the raw
+    cosine doubles — must match exactly, not within tolerance."""
     from wsprnet_scraper_spark.operators import similarity as S
 
     emb = _emb(spark)
     f = S.embedding_near_dups(emb, threshold=0.5, num_planes=4, pair_stage="fold")
-    g = S.embedding_near_dups(emb, threshold=0.5, num_planes=4, pair_stage="gemm")
-    ids_f = f.select("id_a", "id_b")
-    ids_g = g.select("id_a", "id_b")
-    assert ids_f.exceptAll(ids_g).count() == 0
-    assert ids_g.exceptAll(ids_f).count() == 0
+    g = S.embedding_near_dups(emb, threshold=0.5, num_planes=4, pair_stage="vec")
     assert f.count() > 0
-    j = f.alias("f").join(g.alias("g"), ["id_a", "id_b"])
-    mx = j.agg(
-        F.max(F.abs(F.col("f.cosine") - F.col("g.cosine"))).alias("m")
-    ).collect()[0]["m"]
-    assert mx < 1e-12  # summation-order noise only
+    assert f.exceptAll(g).count() == 0
+    assert g.exceptAll(f).count() == 0
+
+
+def test_twolevel_foldvec_bit_identical_to_expr(spark):
+    """Same property for the judged dedup_semantic_2level kernel."""
+    from wsprnet_scraper_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    kwargs = dict(threshold=0.5, k_coarse=3, k_fine=3, iters=1, cache_key=None)
+    e = S.semantic_dedup_twolevel(emb, pair_stage="expr", **kwargs)
+    v = S.semantic_dedup_twolevel(emb, pair_stage="foldvec", **kwargs)
+    assert e.exceptAll(v).count() == 0
+    assert v.exceptAll(e).count() == 0
+    assert e.count() == 240

