@@ -57,22 +57,31 @@ def frequency_cap(
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Word n-gram shingles per document: (id, shingle), distinct by
+    default.
 
     Pure projection + explode; documents with fewer than n tokens
     yield no shingles (filtered, mirroring the degenerate case).
-    """
+
+    distinct=False skips the (doc, shingle) dedup shuffle — a full
+    exchange of the token-volume relation with string keys (~5 s of
+    the minhash family's 100× time, r7). Correct ONLY for consumers
+    that are invariant to within-document shingle multiplicity: the
+    MIN aggregates of `minhash_signatures` give bit-identical
+    signatures either way, while Jaccard/count consumers
+    (`ngram_jaccard_pairs`, duplicated_spans' df counts) REQUIRE the
+    distinct and must keep the default."""
     toks = F.split(F.col(text_col), " ")
     parts = [f"toks[i + {j}]" for j in range(n)]
     expr = f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {', '.join(parts)}))"
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
         .filter(F.size("toks") >= n)
         .select("doc", F.explode(F.expr(expr)).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

@@ -111,7 +111,9 @@ def dedup_minhash(spark, sf_dir):
     """MinHash+LSH candidate pairs: 8 salted hashes, 4 bands of 2 —
     bucket-join only, no all-pairs comparison."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    # distinct=False: MIN-aggregated signatures are multiplicity-
+    # invariant, so the (doc, shingle) dedup shuffle is pure cost here
+    sh = dedup.word_shingles(d, "doc_id", "text", 3, distinct=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
     return dedup.candidate_pairs(sigs)
 
@@ -176,7 +178,9 @@ def dedup_minhash_cluster(spark, sf_dir):
     slice) so the judged closure is non-trivially exercised — 29+
     candidate pairs at sf0.01."""
     d = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    # distinct=False: MIN-aggregated signatures are multiplicity-
+    # invariant, so the (doc, shingle) dedup shuffle is pure cost here
+    sh = dedup.word_shingles(d, "doc_id", "text", 3, distinct=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
     pairs = dedup.candidate_pairs(sigs)
     return dedup.connected_components(pairs)
@@ -248,7 +252,9 @@ def dedup_minhash_capped(spark, sf_dir):
     cap doesn't bind at this SF (all buckets are singletons); the
     binding case is pinned by the adversarial stop-word-corpus test."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    # distinct=False: MIN-aggregated signatures are multiplicity-
+    # invariant, so the (doc, shingle) dedup shuffle is pure cost here
+    sh = dedup.word_shingles(d, "doc_id", "text", 3, distinct=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
     return dedup.candidate_pairs(sigs, max_bucket=2)
 
@@ -4793,7 +4799,7 @@ def pipe_dedup_cascade(spark, sf_dir):
         .select("doc_id")
     )
     s2 = s1.join(k2, "doc_id", "left_semi")
-    sh = dedup.word_shingles(s2, "doc_id", "text", 3)
+    sh = dedup.word_shingles(s2, "doc_id", "text", 3, distinct=False)
     sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
     drop3 = (
         dedup.candidate_pairs(sigs)
