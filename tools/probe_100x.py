@@ -43,6 +43,8 @@ QUERIES_100X = [
     "text_quality",
     "pipe_importance_select",
     "pipe_curation",
+    "pipe_dedup_cascade",
+    "pipe_semdedup_e2e",
     "agg_time_bucket",
     "strm_tumbling",
     "emb_gram",
