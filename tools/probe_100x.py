@@ -46,6 +46,7 @@ QUERIES_100X = [
     "pipe_dedup_cascade",
     "pipe_semdedup_e2e",
     "agg_time_bucket",
+    "agg_hll_merge_rollup",
     "strm_tumbling",
     "emb_gram",
     "dedup_cluster",

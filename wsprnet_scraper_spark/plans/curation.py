@@ -415,6 +415,85 @@ def agg_hll_distinct(spark, sf_dir):
     return sketch.hll_distinct(ev, "event_type", "user_id", m_buckets=64)
 
 
+_HLL_EST_SQL = """
+  SELECT event_type, count(*) AS nbh,
+    CAST(SUM(2199023255552 >> mr) + (64 - count(*)) * 2199023255552 AS BIGINT) AS s_q41
+  FROM {regs} GROUP BY 1
+"""
+
+
+@register(
+    "agg_hll_merge_rollup",
+    f"""
+WITH r AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS shard,
+    ({_hex_sql(_HLL_HX, 2)}) % 64 AS bkt,
+    ltrim(substr({_HLL_HX}, 3, 10), '0') AS tr
+  FROM events
+),
+rho AS (
+  SELECT event_type, shard, bkt,
+    CASE WHEN length(tr) = 0 THEN 41
+         ELSE (10 - length(tr)) * 4 +
+           CASE WHEN strpos('0123456789abcdef', substr(tr, 1, 1)) - 1 >= 8 THEN 0
+                WHEN strpos('0123456789abcdef', substr(tr, 1, 1)) - 1 >= 4 THEN 1
+                WHEN strpos('0123456789abcdef', substr(tr, 1, 1)) - 1 >= 2 THEN 2
+                ELSE 3 END + 1
+    END AS rho
+  FROM r
+),
+sregs AS (SELECT event_type, shard, bkt, max(rho) AS mr FROM rho GROUP BY 1, 2, 3),
+mregs AS (SELECT event_type, bkt, max(mr) AS mr FROM sregs GROUP BY 1, 2),
+dregs AS (SELECT event_type, bkt, max(rho) AS mr FROM rho GROUP BY 1, 2),
+ns AS (SELECT event_type, count(DISTINCT shard) AS n_shards FROM sregs GROUP BY 1),
+pm AS ({_HLL_EST_SQL.format(regs="mregs")}),
+pd AS ({_HLL_EST_SQL.format(regs="dregs")}),
+em AS (
+  SELECT event_type, nbh,
+    CAST(CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(2199023255552 AS DOUBLE) / CAST(s_q41 AS DOUBLE) <= 160.0
+              AND 64 - nbh > 0
+         THEN floor(64.0 * ({{_HLL_LN_LIST}}::DOUBLE[])[CAST(64 - nbh AS INT)])
+         ELSE floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(2199023255552 AS DOUBLE) / CAST(s_q41 AS DOUBLE)) END
+         AS BIGINT) AS est
+  FROM pm
+),
+ed AS (
+  SELECT event_type,
+    CAST(CASE WHEN CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(2199023255552 AS DOUBLE) / CAST(s_q41 AS DOUBLE) <= 160.0
+              AND 64 - nbh > 0
+         THEN floor(64.0 * ({{_HLL_LN_LIST}}::DOUBLE[])[CAST(64 - nbh AS INT)])
+         ELSE floor(CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(2199023255552 AS DOUBLE) / CAST(s_q41 AS DOUBLE)) END
+         AS BIGINT) AS est
+  FROM pd
+)
+SELECT em.event_type, CAST(ns.n_shards AS BIGINT) AS n_shards,
+  CAST(em.nbh AS BIGINT) AS n_buckets_hit,
+  em.est AS hll_merged, ed.est AS hll_direct,
+  em.est = ed.est AS merge_exact
+FROM em JOIN ed ON em.event_type = ed.event_type
+JOIN ns ON ns.event_type = em.event_type
+""".replace("{_HLL_LN_LIST}", _HLL_LN_LIST),
+)
+def agg_hll_merge_rollup(spark, sf_dir):
+    """HLL MERGE re-aggregatability as a judged value (r7): one
+    sketch per (event_type, day) — the granularity a hypertable
+    continuous aggregate materializes — merged by per-bucket max and
+    estimated, next to the direct single-pass estimate. Register
+    merge is lossless (max is associative), so hll_merged ==
+    hll_direct EXACTLY and the output's merge_exact column judges the
+    property itself. The merge input is m rows per (group, day):
+    at 100 TB the rollup table is what this query reads — the corpus
+    is scanned once to build the daily sketches and never again."""
+    ev = load_events(spark, sf_dir)
+    return sketch.hll_merge_rollup(
+        ev,
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd"),
+        "user_id",
+        m_buckets=64,
+    )
+
+
 _KMV_HA = "md5(CAST(user_id AS VARCHAR))"
 
 
