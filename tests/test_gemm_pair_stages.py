@@ -94,6 +94,26 @@ def test_bucket_pairs_vec_bit_identical_to_fold(spark):
     assert g.exceptAll(f).count() == 0
 
 
+def test_bucket_pairs_vec_tiled_bit_identical(spark):
+    """ADVICE r7: the vec kernel must not materialize an m×m dots
+    matrix per LSH bucket — it tiles the upper triangle. A tile edge
+    of 3 forces every bucket here through MULTIPLE tiles (diagonal
+    and off-diagonal, including ragged edge tiles), and the output
+    must still be bit-identical to the single-buffer fold path:
+    tiling changes which pairs share a buffer, never any pair's
+    dimension-ordered accumulation."""
+    from wsprnet_scraper_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    f = S.embedding_near_dups(emb, threshold=0.5, num_planes=4, pair_stage="fold")
+    g = S.embedding_near_dups(
+        emb, threshold=0.5, num_planes=4, pair_stage="vec", pair_tile=3
+    )
+    assert f.count() > 0
+    assert f.exceptAll(g).count() == 0
+    assert g.exceptAll(f).count() == 0
+
+
 def test_twolevel_foldvec_bit_identical_to_expr(spark):
     """Same property for the judged dedup_semantic_2level kernel."""
     from wsprnet_scraper_spark.operators import similarity as S

@@ -128,7 +128,15 @@ def cosine_topk_pandas(
     )
 
 
-def _bucket_pairs_vec(base: DataFrame, threshold: float) -> DataFrame:
+# Tile edge for within-bucket pair generation: one tile buffer is
+# _PAIR_TILE^2 * 8 B = 134 MB, the per-task ceiling regardless of how
+# many vectors an adversarial corpus concentrates in one LSH bucket.
+_PAIR_TILE = 4096
+
+
+def _bucket_pairs_vec(
+    base: DataFrame, threshold: float, tile: int = _PAIR_TILE
+) -> DataFrame:
     """BIT-EXACT vectorized within-bucket pair stage for
     `embedding_near_dups`: one applyInPandas per LSH bucket, dot
     products accumulated DIMENSION BY DIMENSION (the
@@ -142,7 +150,20 @@ def _bucket_pairs_vec(base: DataFrame, threshold: float) -> DataFrame:
     over 6.03M pairs at 100×, pair sets identical); fold-order
     vectorization keeps the full throughput win — the cost was never
     the flops but the ~pairs·dim interpreted lambda evaluations — and
-    retires that deviation entirely."""
+    retires that deviation entirely.
+
+    Memory bound (ADVICE r7): LSH buckets are unbounded (unlike the
+    two-level kernels, whose cells are balanced-k-bounded), so a
+    dup-saturated corpus that lands m vectors in one bucket must not
+    materialize the full m×m dots matrix (100k rows → ~80 GB). The
+    upper triangle is therefore TILED over `_PAIR_TILE`-row blocks:
+    each (bi, bj) tile accumulates a tile-sized dots block dimension
+    by dimension and emits its surviving pairs before the next tile
+    is touched. Peak ancillary memory is one tile
+    (`_PAIR_TILE`² × 8 B ≈ 134 MB) plus the bucket's vectors —
+    independent of m. Tiling does not touch bit-exactness: every
+    pair's dot is still the same dimension-ordered accumulation; only
+    WHICH pairs share a buffer changes, and pairs are independent."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -153,6 +174,7 @@ def _bucket_pairs_vec(base: DataFrame, threshold: float) -> DataFrame:
         ]
     )
     thr = float(threshold)
+    tile = int(tile)  # captured by value — the worker sees this tile
 
     def fn(pdf):
         import numpy as np
@@ -161,20 +183,34 @@ def _bucket_pairs_vec(base: DataFrame, threshold: float) -> DataFrame:
         order = np.argsort(pdf["vec_id"].to_numpy(dtype=np.int64))
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)[order]
         mat = np.stack(pdf["v"].to_numpy()[order])
-        n2 = pdf["n2"].to_numpy(dtype=np.float64)[order]
+        rn = np.sqrt(pdf["n2"].to_numpy(dtype=np.float64)[order])
         m, dim = mat.shape
-        dots = np.zeros((m, m), dtype=np.float64)
-        for d in range(dim):
-            col = mat[:, d]
-            dots += col[:, None] * col[None, :]
-        sims = dots / (np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :])
-        ia, ib = np.triu_indices(m, k=1)
-        keep = sims[ia, ib] >= thr
+        out_a, out_b, out_c = [], [], []
+        for i0 in range(0, m, tile):
+            i1 = min(i0 + tile, m)
+            rows = mat[i0:i1]
+            for j0 in range(i0, m, tile):
+                j1 = min(j0 + tile, m)
+                cols = mat[j0:j1]
+                dots = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                for d in range(dim):
+                    dots += rows[:, d][:, None] * cols[:, d][None, :]
+                sims = dots / (rn[i0:i1][:, None] * rn[j0:j1][None, :])
+                ia, ib = np.nonzero(sims >= thr)
+                ga, gb = ia + i0, ib + j0
+                keep = ga < gb  # strict upper triangle, global indices
+                out_a.append(ids[ga[keep]])
+                out_b.append(ids[gb[keep]])
+                out_c.append(sims[ia[keep], ib[keep]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "cosine": np.float64}
+            )
         return pd.DataFrame(
             {
-                "id_a": ids[ia[keep]],
-                "id_b": ids[ib[keep]],
-                "cosine": sims[ia[keep], ib[keep]],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
@@ -186,6 +222,7 @@ def embedding_near_dups(
     threshold: float = 0.9,
     num_planes: int = 8,
     pair_stage: str = "fold",
+    pair_tile: int = _PAIR_TILE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at corpus scale.
 
@@ -217,7 +254,7 @@ def embedding_near_dups(
         .join(buckets, "vec_id")
     )
     if pair_stage == "vec":
-        return _bucket_pairs_vec(base, threshold)
+        return _bucket_pairs_vec(base, threshold, tile=pair_tile)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
