@@ -2057,10 +2057,11 @@ q AS (
 ),
 m AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(x * y) AS DOUBLE) AS sxy,
-         CAST(sum(x * x) AS DOUBLE) AS sxx,
-         CAST(sum(y * y) AS DOUBLE) AS syy
+         CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+         CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(sum(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(sum(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(sum(y * y) AS VARCHAR) AS DOUBLE) AS syy
   FROM q GROUP BY event_type
 )
 SELECT event_type, n_pairs,
@@ -2076,7 +2077,11 @@ def agg_autocorr_lag1(spark, sf_dir):
     Pairs are strictly-consecutive present hours (bucket gap exactly
     3600 via one lag window over the AGGREGATED relation); Pearson r
     comes from exact decimal moment sums (the agg_ols_slope recipe)
-    cast to double once, then a single shared expression tree of
+    reaching double through the VARCHAR hop (r8 — the sharpened ulp
+    detector caught these five sums unhopped: x*y over cents pairs
+    clears 2^53 on large corpora, exactly the aliased-subquery shape
+    ADVICE r7 predicted the keyword detector would miss), then a
+    single shared expression tree of
     IEEE mul/sub/sqrt/div — bit-identical across engines,
     nullif-guarded for constant series. Scale: the fact table
     shuffles once for the rollup; everything after runs on

@@ -3783,10 +3783,12 @@ def dedup_substring_strip(spark, sf_dir):
     hash-approximate. Covered positions then collapse per doc
     (collect_list of range starts, expanded and deduped in array
     land — bounded by document length), and the strip itself is a
-    pure array expression over the original token array: a per-row
-    position map (O(1) lookups, no O(n·m) array_contains scan) keeps
-    reassembly linear in document length even for very long
-    documents. Two token-volume explodes, one token-volume anti-join
+    pure array expression over the original token array: a filter
+    whose predicate is array_contains against the per-doc cut array
+    (O(n·m) worst case, but the measured winner here — see the
+    expression-level notes below; a map-based O(1) variant only wins
+    on long-document corpora). Two token-volume explodes, one
+    token-volume anti-join
     shuffle, and the collect_list-of-structs reassembly group are all
     gone; what remains is one explode, one window shuffle, and two
     doc-keyed small shuffles. No all-pairs anything.

@@ -55,9 +55,20 @@ def get_session(app_name: str = "wsprnet_scraper_spark") -> SparkSession:
         # nowhere near filling (r7 money-oracle re-gate at the 100×
         # corpus; the same job completes in 30 s with retries raised).
         # 64 retries instead of the default 2 makes the wait win.
+        # APPENDED to (not clobbering) any user/env-supplied options
+        # via SPARK_GRAFT_DRIVER_JAVA_OPTS (ADVICE r7). JDK note: the
+        # flag is HotSpot-diagnostic; -XX:+UnlockDiagnosticVMOptions
+        # precedes it, and any JDK 11+ HotSpot (the only JVMs Spark 4
+        # supports) accepts the pair. A non-HotSpot JVM would need
+        # SPARK_GRAFT_DRIVER_JAVA_OPTS="" plus its own tuning — the
+        # env var is the documented escape hatch.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                + " -XX:+UnlockDiagnosticVMOptions"
+                " -XX:GCLockerRetryAllocationCount=64"
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
         # Broadcast anything under 32 MiB: every dimension table in the
