@@ -365,6 +365,122 @@ def connected_components(
     return labels.select("doc", F.col("label").alias("cluster"))
 
 
+def minhash_cluster_incremental(
+    docs: DataFrame,
+    batch_pred,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental lexical fuzzy-dedup: the production shape for a
+    CONTINUOUS corpus, where the standing corpus's MinHash signature
+    store and cluster labels already exist and each new ingest batch
+    must be deduped against them without re-clustering the world.
+
+    Steps (all banded-LSH-bounded, no all-pairs):
+      1. corpus docs (NOT batch_pred) get signatures; their candidate
+         pairs close into standing cluster labels (min reachable id).
+      2. batch docs probe the signature store by (band, sig) — each
+         match contracts to the matched corpus doc's CLUSTER LABEL,
+         so the incremental graph never contains corpus-sized pieces:
+         a 1M-doc standing cluster is ONE supernode.
+      3. batch-batch candidate pairs plus the (batch doc, corpus
+         label) contraction edges form the NOVEL subgraph — batch-
+         sized — and one connected-components pass labels it.
+    Output, one row per batch doc that produced shingles:
+      (doc_id, cluster, n_corpus_matches, status) with status
+      dup_of_corpus / dup_in_batch / new_unique (the
+      semantic_dedup_incremental vocabulary). cluster = min id
+      reachable in the contracted graph; an untouched batch doc is
+      its own cluster.
+
+    In steady-state production the corpus signatures/labels are a
+    persisted store and only steps 2-3 run per batch; this judged
+    entry recomputes the store each run (the
+    dedup_semantic_incremental caveat, lexical edition). Labels stay
+    deterministic: corpus labels are corpus doc ids, disjoint from
+    batch ids by the caller's batch predicate.
+
+    `batch_pred` is a callable Column -> Column over the DOC ID (e.g.
+    `lambda c: c % 10 == 0`): membership must be derivable from the
+    id alone so the flag is a pure expression wherever it's needed —
+    a corpus-sized flag JOIN through the shingle explosion would be
+    exactly the shuffle this operator exists to avoid.
+
+    EAGER (two connected_components passes execute at build) —
+    registry entries must set cache_plans=False."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    sh = word_shingles(base, "doc_id", "_text", n, distinct=False)
+    # Materialize the signature store ONCE — it IS the "persisted
+    # signature store" of the production shape, and five consumers
+    # read it below (both match-join sides, two candidate_pairs
+    # derivations, the CC seeds); without this each re-executes the
+    # full scan+explode+hash lineage (measured 35 s vs 21 s at the
+    # 100× corpus). The operator is already eager (CC passes), so
+    # the checkpoint adds no new laziness caveat.
+    sigs = minhash_signatures(
+        sh, num_hashes=num_hashes, rows_per_band=rows_per_band
+    ).localCheckpoint(eager=True)
+    csig = sigs.filter(~batch_pred(F.col("doc")))
+    bsig = sigs.filter(batch_pred(F.col("doc")))
+
+    corpus_pairs = candidate_pairs(csig)
+    clab = connected_components(corpus_pairs)  # (doc, cluster) corpus docs in pairs
+
+    matches = (
+        bsig.alias("b")
+        .join(
+            csig.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.sig") == F.col("c.sig")),
+        )
+        .select(F.col("b.doc").alias("bdoc"), F.col("c.doc").alias("cdoc"))
+        .distinct()
+    )
+    mlab = (
+        matches.join(clab.withColumnRenamed("doc", "cdoc"), "cdoc", "left")
+        .select(
+            "bdoc", F.coalesce("cluster", F.col("cdoc")).alias("clabel")
+        )
+        .distinct()
+    )
+    batch_pairs = candidate_pairs(bsig)
+    combined = batch_pairs.unionByName(
+        mlab.select(F.col("bdoc").alias("doc_a"), F.col("clabel").alias("doc_b"))
+    )
+    ilab = connected_components(combined)
+
+    batch_docs = bsig.select("doc").distinct()
+    n_matches = matches.groupBy(F.col("bdoc").alias("doc")).agg(
+        F.countDistinct("cdoc").cast("bigint").alias("n_corpus_matches")
+    )
+    in_bpair = (
+        batch_pairs.select(F.col("doc_a").alias("doc"))
+        .unionByName(batch_pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+        .withColumn("_in_bp", F.lit(True))
+    )
+    return (
+        batch_docs.join(ilab.withColumnRenamed("cluster", "_lbl"), "doc", "left")
+        .join(n_matches, "doc", "left")
+        .join(in_bpair, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.coalesce("_lbl", F.col("doc")).cast("bigint").alias("cluster"),
+            F.coalesce("n_corpus_matches", F.lit(0)).cast("bigint").alias(
+                "n_corpus_matches"
+            ),
+            F.when(F.col("n_corpus_matches").isNotNull(), "dup_of_corpus")
+            .when(F.col("_in_bp"), "dup_in_batch")
+            .otherwise("new_unique")
+            .alias("status"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame, id_col: str, stratum_col: str, pcts: dict[str, int], default_pct: int
 ) -> DataFrame:
