@@ -103,6 +103,28 @@ HEADLINE = [
     "dedup_minhash_cluster",   # MinHash bands -> CC duplicate groups (r7)
 ]
 
+# Headline membership rule (r8, VERDICT r7 #3): the headline contains
+# EVERY probe-tracked entry (tools/probe_100x.py QUERIES_100X +
+# GRAPH_QUERIES_100X) — if an entry's 100x scaling is published, its
+# sf0.1 latency is too — plus the representative family entries listed
+# above that are bench-only (TPC-H sweep, joins, windows, multimodal).
+# The rule is enforced mechanically by tests/test_bench_probe_membership.py.
+HEADLINE += [
+    "agg_ab_ttest", "agg_autocorr_lag1", "agg_benford_digits",
+    "agg_equiwidth_hist", "agg_gap_histogram", "agg_gini_concentration",
+    "agg_hll_merge_rollup", "agg_ks_statistic", "agg_mannwhitney_u",
+    "agg_runs_test", "agg_time_interp", "agg_top_decile_share",
+    "dedup_cluster", "dedup_minhash_cluster_incremental",
+    "diag_k_anonymity", "diag_langid_confusion", "diag_source_gini",
+    "diag_vocab_drift", "evt_churn_weekly", "evt_cohort_ltv",
+    "evt_dau_wau", "evt_lift_pairs", "evt_transition_2nd",
+    "graph_degree_dist", "graph_kcore", "graph_triangles",
+    "pipe_balanced_shards", "pipe_bpe_apply_step", "pipe_curriculum",
+    "pipe_dataset_diff", "pipe_semdedup_e2e", "sim_mrl_prefix_rerank",
+    "sub_division_all_types", "text_collocation_lift", "text_hapax_ratio",
+    "text_novelty_ratio", "win_drawdown", "win_streak_days",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,6 +32,7 @@ QUERIES_100X = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_minhash_cluster",
+    "dedup_minhash_cluster_incremental",
     "dedup_normalized",
     "dedup_semantic",
     "dedup_semantic_scaled",
