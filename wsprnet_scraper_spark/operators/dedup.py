@@ -215,6 +215,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingled: DataFrame, max_df: int | None = None
+) -> DataFrame:
+    """Asymmetric CONTAINMENT over shingle sets: for every doc pair
+    sharing at least one shingle, |A∩B|/|A| and |A∩B|/|B| — the
+    quote/substring-inclusion signal Jaccard dilutes when sizes
+    differ (a 50-shingle doc fully quoted inside a 5000-shingle doc
+    has Jaccard ≈ 0.01 but containment 1.0; Broder's original
+    resemblance/containment pair). Same shared-shingle join pruning
+    and `max_df` hot-shingle cap as ngram_jaccard_pairs; one row per
+    unordered pair carries both directions plus the max.
+    """
+    shingled = frequency_cap(shingled, max_df)
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cab = F.col("n_common").cast("double") / F.col("sz_a")
+    cba = F.col("n_common").cast("double") / F.col("sz_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            cab.alias("containment_a_in_b"),
+            cba.alias("containment_b_in_a"),
+            F.greatest(cab, cba).alias("containment_max"),
+        )
+    )
+
+
 def duplicated_spans(shingled: DataFrame, min_docs: int = 2) -> DataFrame:
     """Cross-document duplicated token spans: (span_md5, n_docs,
     first_doc) for every shingle present in at least `min_docs`

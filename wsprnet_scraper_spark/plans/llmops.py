@@ -105,6 +105,42 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       n_common::DOUBLE / sa.sz AS containment_a_in_b,
+       n_common::DOUBLE / sb.sz AS containment_b_in_a,
+       greatest(n_common::DOUBLE / sa.sz, n_common::DOUBLE / sb.sz)
+         AS containment_max
+FROM inter
+JOIN sizes sa ON sa.doc = doc_a
+JOIN sizes sb ON sb.doc = doc_b
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-set CONTAINMENT (Broder's resemblance/
+    containment pair): |A∩B|/|A| and |A∩B|/|B| per shared-shingle
+    doc pair — the quote/substring-inclusion signal Jaccard dilutes
+    when sizes differ (a short doc fully quoted inside a long one
+    has near-zero Jaccard but containment 1.0). Same %10 slice and
+    shared-shingle join pruning as dedup_ngram_jaccard (the
+    quadratic-guard family); hot-shingle caps available through the
+    operator's max_df dial (unbound here, capped twin =
+    dedup_jaccard_capped's pattern). Scores are single divisions of
+    exact BIGINTs — bit-identical across engines."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    return dedup.containment_pairs(sh)
+
+
+@register(
     "dedup_minhash",
     f"""
 WITH {_SHINGLES_FULL_SQL},
@@ -297,6 +333,195 @@ def dedup_minhash_cluster_incremental(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     return dedup.minhash_cluster_incremental(
         d, lambda c: c % 10 == 0, "doc_id", "text", n=3
+    )
+
+
+_MINHASH_STRM_ORACLE = f"""
+WITH {_SHINGLES_FULL_SQL.strip().lstrip()},
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt) AS sig
+  FROM hashed GROUP BY doc, band
+),
+csig AS (SELECT doc, band, sig FROM sigs WHERE doc % 10 <> 0),
+bsig AS (SELECT doc, band, sig FROM sigs WHERE doc % 10 = 0),
+matches AS (
+  SELECT b.doc AS bdoc, c.doc AS cdoc
+  FROM bsig b JOIN csig c ON b.band = c.band AND b.sig = c.sig
+),
+corp AS (
+  SELECT bdoc, CAST(min(cdoc) AS BIGINT) AS dup_of_corpus_id,
+         CAST(count(DISTINCT cdoc) AS BIGINT) AS n_corpus_matches
+  FROM matches GROUP BY bdoc
+),
+bp AS (
+  SELECT a.doc AS bdoc, CAST(min(b.doc) AS BIGINT) AS dup_in_batch_id
+  FROM bsig a JOIN bsig b ON a.band = b.band AND a.sig = b.sig AND b.doc < a.doc
+  GROUP BY a.doc
+)
+SELECT d.doc AS doc_id, c.dup_of_corpus_id,
+       COALESCE(c.n_corpus_matches, 0) AS n_corpus_matches,
+       bp.dup_in_batch_id,
+       CASE WHEN c.bdoc IS NOT NULL THEN 'dup_of_corpus'
+            WHEN bp.bdoc IS NOT NULL THEN 'dup_in_batch'
+            ELSE 'new_unique' END AS status
+FROM (SELECT DISTINCT doc FROM bsig) d
+LEFT JOIN corp c ON c.bdoc = d.doc
+LEFT JOIN bp ON bp.bdoc = d.doc
+"""
+
+
+@register("strm_minhash_dedup", _MINHASH_STRM_ORACLE)
+def strm_minhash_dedup(spark, sf_dir):
+    """Lexical MinHash dedup as a REAL stream — the lexical twin of
+    strm_semantic_dedup (one code path for batch and stream, LSH
+    edition): the ingest batch (doc_id % 10 = 0) lands as two
+    id-ordered NDJSON files, a Structured Streaming file source
+    drains them one micro-batch each (maxFilesPerTrigger=1,
+    availableNow), and every micro-batch computes its MinHash band
+    signatures and probes the GROWING signature sink — the standing
+    corpus's signatures plus every previously processed batch doc's —
+    then appends its own. Because micro-batch order follows doc_id
+    order, "processed earlier" coincides with "lower doc_id", so the
+    stream's per-doc statuses (dup_of_corpus / dup_in_batch /
+    new_unique, with min-id attribution and the corpus match count)
+    equal the batch formulation and the oracle replays them
+    relationally. Unlike dedup_minhash_cluster_incremental this twin
+    emits STATUSES, not cluster labels: a later micro-batch can
+    bridge two earlier clusters, and a stream cannot retroactively
+    merge labels it already emitted — statuses are local properties
+    and stream-safe; clustering is the batch entry's job.
+
+    In-stream state: the parquet sink carries (doc, band, sig,
+    is_corpus) — signature rows only, never text, which is the 100 TB
+    state shape (the store grows with docs × bands, not tokens).
+
+    The landing-file generation collects the batch fixture to control
+    micro-batch file order — test scaffolding only: in production the
+    batch arrives from the fetcher as files, and the dedup itself
+    collects nothing."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="wspr_mhstrm_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing, sink, results, ckpt = (
+        f"{work}/landing", f"{work}/sink", f"{work}/results", f"{work}/ckpt"
+    )
+    os.makedirs(landing)
+
+    d = load(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 0
+    corpus, batch = d.filter(~is_batch), d.filter(is_batch)
+
+    rows = sorted(
+        (int(r["doc_id"]), r["text"])
+        for r in batch.select("doc_id", "text").collect()
+    )
+    halves = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    for i, part in enumerate(halves):
+        path = f"{landing}/batch-{i:03d}.json"
+        with open(path, "w") as fh:
+            for did, text in part:
+                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    corp_sh = dedup.word_shingles(corpus, "doc_id", "text", 3, distinct=False)
+    dedup.minhash_signatures(corp_sh).withColumn(
+        "is_corpus", F.lit(True)
+    ).write.mode("overwrite").parquet(sink)
+
+    def dedup_batch(bdf, bid):
+        sh = dedup.word_shingles(bdf, "doc_id", "text", 3, distinct=False)
+        cur = dedup.minhash_signatures(sh).cache()
+        try:
+            standing = spark.read.parquet(sink)
+            near = (
+                cur.alias("a")
+                .join(
+                    standing.alias("s"),
+                    (F.col("a.band") == F.col("s.band"))
+                    & (F.col("a.sig") == F.col("s.sig")),
+                )
+                .groupBy(F.col("a.doc").alias("bdoc"))
+                .agg(
+                    F.min(
+                        F.when(F.col("s.is_corpus"), F.col("s.doc"))
+                    ).alias("corp_min"),
+                    F.countDistinct(
+                        F.when(F.col("s.is_corpus"), F.col("s.doc"))
+                    ).cast("long").alias("corp_n"),
+                    F.min(
+                        F.when(~F.col("s.is_corpus"), F.col("s.doc"))
+                    ).alias("prior_min"),
+                )
+            )
+            inb = (
+                cur.alias("a")
+                .join(
+                    cur.alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig"))
+                    & (F.col("b.doc") < F.col("a.doc")),
+                )
+                .groupBy(F.col("a.doc").alias("bdoc"))
+                .agg(F.min(F.col("b.doc")).alias("inb_min"))
+            )
+            docs = cur.select(F.col("doc").alias("doc_id")).distinct()
+            out = (
+                docs.join(near, docs["doc_id"] == near["bdoc"], "left")
+                .drop("bdoc")
+                .join(inb, docs["doc_id"] == inb["bdoc"], "left")
+                .drop("bdoc")
+                .select(
+                    "doc_id",
+                    F.col("corp_min").cast("bigint").alias("dup_of_corpus_id"),
+                    F.coalesce("corp_n", F.lit(0))
+                    .cast("bigint")
+                    .alias("n_corpus_matches"),
+                    F.least(
+                        F.coalesce(F.col("prior_min"), F.col("inb_min")),
+                        F.coalesce(F.col("inb_min"), F.col("prior_min")),
+                    ).cast("bigint").alias("dup_in_batch_id"),
+                    F.when(F.col("corp_min").isNotNull(), "dup_of_corpus")
+                    .when(
+                        F.col("prior_min").isNotNull()
+                        | F.col("inb_min").isNotNull(),
+                        "dup_in_batch",
+                    )
+                    .otherwise("new_unique")
+                    .alias("status"),
+                )
+            )
+            out.write.mode("append").parquet(results)
+            cur.withColumn("is_corpus", F.lit(False)).write.mode(
+                "append"
+            ).parquet(sink)
+        finally:
+            cur.unpersist()
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results).select(
+        "doc_id", "dup_of_corpus_id", "n_corpus_matches",
+        "dup_in_batch_id", "status",
     )
 
 
@@ -593,6 +818,99 @@ def sim_topk_bruteforce(spark, sf_dir):
     the ANN correctness baseline."""
     emb = load(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
+_SQ8_SQL = """
+sqbase AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sqdims AS (
+  SELECT vec_id, i, v[i] AS x
+  FROM sqbase, unnest(generate_series(1, len(v))) AS t(i)
+),
+sqstats AS (SELECT i, min(x) AS mn, max(x) AS mx FROM sqdims GROUP BY i),
+sq AS (
+  SELECT vec_id, i,
+    CASE WHEN mx = mn THEN 0
+         ELSE least(255, greatest(0,
+           CAST(floor(((x - mn) * 255.0) / (mx - mn)) AS BIGINT)))
+    END AS qv
+  FROM sqdims JOIN sqstats USING (i)
+),
+sqscored AS (
+  SELECT a.vec_id AS qid, b.vec_id,
+    CAST(sum((a.qv - 128) * (b.qv - 128)) AS BIGINT) AS score
+  FROM sq a JOIN sq b ON a.i = b.i
+  WHERE a.vec_id < 5
+  GROUP BY 1, 2
+),
+sqranked AS (
+  SELECT qid, vec_id, score,
+    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+  FROM sqscored
+)
+"""
+
+
+@register(
+    "sim_sq8_topk",
+    f"""
+WITH {_SQ8_SQL.strip().lstrip()}
+SELECT qid, vec_id, score FROM sqranked WHERE rn <= 10
+""",
+)
+def sim_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN serving: per-dimension [min, max]
+    corpus ranges quantize every component to 0..255 and top-10 is
+    served by exact INTEGER dot product over CENTERED codes (q-128)
+    — FAISS's SQ8, the memory-bandwidth tier between raw floats and
+    PQ codes (8× smaller vectors, no codebook training). Centering
+    is measured, not cosmetic: raw positive codes ranked by L1
+    magnitude, recall@10 0.0–0.2; centered codes restore sign
+    structure, 0.7–0.8 (see diag_sq8_recall). Deterministic
+    everywhere: range stats are exact corpus doubles, the quantizer
+    is the same IEEE op sequence in both engines, scores are exact
+    integers."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.sq8_topk(emb, [0, 1, 2, 3, 4], k=10)
+
+
+@register(
+    "diag_sq8_recall",
+    f"""
+WITH {_SQ8_SQL.strip().lstrip()},
+{_COS_SQL},
+exact AS (
+  SELECT qid, vec_id,
+    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT s.qid, CAST(count(e.vec_id) AS BIGINT) AS n_hit,
+       CAST(count(e.vec_id) AS DOUBLE) / 10.0 AS recall_at_10
+FROM sqranked s
+LEFT JOIN exact e ON e.qid = s.qid AND e.vec_id = s.vec_id AND e.rn <= 10
+WHERE s.rn <= 10
+GROUP BY s.qid
+""",
+)
+def diag_sq8_recall(spark, sf_dir):
+    """Recall@10 of SQ8 integer-quantized serving against the exact
+    cosine top-10 — the quantization-loss diagnostic every ANN
+    deployment publishes next to its index config (diag_ann_recall's
+    sibling, scalar-quantization edition). Per query: hit count and
+    recall, both from the two deterministic rankings."""
+    emb = load(spark, sf_dir, "embeddings")
+    sq = similarity.sq8_topk(emb, [0, 1, 2, 3, 4], k=10)
+    exact = similarity.cosine_topk(emb, [0, 1, 2, 3, 4], k=10).select(
+        "qid", F.col("vec_id").alias("evec")
+    )
+    hits = sq.join(
+        exact,
+        (sq["qid"] == exact["qid"]) & (sq["vec_id"] == exact["evec"]),
+        "left",
+    ).select(sq["qid"].alias("q"), "evec")
+    return hits.groupBy(F.col("q").alias("qid")).agg(
+        F.count("evec").cast("bigint").alias("n_hit"),
+        (F.count("evec").cast("double") / 10.0).alias("recall_at_10"),
+    )
 
 
 # The LSH plane rule, stated ONCE in SQL and mirrored in Python — the
