@@ -30,6 +30,7 @@ def pagerank_quantized(
     persist_edges: bool = True,
     strategy: str = "broadcast",
     checkpoint_every: int = 3,
+    sources: list[int] | None = None,
 ) -> DataFrame:
     """Damped PageRank, `iterations` unrolled rounds, integer math.
 
@@ -40,6 +41,13 @@ def pagerank_quantized(
     in micro-units. The integer arithmetic makes the result
     bit-identical under EITHER strategy — the dial changes only the
     physical plan.
+
+    `sources` switches to PERSONALIZED PageRank: all mass starts at
+    the source set (SCALE div |S| each) and the teleport term returns
+    there (BASE_Q div |S| per source, zero elsewhere) — random walk
+    with restart, the recommendation/graph-similarity primitive.
+    Same plan shape per round; only the two literal expressions
+    change, so both strategies stay bit-identical.
 
     strategy="broadcast" (single-node / nodes ≪ broadcast threshold):
     out-degrees are attached to the edge relation ONCE and the result
@@ -106,10 +114,27 @@ def pagerank_quantized(
             # (see docstring); also finalizes deg, so the rank init
             # below propagates hash(src)->nid through its projection
             ed.count()
-    ranks = deg.select(
-        F.col("src").alias("nid"),
-        F.lit(SCALE).cast("bigint").alias("r"),
-    )
+    if sources is None:
+        init_r = F.lit(SCALE).cast("bigint")
+
+        def teleport(col):
+            return F.lit(BASE_Q).cast("bigint")
+
+    else:
+        # Personalized PageRank: all mass starts at (and teleports
+        # back to) the source set, split integer-exactly. Python-side
+        # div so the oracle can inline the same literals.
+        src_set = sorted(set(int(s) for s in sources))
+        share = SCALE // len(src_set)
+        tshare = BASE_Q // len(src_set)
+        init_r = (
+            F.when(F.col("src").isin(src_set), share).otherwise(0).cast("bigint")
+        )
+
+        def teleport(col):
+            return F.when(col.isin(src_set), tshare).otherwise(0).cast("bigint")
+
+    ranks = deg.select(F.col("src").alias("nid"), init_r.alias("r"))
     for i in range(iterations):
         rank_side = (
             F.broadcast(ranks) if strategy == "broadcast" else ranks.hint("shuffle_hash")
@@ -122,7 +147,7 @@ def pagerank_quantized(
             .select(
                 F.col("dst").alias("nid"),
                 (
-                    F.lit(BASE_Q)
+                    teleport(F.col("dst"))
                     + F.expr(f"({DAMP_Q} * s) div {SCALE}")
                 ).cast("bigint").alias("r"),
             )
