@@ -1849,6 +1849,123 @@ def diag_k_anonymity(spark, sf_dir):
 
 
 @register(
+    "diag_l_diversity",
+    """
+WITH q AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         CAST(floor(CAST(CAST(floor(value * 100) AS BIGINT) AS DOUBLE)
+                    / 10000.0) AS BIGINT) AS vband,
+         event_type
+  FROM events
+)
+SELECT day, vband,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS l
+FROM q
+GROUP BY day, vband
+HAVING count(DISTINCT event_type) < 3
+""",
+)
+def diag_l_diversity(spark, sf_dir):
+    """l-diversity audit — diag_k_anonymity's complement on the
+    OTHER privacy axis: a quasi-identifier class can hold many users
+    (k-anonymous) and still leak if its SENSITIVE attribute barely
+    varies — an attacker knowing (day, value band) learns the event
+    type whenever l = count(DISTINCT event_type) is small. Classes
+    with l < 3 are reported with their row counts. Same exact integer
+    binning as the k-anonymity entry (floor on doubles, never //);
+    same scale shape: one grouped aggregate, two-phase distinct
+    expand, output bounded by the combo space."""
+    ev = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    q = ev.select(
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("bigint")
+        .alias("day"),
+        F.floor(cents.cast("double") / F.lit(10000.0))
+        .cast("bigint")
+        .alias("vband"),
+        "event_type",
+    )
+    return (
+        q.groupBy("day", "vband")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct(F.col("event_type")).cast("bigint").alias("l"),
+        )
+        .where(F.col("l") < 3)
+    )
+
+
+@register(
+    "agg_weighted_median",
+    """
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(l_quantity AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, price, wt,
+    SUM(wt) OVER (PARTITION BY flag ORDER BY price, l_orderkey, l_linenumber
+                  ROWS UNBOUNDED PRECEDING) AS cw,
+    SUM(wt) OVER (PARTITION BY flag) AS tot
+  FROM w
+)
+SELECT flag AS l_returnflag,
+       min(price) AS weighted_median,
+       CAST(min(tot) AS BIGINT) AS total_weight
+FROM cum
+WHERE 2 * cw >= tot
+GROUP BY flag
+""",
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    'median unit actually sold' statistic (an unweighted median
+    overweights small orders). Definition: the smallest price whose
+    cumulative quantity weight reaches half the total (2·cum ≥ tot in
+    integers — no division, no doubles in the threshold). The window
+    cumsum orders by (price, orderkey, linenumber); ties in price
+    land on the same MIN(price) regardless of intra-tie order, so the
+    unique tiebreak only pins determinism of the scan, not the
+    answer. Scale: one partitioned window over the fact table plus a
+    grouped min — no joins; the per-flag partition is the windows
+    family's standard shape (few flags → few fat partitions; the
+    blocked-halo pattern in operators/frames.py is the documented
+    dial if a deployment needs intra-key parallelism)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = (
+        W.partitionBy("flag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_win = W.partitionBy("flag")
+    cum = w.select(
+        "flag",
+        "price",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(tot_win).alias("tot"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("tot").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@register(
     "agg_time_interp",
     """
 WITH agg AS (
