@@ -123,6 +123,11 @@ HEADLINE += [
     "pipe_dataset_diff", "pipe_semdedup_e2e", "sim_mrl_prefix_rerank",
     "sub_division_all_types", "text_collocation_lift", "text_hapax_ratio",
     "text_novelty_ratio", "win_drawdown", "win_streak_days",
+    # r8 new entries (probe-tracked per the rule, plus the stream twin;
+    # dedup_minhash_cluster_incremental is already listed above)
+    "dedup_containment", "sim_sq8_topk", "diag_sq8_recall",
+    "agg_weighted_median", "diag_l_diversity", "graph_ppr",
+    "strm_minhash_dedup",
 ]
 
 

@@ -90,6 +90,12 @@ QUERIES_100X = [
     "pipe_dataset_diff",
     "text_hapax_ratio",
     "evt_transition_2nd",
+    # r8 additions
+    "dedup_containment",
+    "sim_sq8_topk",
+    "diag_sq8_recall",
+    "agg_weighted_median",
+    "diag_l_diversity",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each
@@ -108,6 +114,7 @@ GRAPH_QUERIES_100X = [
     "graph_label_propagation",
     "graph_degree_dist",
     "graph_triangles",
+    "graph_ppr",
 ]
 GRAPH_ID_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
