@@ -90,11 +90,11 @@ QUERIES_100X = [
     "pipe_dataset_diff",
     "text_hapax_ratio",
     "evt_transition_2nd",
-    # r8 additions
+    # r8 additions (agg_weighted_median is bench-only: it reads
+    # lineitem, which this corpus deliberately does not grow)
     "dedup_containment",
     "sim_sq8_topk",
     "diag_sq8_recall",
-    "agg_weighted_median",
     "diag_l_diversity",
 ]
 
@@ -239,6 +239,17 @@ def main() -> None:
         # amortized exactly like a first-run one.
         prebuild_edges(args.base)
         prebuild_edges(str(gout))
+
+    # Session warm-up (r8): the first timed entries of a fresh session
+    # otherwise absorb one-time driver costs — first-allocation GC heap
+    # growth, JIT of the shuffle/agg paths at BOTH corpus shapes — on
+    # top of their own work (measured: dedup_minhash_cluster's sf0.1
+    # base recorded 18.8 s as session-entry #3 vs 3.3 s under the same
+    # warm+min-of-2 protocol in a warmed session). One representative
+    # scan+shuffle query runs untimed at each scale before any
+    # recorded run; per-query plan-shape warm-ups below are unchanged.
+    run("dedup_exact", args.base)
+    run("dedup_exact", str(out))
 
     probes = [(n, str(out), n) for n in QUERIES_100X] + [
         (n, str(gout), f"{n}@grownodes") for n in GRAPH_QUERIES_100X
