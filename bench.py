@@ -127,7 +127,7 @@ HEADLINE += [
     # dedup_minhash_cluster_incremental is already listed above)
     "dedup_containment", "sim_sq8_topk", "diag_sq8_recall",
     "agg_weighted_median", "diag_l_diversity", "graph_ppr",
-    "strm_minhash_dedup",
+    "graph_ppr_bucketed", "strm_minhash_dedup",
 ]
 
 

@@ -115,6 +115,7 @@ GRAPH_QUERIES_100X = [
     "graph_degree_dist",
     "graph_triangles",
     "graph_ppr",
+    "graph_ppr_bucketed",
 ]
 GRAPH_ID_COLS = {
     "orders": ["o_orderkey", "o_custkey"],

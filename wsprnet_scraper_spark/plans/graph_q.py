@@ -222,6 +222,31 @@ def graph_ppr(spark, sf_dir):
     ).filter(F.col("rank_q") > 0).select("nid", F.col("rank_q").alias("ppr_q"))
 
 
+@register(
+    "graph_ppr_bucketed",
+    _ppr_oracle(_ITERATIONS, _PPR_SOURCES),
+    cache_plans=False,
+)
+def graph_ppr_bucketed(spark, sf_dir):
+    """graph_ppr under the strategy that survives a billion-node
+    graph (graph_pagerank_bucketed's relationship to graph_pagerank,
+    for the personalized walk): SHUFFLE_HASH-pinned rank joins
+    against the once-shuffled, eagerly-persisted edge relation — no
+    node-sized broadcast anywhere, which matters MORE for PPR than
+    for global PageRank because personalized serving typically runs
+    many source sets against the same standing graph. Integer
+    quantization keeps it bit-identical to the broadcast plan, so it
+    shares graph_ppr's oracle; the gate proves the scale plan
+    computes the same walk. cache_plans=False (eager edge-cache
+    finalization, the pagerank_bucketed rationale)."""
+    return pagerank_quantized(
+        _edges(spark, sf_dir),
+        _ITERATIONS,
+        strategy="bucketed",
+        sources=_PPR_SOURCES,
+    ).filter(F.col("rank_q") > 0).select("nid", F.col("rank_q").alias("ppr_q"))
+
+
 # cache_plans=False: the bucketed builder materializes its shuffled
 # edge cache eagerly (operators/graph.py, r7 — the materialization is
 # what lets every superstep reuse the hash(src) distribution), so a
