@@ -148,12 +148,18 @@ def candidate_pairs(
     array is ever materialized per row (per-batch memory is
     rows×bucket_size, and a giant bucket degrades to spill, not OOM);
     the d² PAIR count itself is what `max_bucket` bounds, same as
-    before. sort_array makes doc_a < doc_b positional.
+    before. sort_array makes doc_a < doc_b positional; array_distinct
+    (order-preserving on a sorted array) keeps the strict a < b
+    contract even if the input carries duplicate (band, sig, doc)
+    rows — the old self-join's `a.doc < b.doc` was robust to that and
+    this form must be too (ADVICE r8).
     """
     signatures = frequency_cap(signatures, max_bucket, ["band", "sig"])
     buckets = (
         signatures.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc")).alias("_ds"))
+        .agg(
+            F.array_distinct(F.sort_array(F.collect_list("doc"))).alias("_ds")
+        )
         .filter(F.size("_ds") >= 2)
     )
     lhs = buckets.select(
@@ -403,8 +409,11 @@ def connected_components(
                 break
             prev_sum = cur_sum
     finally:
+        # Inside finally (ADVICE r8): an exception mid-loop must not
+        # leak the edge-sized persisted cache until LRU eviction —
+        # minhash_cluster_incremental runs two CC passes per build.
         spark.conf.set("spark.sql.shuffle.partitions", saved)
-    sym.unpersist()
+        sym.unpersist()
     return labels.select("doc", F.col("label").alias("cluster"))
 
 

@@ -47,7 +47,16 @@ def pagerank_quantized(
     there (BASE_Q div |S| per source, zero elsewhere) — random walk
     with restart, the recommendation/graph-similarity primitive.
     Same plan shape per round; only the two literal expressions
-    change, so both strategies stay bit-identical.
+    change, so both strategies stay bit-identical. The rank relation
+    after round one is the groupBy(dst) output, so a source with NO
+    in-edges would drop out and its restart mass would be silently
+    lost (ADVICE r8); the personalized path therefore unions a
+    zero-contribution row per source into every round's aggregate —
+    k-bounded (|S| rows, lineage-truncated once), it guarantees each
+    source survives every round with at least its teleport share,
+    matching standard RWR semantics on arbitrary in-degree graphs.
+    (Sources must still have OUT-edges — the module-wide no-sink
+    precondition above.)
 
     strategy="broadcast" (single-node / nodes ≪ broadcast threshold):
     out-degrees are attached to the edge relation ONCE and the result
@@ -134,14 +143,32 @@ def pagerank_quantized(
         def teleport(col):
             return F.when(col.isin(src_set), tshare).otherwise(0).cast("bigint")
 
+        # Zero-contribution seed rows for the sources (see docstring):
+        # derived from deg so the node-id type matches the edge
+        # relation exactly; lazily localCheckpoint'ed so the tiny
+        # relation computes once, not once per unrolled round.
+        src_zero = (
+            deg.filter(F.col("src").isin(src_set))
+            .select(
+                F.col("src").alias("dst"),
+                F.lit(0).cast("bigint").alias("contrib"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
     ranks = deg.select(F.col("src").alias("nid"), init_r.alias("r"))
     for i in range(iterations):
         rank_side = (
             F.broadcast(ranks) if strategy == "broadcast" else ranks.hint("shuffle_hash")
         )
-        ranks = (
+        contribs = (
             ed.join(rank_side, ed.src == ranks.nid)
             .select("dst", F.expr("r div deg").alias("contrib"))
+        )
+        if sources is not None:
+            contribs = contribs.unionByName(src_zero)
+        ranks = (
+            contribs
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
             .select(

@@ -105,7 +105,17 @@ def sq8_topk(
     IVF/LSH bucket structure would slot in front — this operator is
     the exact-integer scoring layer, not the pruner."""
     base = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    dim = len(base.select("v").first()["v"])
+    # dim discovery must survive an empty relation / null embeddings
+    # (ADVICE r8): first() on empty returns None and `len(None["v"])`
+    # raised TypeError. Degrade to an empty typed result instead.
+    probe = base.filter(F.col("v").isNotNull()).select("v").first()
+    if probe is None or probe["v"] is None:
+        return base.limit(0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("vec_id"),
+            F.lit(0).cast("long").alias("score"),
+        )
+    dim = len(probe["v"])
     stats = base.agg(
         *[F.min(F.element_at("v", i + 1)).alias(f"mn{i}") for i in range(dim)],
         *[F.max(F.element_at("v", i + 1)).alias(f"mx{i}") for i in range(dim)],

@@ -190,13 +190,25 @@ def _ppr_oracle(iterations: int, sources: list[int]) -> str:
         f" ({', '.join(str(s) for s in sources)}) THEN {share} ELSE 0 END"
         f" AS BIGINT) AS r FROM deg)",
     ]
+    # The UNION ALL zero-contribution rows mirror the operator's
+    # source-survival seed (standard RWR: a source with no in-edges
+    # keeps its teleport share every round instead of dropping out of
+    # the groupBy(dst) output). On the judged symmetric graph the
+    # rows are no-ops (every source has in-edges), but oracle and
+    # engine now replay the same recurrence on arbitrary graphs.
+    src_zero = (
+        "SELECT src AS nid, CAST(0 AS BIGINT) AS c FROM deg"
+        f" WHERE src IN ({', '.join(str(s) for s in sources)})"
+    )
     for i in range(1, iterations + 1):
         steps.append(
             f"it{i} AS (SELECT nid,"
             f" CAST(CASE WHEN {in_src} THEN {tshare} ELSE 0 END"
             f" + (850000 * s) // 1000000 AS BIGINT) AS r FROM ("
-            f"SELECT ed.dst AS nid, SUM(r.r // ed.deg) AS s"
-            f" FROM ed JOIN it{i - 1} r ON ed.src = r.nid GROUP BY ed.dst))"
+            f"SELECT nid, SUM(c) AS s FROM ("
+            f"SELECT ed.dst AS nid, r.r // ed.deg AS c"
+            f" FROM ed JOIN it{i - 1} r ON ed.src = r.nid"
+            f" UNION ALL {src_zero}) GROUP BY nid))"
         )
     return (
         f"WITH {_GRAPH_SQL}, {', '.join(steps)}\n"

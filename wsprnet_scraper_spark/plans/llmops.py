@@ -440,6 +440,16 @@ def strm_minhash_dedup(spark, sf_dir):
         "is_corpus", F.lit(True)
     ).write.mode("overwrite").parquet(sink)
 
+    # Empty typed seed (ADVICE r8): with an empty batch slice no
+    # micro-batch ever appends to `results`, and the final read would
+    # die on parquet schema inference instead of returning zero rows.
+    # The seed pins the schema so the empty case degrades gracefully.
+    spark.createDataFrame(
+        [],
+        "doc_id bigint, dup_of_corpus_id bigint, n_corpus_matches bigint,"
+        " dup_in_batch_id bigint, status string",
+    ).write.mode("overwrite").parquet(results)
+
     def dedup_batch(bdf, bid):
         sh = dedup.word_shingles(bdf, "doc_id", "text", 3, distinct=False)
         cur = dedup.minhash_signatures(sh).cache()
