@@ -128,6 +128,8 @@ HEADLINE += [
     "dedup_containment", "sim_sq8_topk", "diag_sq8_recall",
     "agg_weighted_median", "diag_l_diversity", "graph_ppr",
     "graph_ppr_bucketed", "strm_minhash_dedup",
+    # r9 new entries
+    "agg_weighted_median_blocked", "pipe_dedup_survivors",
 ]
 
 
@@ -229,6 +231,48 @@ def main() -> None:
                 ),
             }
 
+    # Round-over-round regression report — GENERATED from the newest
+    # committed per-round artifact, never hand-written (VERDICT r8 #2:
+    # SCALE.md claimed "zero >=2x regressions" while its own artifact
+    # said graph_cc 1.30 -> 2.80 s). A flagged entry with
+    # overlapping_spread=true is within the box's run-to-run noise
+    # band (cur min <= prev max); overlapping_spread=false is a real
+    # median shift SCALE.md must either explain (a declared scale
+    # trade) or fix.
+    prev_files = sorted(
+        (Path(__file__).resolve().parent / "tools").glob(
+            "bench_results_r*.json"
+        ),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    regressions: list[dict] = []
+    prev_name = None
+    if prev_files:
+        try:
+            prev = json.loads(prev_files[-1].read_text())
+            prev_name = prev_files[-1].name
+            prev_q = prev.get("queries", {})
+            prev_sp = prev.get("spread_min_med_max", {})
+            for name, cur_med in timings.items():
+                pm = prev_q.get(name)
+                if not pm or pm <= 0:
+                    continue
+                ratio = cur_med / pm
+                if ratio >= 2.0:
+                    psp = prev_sp.get(name, [pm, pm, pm])
+                    regressions.append(
+                        {
+                            "query": name,
+                            "prev_median": pm,
+                            "cur_median": cur_med,
+                            "ratio": round(ratio, 2),
+                            "overlapping_spread": spread[name][0] <= psp[2],
+                        }
+                    )
+        except (OSError, ValueError, KeyError):
+            prev_name = None
+            regressions = []
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total",
@@ -240,6 +284,13 @@ def main() -> None:
         "spread_min_med_max": spread,
         "sf": sf,
         "scaling": scaling,
+        "regressions_vs_prev": {
+            "baseline_artifact": prev_name,
+            "threshold_ratio": 2.0,
+            "flagged": sorted(
+                regressions, key=lambda r: r["ratio"], reverse=True
+            ),
+        },
     }
     print(json.dumps(out))
     # The driver records only the tail of stdout (BENCH_r3's artifact

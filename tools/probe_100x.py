@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -96,6 +97,9 @@ QUERIES_100X = [
     "sim_sq8_topk",
     "diag_sq8_recall",
     "diag_l_diversity",
+    # r9 additions (agg_weighted_median_blocked is bench-only, same
+    # lineitem rationale as agg_weighted_median)
+    "pipe_dedup_survivors",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each
@@ -128,7 +132,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
-    ap.add_argument("--json-out", default="tools/probe_results_r7_100x.json")
+    ap.add_argument("--json-out", default="tools/probe_results_r9_100x.json")
     args = ap.parse_args()
 
     import tools.scaling_probe as sp
@@ -219,28 +223,6 @@ def main() -> None:
         graph_q._copurchase_pairs(spark, at).count()
         return time.perf_counter() - t0
 
-    if "graph_edge_build@grownodes" not in results:
-        base_build = prebuild_edges(args.base)
-        big_build = prebuild_edges(str(gout))
-        results["graph_edge_build@grownodes"] = {
-            "sf0.1_sec": round(base_build, 3),
-            "x100_sec": round(big_build, 3),
-            "slope100": round(big_build / base_build, 1) if base_build > 0 else None,
-            "note": "one-time shared edge materialization (full, "
-            "sliced, copurchase), amortized across every graph_* "
-            "query below",
-        }
-        print("graph_edge_build@grownodes",
-              results["graph_edge_build@grownodes"], file=sys.stderr)
-        out_path.write_text(json.dumps(results, indent=1) + "\n")
-    elif any(f"{n}@grownodes" not in results for n in GRAPH_QUERIES_100X):
-        # Resume path (ADVICE r6): the fresh process's edge cache is
-        # cold even though the build cost is already recorded — warm
-        # it WITHOUT re-recording so the first resumed graph query is
-        # amortized exactly like a first-run one.
-        prebuild_edges(args.base)
-        prebuild_edges(str(gout))
-
     # Session warm-up (r8): the first timed entries of a fresh session
     # otherwise absorb one-time driver costs — first-allocation GC heap
     # growth, JIT of the shuffle/agg paths at BOTH corpus shapes — on
@@ -252,25 +234,108 @@ def main() -> None:
     run("dedup_exact", args.base)
     run("dedup_exact", str(out))
 
-    probes = [(n, str(out), n) for n in QUERIES_100X] + [
-        (n, str(gout), f"{n}@grownodes") for n in GRAPH_QUERIES_100X
-    ]
-    for name, big_dir, key in probes:
-        if name not in QUERIES or key in results:
+    for name in QUERIES_100X:
+        if name not in QUERIES or name in results:
             continue
         run(name, args.base)  # warm the plan shape
         base_t = min(run(name, args.base), run(name, args.base))
-        big_t = run(name, big_dir)
+        big_t = run(name, str(out))
         if big_t < 120:  # min-of-2 only when a re-run is cheap
-            big_t = min(big_t, run(name, big_dir))
-        results[key] = {
+            big_t = min(big_t, run(name, str(out)))
+        results[name] = {
             "sf0.1_sec": round(base_t, 3),
             "x100_sec": round(big_t, 3),
             "slope100": round(big_t / base_t, 1) if base_t > 0 else None,
         }
-        print(key, results[key], file=sys.stderr, flush=True)
+        print(name, results[name], file=sys.stderr, flush=True)
         # write after every query so a timeout loses nothing
         out_path.write_text(json.dumps(results, indent=1) + "\n")
+
+    # ---- graph family: CONTROLLED protocol (VERDICT r8 #1) --------
+    # The r8 artifact recorded the unrolled iterative entries up to 2x
+    # above same-session controlled A/B measurements (graph_ppr 38.5 s
+    # committed vs 16.5-21.3 s controlled): by the time the sweep
+    # reached the graph family the driver heap carried ~60 entries of
+    # garbage, and the many short superstep jobs absorb the GC pauses
+    # (memory trap 24). Protocol, so the COMMITTED number is the
+    # defensible one: (a) a FRESH driver session for the family;
+    # (b) edge relations through the persistent store
+    # (SPARK_GRAFT_EDGE_STORE) — build cost recorded once, explicitly,
+    # with the per-query amortized share (VERDICT r8 #5); (c) one
+    # untimed representative warm-up per corpus; (d) TWO ALTERNATING
+    # passes over the whole family, per-key min — cross-run min is the
+    # judgment rule for this family.
+    GPROTO = (
+        "fresh-session, store-backed edges, 2 alternating passes, "
+        "per-key min (iterative entries swing ~2x with driver GC; "
+        "judge by cross-run min)"
+    )
+    gpend = [
+        n
+        for n in GRAPH_QUERIES_100X
+        if n in QUERIES and f"{n}@grownodes" not in results
+    ]
+    if gpend or "graph_edge_build@grownodes" not in results:
+        spark.stop()
+        os.environ["SPARK_GRAFT_EDGE_STORE"] = str(out) + "_edgestore"
+        spark = get_session("probe-100x-graph")
+        if "graph_edge_build@grownodes" not in results:
+            base_build = prebuild_edges(args.base)
+            big_build = prebuild_edges(str(gout))
+            n_amort = max(1, len(GRAPH_QUERIES_100X))
+            results["graph_edge_build@grownodes"] = {
+                "sf0.1_sec": round(base_build, 3),
+                "x100_sec": round(big_build, 3),
+                "slope100": round(big_build / base_build, 1)
+                if base_build > 0
+                else None,
+                "x100_amortized_share_sec": round(big_build / n_amort, 3),
+                "note": "one-time shared edge materialization (full, "
+                "sliced, copurchase) through the persistent store — "
+                "paid once per CORPUS, not per session; later "
+                "sessions reopen the standing parquet. Amortized "
+                f"share = build / {n_amort} graph queries.",
+            }
+            print(
+                "graph_edge_build@grownodes",
+                results["graph_edge_build@grownodes"],
+                file=sys.stderr,
+            )
+            out_path.write_text(json.dumps(results, indent=1) + "\n")
+        else:
+            # resume: warm the in-session handles; the store makes
+            # this a parquet re-open, not a re-derivation
+            prebuild_edges(args.base)
+            prebuild_edges(str(gout))
+        run("graph_degree_dist", args.base)  # session warm-up, untimed
+        run("graph_degree_dist", str(gout))
+        gbase: dict[str, float] = {}
+        gbig: dict[str, float] = {}
+        for _pass in range(2):
+            for name in gpend:
+                bt = run(name, args.base)
+                gbase[name] = min(gbase.get(name, bt), bt)
+                gt = run(name, str(gout))
+                gbig[name] = min(gbig.get(name, gt), gt)
+                print(
+                    f"  pass{_pass} {name}: base {bt:.1f}s big {gt:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+        for name in gpend:
+            results[f"{name}@grownodes"] = {
+                "sf0.1_sec": round(gbase[name], 3),
+                "x100_sec": round(gbig[name], 3),
+                "slope100": round(gbig[name] / gbase[name], 1)
+                if gbase[name] > 0
+                else None,
+                "protocol": GPROTO,
+            }
+            print(
+                f"{name}@grownodes", results[f"{name}@grownodes"],
+                file=sys.stderr, flush=True,
+            )
+            out_path.write_text(json.dumps(results, indent=1) + "\n")
     print(json.dumps(results))
 
 

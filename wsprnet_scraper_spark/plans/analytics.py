@@ -1897,9 +1897,7 @@ def diag_l_diversity(spark, sf_dir):
     )
 
 
-@register(
-    "agg_weighted_median",
-    """
+_WMEDIAN_ORACLE = """
 WITH w AS (
   SELECT l_returnflag AS flag, l_extendedprice AS price,
          CAST(l_quantity AS BIGINT) AS wt,
@@ -1919,8 +1917,10 @@ SELECT flag AS l_returnflag,
 FROM cum
 WHERE 2 * cw >= tot
 GROUP BY flag
-""",
-)
+"""
+
+
+@register("agg_weighted_median", _WMEDIAN_ORACLE)
 def agg_weighted_median(spark, sf_dir):
     """Exact QUANTITY-WEIGHTED median price per return flag — the
     'median unit actually sold' statistic (an unweighted median
@@ -1954,6 +1954,75 @@ def agg_weighted_median(spark, sf_dir):
         "price",
         F.sum("wt").over(win).alias("cw"),
         F.sum("wt").over(tot_win).alias("tot"),
+    )
+    return (
+        cum.where(2 * F.col("cw") >= F.col("tot"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("tot").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+@register("agg_weighted_median_blocked", _WMEDIAN_ORACLE)
+def agg_weighted_median_blocked(spark, sf_dir):
+    """agg_weighted_median under the plan that keeps intra-key
+    parallelism at 100 TB (VERDICT r8 #3: partitionBy(l_returnflag)
+    = 3 fat partitions is the exact shape that cost win_weighted_ma a
+    6x blocked-halo fix). Two structural moves, same oracle:
+
+    1. PRE-AGGREGATE weight by (flag, price) — a fully parallel,
+       map-side-combinable groupBy. The weighted-median answer only
+       needs the cumulative weight at each PRICE boundary (the judged
+       min(price) is invariant to intra-price row order — the base
+       entry's docstring already relies on this for its tiebreak);
+       crucially the reduced relation is DOMAIN-bounded, not
+       SF-bounded: l_extendedprice = quantity x retailprice draws
+       from a fixed TPC-H domain, so the window input stops growing
+       with the corpus while the fact-sized work stays in the
+       pre-agg.
+    2. BLOCK the prefix sum by price range (floor(price/1000) — price
+       blocks are contiguous in the cumsum order, so unlike the
+       trailing-frame twin no halo rows are needed at all): block-
+       local cumsums run at blocks x flags parallelism, per-block
+       totals form a tiny summary window (the audit-sanctioned
+       aggregate-reduced shape, operators/frames.py pattern), and
+       cw = block offset + local cumsum reconstructs the global
+       prefix sum exactly (integer weights — exact in any grouping).
+
+    The crossing price and total weight are then identical to the
+    single-window form, so the twin shares _WMEDIAN_ORACLE and the
+    gate proves the scale plan computes the same statistic."""
+    li = load(spark, sf_dir, "lineitem")
+    pp = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("pwt"))
+        .withColumn("_blk", F.floor(F.col("price") / F.lit(1000)).cast("bigint"))
+    )
+    wl = W.partitionBy("flag", "_blk").orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    local = pp.withColumn("_lcw", F.sum("pwt").over(wl))
+    blk_tot = pp.groupBy("flag", "_blk").agg(F.sum("pwt").alias("_bwt"))
+    ws = W.partitionBy("flag").orderBy("_blk")
+    offsets = blk_tot.select(
+        "flag",
+        "_blk",
+        F.coalesce(
+            F.sum("_bwt").over(ws.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("_off"),
+        F.sum("_bwt").over(W.partitionBy("flag")).cast("bigint").alias("tot"),
+    )
+    cum = local.join(F.broadcast(offsets), ["flag", "_blk"]).select(
+        "flag",
+        "price",
+        (F.col("_off") + F.col("_lcw")).alias("cw"),
+        "tot",
     )
     return (
         cum.where(2 * F.col("cw") >= F.col("tot"))

@@ -53,6 +53,9 @@ _EDGE_CACHE: dict = {}
 
 def clear_edge_cache() -> None:
     """Delete every scratch edge parquet and drop the handles.
+    Store-backed relations (SPARK_GRAFT_EDGE_STORE, below) keep their
+    files — persistence across sessions is their whole point — but
+    drop their in-session handles like everything else.
 
     Also clears the registry plan cache (ADVICE r6): cached graph
     plans hold DataFrames that SCAN the files deleted here, so an
@@ -64,8 +67,9 @@ def clear_edge_cache() -> None:
     from .registry import clear_plan_cache
 
     for bucket in _EDGE_CACHE.values():
-        for _df, path in bucket.values():
-            shutil.rmtree(path, ignore_errors=True)
+        for _df, path, persistent in bucket.values():
+            if not persistent:
+                shutil.rmtree(path, ignore_errors=True)
     _EDGE_CACHE.clear()
     clear_plan_cache()
 
@@ -77,8 +81,9 @@ def _cleanup_scratch_at_exit() -> None:
     import shutil
 
     for bucket in _EDGE_CACHE.values():
-        for _df, path in bucket.values():
-            shutil.rmtree(path, ignore_errors=True)
+        for _df, path, persistent in bucket.values():
+            if not persistent:
+                shutil.rmtree(path, ignore_errors=True)
     _EDGE_CACHE.clear()
 
 
@@ -87,7 +92,40 @@ import atexit as _atexit
 _atexit.register(_cleanup_scratch_at_exit)
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap stat-based fingerprint of the tables the edge
+    derivations read (orders, lineitem): relative file names, sizes,
+    mtimes — no data read. A rewritten corpus gets a new fingerprint,
+    so a persistent edge store can never serve stale edges."""
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.sha1(sf_dir.rstrip("/").encode())
+    for tbl in ("orders", "lineitem"):
+        p = Path(sf_dir) / f"{tbl}.parquet"
+        files = sorted(p.rglob("*")) if p.is_dir() else ([p] if p.exists() else [])
+        for f in files:
+            if f.is_file():
+                st = f.stat()
+                h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:16]
+
+
 def _materialized_edges(spark, sf_dir: str, kind: str, build):
+    """Write-once edge parquet (module docstring above). Two tiers:
+
+    - default: per-application scratch tempdir, deleted on clear/exit
+      (safe under concurrent applications — no shared paths).
+    - SPARK_GRAFT_EDGE_STORE=<dir> (opt-in, VERDICT r8 #5): the
+      relation persists ACROSS sessions under
+      <dir>/<kind>_<corpus-fingerprint>/ — a fresh session reuses the
+      standing parquet instead of re-paying the derivation join
+      (37.9 s at the 100x probe), exactly how a 100 TB deployment
+      treats its edge projection: build once, every graph workload
+      scans. The fingerprint (file stats of orders/lineitem) keys out
+      stale data; _SUCCESS gates out partial writes. Opt-in because a
+      shared path under concurrent applications could race — the
+      probe/bench tooling owns its store dir."""
     import tempfile
 
     app = spark.sparkContext.applicationId
@@ -102,9 +140,19 @@ def _materialized_edges(spark, sf_dir: str, kind: str, build):
     )
     ent = bucket.get(key)
     if ent is None:
-        path = tempfile.mkdtemp(prefix=f"wspr_edges_{kind}_")
-        build().write.mode("overwrite").parquet(path)
-        ent = (spark.read.parquet(path), path)
+        store = os.environ.get("SPARK_GRAFT_EDGE_STORE")
+        if store:
+            path = os.path.join(
+                store, f"{kind}_{_corpus_fingerprint(sf_dir)}"
+            )
+            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                os.makedirs(store, exist_ok=True)
+                build().write.mode("overwrite").parquet(path)
+            ent = (spark.read.parquet(path), path, True)
+        else:
+            path = tempfile.mkdtemp(prefix=f"wspr_edges_{kind}_")
+            build().write.mode("overwrite").parquet(path)
+            ent = (spark.read.parquet(path), path, False)
         bucket[key] = ent
     return ent[0]
 

@@ -242,6 +242,115 @@ def dedup_minhash_cluster(spark, sf_dir):
 
 
 @register(
+    "pipe_dedup_survivors",
+    """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM docs, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+),
+hashed AS (
+  SELECT doc, salt, salt // 2 AS band,
+         min(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS minh
+  FROM sh, (VALUES (0),(1),(2),(3),(4),(5),(6),(7)) AS salts(salt)
+  GROUP BY doc, salt
+),
+sigs AS (
+  SELECT doc, band,
+         string_agg(CAST(salt AS VARCHAR) || ':' || minh, '|' ORDER BY salt) AS sig
+  FROM hashed GROUP BY doc, band
+),
+prs AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+e2 AS (SELECT id_a AS a, id_b AS b FROM prs UNION ALL SELECT id_b, id_a FROM prs),
+reach AS (
+  SELECT a AS doc, a AS label FROM e2
+  UNION
+  SELECT e.a AS doc, r.label FROM e2 e JOIN reach r ON r.doc = e.b
+),
+lab AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc),
+full_docs AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+         CAST(len(regexp_split_to_array(d.text, '\\s+')) AS INT) AS n_tokens
+  FROM documents d LEFT JOIN lab l ON l.doc = d.doc_id
+),
+best AS (
+  SELECT cluster, MAX(n_tokens) AS survivor_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM full_docs GROUP BY cluster
+)
+SELECT f.cluster,
+       CAST(MIN(f.doc_id) AS BIGINT) AS survivor_id,
+       MIN(b.n_members) AS n_members,
+       MIN(b.survivor_tokens) AS survivor_tokens
+FROM full_docs f
+JOIN best b ON b.cluster = f.cluster AND f.n_tokens = b.survivor_tokens
+GROUP BY f.cluster
+""",
+    cache_plans=False,
+)
+def pipe_dedup_survivors(spark, sf_dir):
+    """Quality-aware dup-cluster SURVIVOR selection (VERDICT r8 #4) —
+    the production piece between clustering and the train-ready
+    corpus: every `dedup_minhash_cluster` label set keeps its BEST
+    member, not its min-id one. SlimPajama keeps the longest doc per
+    duplicate cluster; this entry scores by whitespace token count
+    (`text.ws_token_count`, the text_quality primitive — an exact
+    integer, so the argmax is engine-exact with no float compare),
+    tie-broken to the smallest doc_id. Docs untouched by any
+    candidate pair are their own singleton cluster and survive
+    trivially, so the output is the full surviving-corpus manifest:
+    one row per cluster — (cluster, survivor_id, n_members,
+    survivor_tokens).
+
+    Plan shape: the argmax is ONE map-side-combinable groupBy via the
+    agg_argmax struct-max pattern — max(struct(n_tokens, -doc_id))
+    picks max tokens then min id, no per-cluster window, no second
+    fact-sized shuffle. The label attach is deliberately NOT
+    broadcast-pinned: labels cover only paired docs, which a
+    dup-heavy 100 TB corpus can make corpus-sized — AQE broadcasts
+    them while they're small and degrades to a shuffle join on
+    doc_id when they aren't. Everything upstream inherits
+    dedup_minhash_cluster's banded-LSH bounds. cache_plans=False:
+    the CC pass executes eagerly at build (the dedup_minhash_cluster
+    rationale)."""
+    d = load(spark, sf_dir, "documents")
+    sh = dedup.word_shingles(d, "doc_id", "text", 3, distinct=False)
+    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    labels = dedup.connected_components(dedup.candidate_pairs(sigs))
+    scored = d.select(
+        "doc_id", text.ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    full = scored.join(
+        labels.withColumnRenamed("doc", "doc_id"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("cluster"),
+        "n_tokens",
+    )
+    best = F.max(
+        F.struct(
+            F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")
+        )
+    )
+    return full.groupBy("cluster").agg(
+        (-best.getField("neg_id")).cast("bigint").alias("survivor_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        best.getField("n_tokens").alias("survivor_tokens"),
+    )
+
+
+@register(
     "dedup_minhash_cluster_incremental",
     f"""
 WITH RECURSIVE {_SHINGLES_FULL_SQL.strip().lstrip()},
