@@ -35,20 +35,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def trailing_frame_sums(
+def _halo_blocks(
     df: DataFrame,
     series_col: str,
     time_col: str,
     tiebreak_col: str,
     value_col: str,
-    k: int = 19,
-    block_us: int = 6 * 3600 * 1_000_000,
-) -> DataFrame:
-    """df + (rn, s1, s0, c): the exact global row number per series
-    under (time, tiebreak), and SUM(value*rn), SUM(value), COUNT(*)
-    over the trailing ROWS BETWEEN k PRECEDING AND CURRENT ROW frame
-    — computed block-parallel as documented above. `value_col` must
-    be integral (the sums are exact in any accumulation order)."""
+    k: int,
+    block_us: int,
+):
+    """Shared steps 1–3 of the module recipe: returns (both, wf)
+    where `both` is the big+halo relation carrying (series, _blk,
+    time, tiebreak, value, _rn, _halo) and `wf` is the
+    (series, _blk)-partitioned trailing-k frame over _rn. Both
+    public entry points (sums, arrays) run their own step-4
+    aggregate over this identical frame multiset."""
     s, t, tb, v = series_col, time_col, tiebreak_col, value_col
     base = df.withColumn("_blk", F.expr(f"{t} div {block_us}"))
 
@@ -101,6 +102,25 @@ def trailing_frame_sums(
         .orderBy("_rn")
         .rowsBetween(-k, Window.currentRow)
     )
+    return both, wf
+
+
+def trailing_frame_sums(
+    df: DataFrame,
+    series_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    k: int = 19,
+    block_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """df + (rn, s1, s0, c): the exact global row number per series
+    under (time, tiebreak), and SUM(value*rn), SUM(value), COUNT(*)
+    over the trailing ROWS BETWEEN k PRECEDING AND CURRENT ROW frame
+    — computed block-parallel as documented above. `value_col` must
+    be integral (the sums are exact in any accumulation order)."""
+    s, t, tb, v = series_col, time_col, tiebreak_col, value_col
+    both, wf = _halo_blocks(df, s, t, tb, v, k, block_us)
     out = both.select(
         s,
         t,
@@ -111,5 +131,37 @@ def trailing_frame_sums(
         F.sum(F.col(v) * F.col("_rn")).over(wf).alias("s1"),
         F.sum(v).over(wf).alias("s0"),
         F.count(F.lit(1)).over(wf).cast("bigint").alias("c"),
+    )
+    return out.where(~F.col("_halo")).drop("_halo")
+
+
+def trailing_frame_arrays(
+    df: DataFrame,
+    series_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    k: int = 19,
+    block_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """df + (rn, arr): the exact global row number per series and the
+    trailing ROWS BETWEEN k PRECEDING AND CURRENT ROW frame VALUES in
+    frame order (oldest first, current row last) — for frame
+    aggregates that are position-dependent (e.g. geometric EWMA
+    weights) and so can't run through the two-integer-sums identity.
+    collect_list over the _rn-ordered window appends in frame order,
+    and _rn is a unique total order per (series, _blk), so the array
+    is deterministic and identical to the single-window form's frame
+    sequence. Same block+halo machinery, same frame multiset."""
+    s, t, tb, v = series_col, time_col, tiebreak_col, value_col
+    both, wf = _halo_blocks(df, s, t, tb, v, k, block_us)
+    out = both.select(
+        s,
+        t,
+        tb,
+        v,
+        F.col("_rn").alias("rn"),
+        "_halo",
+        F.collect_list(v).over(wf).alias("arr"),
     )
     return out.where(~F.col("_halo")).drop("_halo")

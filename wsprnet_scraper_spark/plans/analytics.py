@@ -3362,3 +3362,290 @@ def evt_transition_2nd(spark, sf_dir):
         "n",
         (F.col("n").cast("double") / F.col("ctx_n")).alias("p_next"),
     )
+
+
+@register(
+    "win_ewma",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+a AS (
+  SELECT event_id,
+    array_agg(cents) OVER (PARTITION BY event_type ORDER BY us, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+  FROM t
+)
+SELECT event_id,
+  CAST(list_sum(list_transform(arr,
+         (x, i) -> x * (1::BIGINT << CAST(20 - len(arr) + i - 1 AS INT))))
+       AS DOUBLE)
+  / CAST((1::BIGINT << 20) - (1::BIGINT << CAST(20 - len(arr) AS INT))
+         AS DOUBLE) AS ewma20
+FROM a
+""",
+)
+def win_ewma(spark, sf_dir):
+    """Truncated exponentially-weighted moving average (alpha = 1/2,
+    trailing 20 rows) per event type — the recency-decay smoother
+    under anomaly baselines and rate monitors; win_weighted_ma's
+    geometric sibling. True EWMA is an unbounded recursion no engine
+    windows express; the 20-row truncation bounds the tail below
+    2^-20 of the weight mass while keeping everything exact.
+
+    Cross-engine exactness via dyadic weights: alpha = 1/2 makes the
+    weight of the frame row at distance d from the anchor 2^-d;
+    scaling by 2^19 turns the whole numerator into an integer fold
+    (element i of the c-row frame array, oldest first, carries weight
+    2^(20-c+i)) and the weight total into (2^20 - 2^(20-c)) — both
+    exact in any accumulation order, with ONE double division at the
+    end. Geometric weights are position-dependent, so the frame
+    VALUES come through operators/frames.trailing_frame_arrays — the
+    same block+halo machinery that fixed win_weighted_ma's
+    parallelism starvation (5 event types = 5 fat partitions),
+    emitting the frame in deterministic order; the oracle states the
+    plain single-window form, so the gate proves the blocked plan
+    bit-identical. Sum bound: 2^20 * max|cents| * 20 ~ 2e13 —
+    comfortably in BIGINT at any corpus size (the fold is per-row
+    over <= 20 elements; nothing accumulates across rows)."""
+    from ..operators.frames import trailing_frame_arrays
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    f = trailing_frame_arrays(
+        t, "event_type", "us", "event_id", "cents", k=19
+    )
+    num = F.expr(
+        "aggregate(transform(arr,"
+        " (x, i) -> x * shiftleft(1L, 20 - size(arr) + i)),"
+        " 0L, (a, b) -> a + b)"
+    )
+    den = F.expr("shiftleft(1L, 20) - shiftleft(1L, 20 - size(arr))")
+    return f.select(
+        "event_id",
+        (num.cast("double") / den.cast("double")).alias("ewma20"),
+    )
+
+
+@register(
+    "agg_cusum_changepoint",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+c AS (
+  SELECT event_type, event_id,
+    CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+    SUM(cents) OVER (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS ps,
+    COUNT(*) OVER (PARTITION BY event_type) AS n,
+    SUM(cents) OVER (PARTITION BY event_type) AS s
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+),
+g AS (
+  SELECT event_type, event_id, rn, CAST(n AS BIGINT) AS n,
+    abs(CAST(n AS DECIMAL(19,0)) * CAST(ps AS DECIMAL(19,0))
+        - CAST(rn AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))) AS g_abs
+  FROM c
+)
+SELECT event_type, event_id AS cp_event_id, rn AS cp_rn, n,
+       CAST(g_abs AS DOUBLE) AS g_abs,
+       CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cp_frac
+FROM g
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY g_abs DESC, rn) = 1
+""",
+)
+def agg_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event type: the time-ordered
+    point where the cumulative deviation from the series mean peaks —
+    Page's classic single-changepoint statistic, the monitor behind
+    'when did this metric shift'. Exact integer formulation: with
+    ps_t the prefix cents sum, n the series length and S the total,
+    the mean-centered CUSUM scaled by n is G_t = n*ps_t - t*S — pure
+    integers (DECIMAL(19,0) products so 100 TB-sized n*ps can't wrap
+    a BIGINT in either engine; Spark sizes the product decimal
+    automatically, DuckDB via the same explicit casts), argmax with
+    deterministic smallest-rn tiebreak via ONE struct-max aggregate.
+
+    Scale shape: the prefix sum is block-partitioned exactly like
+    agg_weighted_median_blocked (time blocks are contiguous in the
+    scan order, a prefix sum reconstructs from per-block offsets with
+    NO halo rows), so the scan parallelism is blocks x types instead
+    of the 5 fat type partitions; per-type totals ride the tiny
+    block-summary relation, and the argmax is a map-side-combinable
+    groupBy — nothing series-sized ever sorts through one task."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("_blk", F.expr("us div 21600000000"))
+
+    wl = (
+        W.partitionBy("event_type", "_blk")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("event_type", "_blk").orderBy("us", "event_id")
+    local = t.select(
+        "event_type",
+        "_blk",
+        "event_id",
+        F.row_number().over(wn).cast("bigint").alias("_lrn"),
+        F.sum("cents").over(wl).alias("_lps"),
+    )
+    blk = t.groupBy("event_type", "_blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_cnt"),
+        F.sum("cents").alias("_bsum"),
+    )
+    ws = W.partitionBy("event_type").orderBy("_blk")
+    wt = W.partitionBy("event_type")
+    offsets = blk.select(
+        "event_type",
+        "_blk",
+        F.coalesce(
+            F.sum("_cnt").over(ws.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("_offn"),
+        F.coalesce(
+            F.sum("_bsum").over(ws.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("_offs"),
+        F.sum("_cnt").over(wt).cast("bigint").alias("n"),
+        F.sum("_bsum").over(wt).cast("bigint").alias("s"),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")
+    g = local.join(F.broadcast(offsets), ["event_type", "_blk"]).select(
+        "event_type",
+        "event_id",
+        (F.col("_offn") + F.col("_lrn")).alias("rn"),
+        "n",
+        F.abs(
+            dec(F.col("n")) * dec(F.col("_offs") + F.col("_lps"))
+            - dec(F.col("_offn") + F.col("_lrn")) * dec(F.col("s"))
+        ).alias("g_abs"),
+    )
+    best = g.groupBy("event_type").agg(
+        F.max(
+            F.struct(
+                F.col("g_abs"),
+                (-F.col("rn")).alias("_nrn"),
+                F.col("event_id").alias("_eid"),
+                F.col("n").alias("_n"),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b._eid").alias("cp_event_id"),
+        (-F.col("b._nrn")).alias("cp_rn"),
+        F.col("b._n").alias("n"),
+        F.col("b.g_abs").cast("double").alias("g_abs"),
+        ((-F.col("b._nrn")).cast("double") / F.col("b._n").cast("double")).alias(
+            "cp_frac"
+        ),
+    )
+
+
+@register(
+    "diag_t_closeness",
+    """
+WITH b AS (
+  SELECT c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS j
+  FROM customer
+),
+gj AS (SELECT j, CAST(count(*) AS BIGINT) AS nj FROM b GROUP BY j),
+sg AS (SELECT seg, CAST(count(*) AS BIGINT) AS ng FROM b GROUP BY seg),
+cnt AS (SELECT seg, j, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY seg, j),
+grid AS (
+  SELECT s.seg, g.j, s.ng, g.nj, COALESCE(c.c, 0) AS c,
+         (SELECT count(*) FROM gj) AS k,
+         (SELECT sum(nj) FROM gj) AS n
+  FROM sg s CROSS JOIN gj g
+  LEFT JOIN cnt c ON c.seg = s.seg AND c.j = g.j
+),
+cum AS (
+  SELECT seg, j, ng, k, n,
+    SUM(c)  OVER (PARTITION BY seg ORDER BY j ROWS UNBOUNDED PRECEDING) AS cg,
+    SUM(nj) OVER (PARTITION BY seg ORDER BY j ROWS UNBOUNDED PRECEDING) AS cn
+  FROM grid
+)
+SELECT seg AS c_mktsegment, CAST(min(ng) AS BIGINT) AS n_g,
+  CAST(SUM(abs(cg * n - cn * ng)) AS BIGINT) AS emd_scaled,
+  CAST(SUM(abs(cg * n - cn * ng)) AS DOUBLE)
+    / CAST(min(ng) * min(n) * (min(k) - 1) AS DOUBLE) AS t_closeness
+FROM cum
+GROUP BY seg
+""",
+)
+def diag_t_closeness(spark, sf_dir):
+    """t-closeness audit — the third privacy axis after
+    diag_k_anonymity (class size) and diag_l_diversity (sensitive
+    variety): a class can be large AND varied yet still leak if its
+    sensitive-attribute DISTRIBUTION deviates from the corpus-wide
+    one. Per market segment (the quasi-identifier class), the Earth
+    Mover's Distance between the class's account-balance-band
+    distribution and the global one, on the ordered band domain —
+    EMD(ordered, unit steps) = (1/(k-1)) * sum_j |cumP_j - cumQ_j|.
+
+    All-integer until one final division: the cumulative-count
+    cross-products cg*N - cn*ng clear both denominators, so the sum
+    is exact in any order and the single double division at the end
+    is bit-identical across engines. Scale: the fact-sized work is
+    one grouped count keyed by (segment, band); everything after runs
+    on the segments x bands grid — domain-bounded, never corpus-
+    sized (the CROSS JOIN builds that grid from two k-bounded
+    aggregates, the census-sanctioned shape)."""
+    cust = load(spark, sf_dir, "customer")
+    b = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("j"),
+    )
+    gj = b.groupBy("j").agg(F.count(F.lit(1)).cast("bigint").alias("nj"))
+    sg = b.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+    cnt = b.groupBy("seg", "j").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = gj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("nj").cast("bigint").alias("n"),
+    )
+    grid = (
+        sg.crossJoin(gj)
+        .join(cnt, ["seg", "j"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0).cast("bigint")))
+        .crossJoin(F.broadcast(tot))
+    )
+    wc = (
+        W.partitionBy("seg")
+        .orderBy("j")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.select(
+        "seg",
+        "ng",
+        "k",
+        "n",
+        F.sum("c").over(wc).alias("cg"),
+        F.sum("nj").over(wc).alias("cn"),
+    )
+    emd = F.sum(F.abs(F.col("cg") * F.col("n") - F.col("cn") * F.col("ng")))
+    return cum.groupBy(F.col("seg").alias("c_mktsegment")).agg(
+        F.min("ng").cast("bigint").alias("n_g"),
+        emd.cast("bigint").alias("emd_scaled"),
+        (
+            emd.cast("double")
+            / (F.min("ng") * F.min("n") * (F.min("k") - 1)).cast("double")
+        ).alias("t_closeness"),
+    )

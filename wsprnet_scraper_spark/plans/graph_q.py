@@ -638,6 +638,15 @@ def _lpa_oracle(rounds: int) -> str:
     _cc_oracle. No early exit on either side: the fixed unroll IS the
     spec (synchronous LPA may 2-cycle, so round count defines the
     answer)."""
+    return (
+        f"WITH {_CC_SQL}, {', '.join(_lpa_steps(rounds))}\n"
+        f"SELECT nid, label FROM lp{rounds}"
+    )
+
+
+def _lpa_steps(rounds: int) -> list[str]:
+    """The LPA generation chain as CTE steps (shared by _lpa_oracle
+    and the modularity oracle, which scores the same final labels)."""
     steps = [
         "lp0 AS MATERIALIZED"
         " (SELECT DISTINCT src AS nid, src AS label FROM edges)"
@@ -651,10 +660,7 @@ def _lpa_oracle(rounds: int) -> str:
             f" QUALIFY row_number() OVER"
             f" (PARTITION BY nid ORDER BY c DESC, label) = 1)"
         )
-    return (
-        f"WITH {_CC_SQL}, {', '.join(steps)}\n"
-        f"SELECT nid, label FROM lp{rounds}"
-    )
+    return steps
 
 
 # cache_plans=False: label_propagation executes eagerly (per-round
@@ -905,4 +911,195 @@ def graph_clustering_coeff(spark, sf_dir):
             (F.lit(3).cast("bigint") * F.col("n_triangles")).cast("double")
             / F.nullif(F.col("n_wedges"), F.lit(0).cast("bigint"))
         ).alias("clustering_coeff"),
+    )
+
+
+_RECIP_SQL = """
+fwd AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag <> 'R'
+),
+rev AS (
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+),
+de AS (SELECT src, dst FROM fwd UNION ALL SELECT src, dst FROM rev)
+"""
+
+
+@register(
+    "graph_reciprocity",
+    f"""
+WITH {_RECIP_SQL},
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM de GROUP BY src),
+mut AS (SELECT e.src, CAST(count(*) AS BIGINT) AS mutual
+        FROM de e JOIN de r ON r.src = e.dst AND r.dst = e.src
+        GROUP BY e.src)
+SELECT d.src AS nid, d.out_deg,
+       CAST(COALESCE(m.mutual, 0) AS BIGINT) AS mutual,
+       CAST(COALESCE(m.mutual, 0) AS DOUBLE) / CAST(d.out_deg AS DOUBLE)
+         AS reciprocity
+FROM deg d LEFT JOIN mut m ON m.src = d.src
+""",
+)
+def graph_reciprocity(spark, sf_dir):
+    """Per-node edge reciprocity over the DIRECTED customer-supplier
+    relationship graph — the 'is this a two-way relationship' measure
+    (Garlaschelli & Loffredo 2004) that the symmetrized graph family
+    can't ask. Directions carry real semantics here: cust->supp for
+    shipped (non-returned) line items, supp->cust for returns — a
+    mutual pair is a relationship with traffic both ways. The two
+    derivations are parity-disjoint by construction ((even,odd) vs
+    (odd,even)), so the union needs no dedup pass.
+
+    Scale: both derivations are the same orders x lineitem hash join
+    the rest of the graph family amortizes; the mutual count is ONE
+    self-join keyed (src,dst)=(dst,src) — hash-partitioned on the
+    composite key, never broadcast (the edge relation is corpus-
+    sized) — and the degree/mutual aggregates are map-side
+    combinable. One final double division per node."""
+    o = load(spark, sf_dir, "orders", parallel="never")
+    li = load(spark, sf_dir, "lineitem", parallel="never")
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    fwd = (
+        j.where(F.col("l_returnflag") != "R")
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    rev = (
+        j.where(F.col("l_returnflag") == "R")
+        .select(
+            (F.col("l_suppkey") * 2 + 1).alias("src"),
+            (F.col("o_custkey") * 2).alias("dst"),
+        )
+        .distinct()
+    )
+    de = fwd.unionByName(rev)
+    deg = de.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("out_deg")
+    )
+    r = de.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+    mut = (
+        de.join(
+            r,
+            (F.col("src") == F.col("r_src")) & (F.col("dst") == F.col("r_dst")),
+        )
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mutual"))
+    )
+    return deg.join(mut, "src", "left").select(
+        F.col("src").alias("nid"),
+        "out_deg",
+        F.coalesce(F.col("mutual"), F.lit(0).cast("bigint")).alias("mutual"),
+        (
+            F.coalesce(F.col("mutual"), F.lit(0).cast("bigint")).cast("double")
+            / F.col("out_deg").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
+def _modularity_oracle(rounds: int) -> str:
+    """Score _lpa_steps' final labels with Newman-Girvan modularity
+    on the same symmetric edge multigraph: per community c,
+    q_contrib = intra_c/m2 - (dsum_c/m2)^2 where m2 = |edges| (the
+    symmetric count = 2m), intra_c counts symmetric edges with both
+    endpoints in c, dsum_c sums degrees — all integers until the one
+    fixed-shape double expression per community row."""
+    return f"""
+WITH {_CC_SQL}, {', '.join(_lpa_steps(rounds))},
+lab AS (SELECT nid, label FROM lp{rounds}),
+m2 AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+intra AS (
+  SELECT l1.label, CAST(count(*) AS BIGINT) AS intra_edges
+  FROM edges e
+  JOIN lab l1 ON l1.nid = e.src
+  JOIN lab l2 ON l2.nid = e.dst AND l2.label = l1.label
+  GROUP BY l1.label
+),
+dsum AS (
+  SELECT l.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.deg) AS BIGINT) AS degree_sum
+  FROM (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+  JOIN lab l ON l.nid = d.src
+  GROUP BY l.label
+)
+SELECT d.label, d.n_nodes,
+       CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+       d.degree_sum,
+       CAST(COALESCE(i.intra_edges, 0) AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+         - (CAST(d.degree_sum AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+           * (CAST(d.degree_sum AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+         AS q_contrib
+FROM dsum d LEFT JOIN intra i ON i.label = d.label, m2
+"""
+
+
+# cache_plans=False: runs label_propagation (per-round
+# localCheckpoint), same rationale as graph_label_propagation.
+@register(
+    "graph_modularity", _modularity_oracle(_LPA_ROUNDS), cache_plans=False
+)
+def graph_modularity(spark, sf_dir):
+    """Newman-Girvan modularity of the LPA communities — the 'did
+    label propagation find real structure' score (Q near 0: no better
+    than random; the per-community contributions show WHICH
+    communities carry it). Shares graph_label_propagation's exact
+    labels (same rounds, same deterministic tiebreak), then three
+    integer aggregates on the symmetric multigraph: m2 = |directed
+    edges| = 2m, intra-community edge counts (edge relation joined to
+    node-sized labels on each endpoint — hash joins keyed by node
+    id), and per-community degree sums. The m2 scalar rides a
+    single-row broadcast (the census-sanctioned shape); the one
+    double expression per community row is written identically in
+    both engines, so the gate is exact-value."""
+    from ..operators.graph import label_propagation
+
+    e0 = _sliced_edges(spark, sf_dir)
+    sym = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = label_propagation(sym, _LPA_ROUNDS)
+    m2 = sym.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    l1 = lab.select(F.col("nid").alias("src"), F.col("label").alias("_l1"))
+    l2 = lab.select(F.col("nid").alias("dst"), F.col("label").alias("_l2"))
+    intra = (
+        sym.join(l1, "src")
+        .join(l2, "dst")
+        .where(F.col("_l1") == F.col("_l2"))
+        .groupBy(F.col("_l1").alias("label"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    dsum = (
+        deg.join(l1, "src")
+        .groupBy(F.col("_l1").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+    )
+    dd = lambda c: c.cast("double")
+    out = (
+        dsum.join(intra, "label", "left")
+        .withColumn(
+            "intra_edges",
+            F.coalesce(F.col("intra_edges"), F.lit(0).cast("bigint")),
+        )
+        .crossJoin(F.broadcast(m2))
+    )
+    return out.select(
+        "label",
+        "n_nodes",
+        "intra_edges",
+        "degree_sum",
+        (
+            dd(F.col("intra_edges")) / dd(F.col("m2"))
+            - (dd(F.col("degree_sum")) / dd(F.col("m2")))
+            * (dd(F.col("degree_sum")) / dd(F.col("m2")))
+        ).alias("q_contrib"),
     )
