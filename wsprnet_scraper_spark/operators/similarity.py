@@ -2305,3 +2305,44 @@ def lsh_multiprobe_topk(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", "cosine")
     )
+
+
+def lsh_range_search(
+    emb: DataFrame,
+    query_ids: list[int],
+    threshold: float,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Radius (range) search — lsh_bucket_topk's other half: ALL
+    bucket-mates with cosine >= threshold instead of the best k. The
+    primitive under 'find every near-duplicate of this document' and
+    similarity-threshold retrieval, where the answer size is data-
+    not caller-bounded. Identical candidate generation (deterministic
+    hyperplane buckets, zero shuffle to build) and the same exact
+    left-fold cosine as the top-k twin, so the two share oracle bit
+    parity; the only structural difference is that no per-query
+    window runs — the threshold filter replaces the rank, making
+    this the CHEAPER plan at scale (no sort, no row_number state)."""
+    buckets = hyperplane_buckets(emb, num_planes)
+    base = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .join(buckets, "vec_id")
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("n2").alias("qn2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = base.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            _dot(F.col("v"), F.col("qv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("qn2")))
+        ).alias("cosine"),
+    )
+    return scored.where(F.col("cosine") >= F.lit(threshold))

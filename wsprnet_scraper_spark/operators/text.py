@@ -401,3 +401,20 @@ def importance_select(
         )
     )
     return scored.orderBy(F.desc("score"), "doc").limit(k)
+
+
+def syllable_count(text: Column) -> Column:
+    """Heuristic syllable count: contiguous vowel groups (incl. y) —
+    the standard readability-formula approximation; Java regex and
+    RE2 agree on this class+quantifier subset."""
+    return F.regexp_count(text, F.lit("[aeiouy]+")).cast("bigint")
+
+
+def sentence_count(text: Column) -> Column:
+    """Sentence count via terminal-punctuation runs, floored at 1 so
+    unpunctuated text (transcripts, code, this corpus) reads as one
+    sentence instead of zeroing the words-per-sentence ratio."""
+    return F.greatest(
+        F.regexp_count(text, F.lit("[.!?]+")).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )

@@ -774,3 +774,68 @@ def pipe_importance_select(spark, sf_dir):
     return text_ops.importance_select(
         d, "doc_id", "text", "source", "src0", buckets=256, k=100
     )
+
+
+@register(
+    "text_readability",
+    """
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      AS n_sentences,
+    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+    AS reading_ease,
+  0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+    - 15.59 AS fk_grade
+FROM m
+WHERE n_words > 0
+""",
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic readability pair that quality-filtered pretraining
+    recipes bucket on (alongside text_quality's Gopher-style rules).
+    Counts are the standard heuristics: words = whitespace tokens,
+    syllables = contiguous vowel groups, sentences = terminal-
+    punctuation runs floored at 1 (operators/text.sentence_count —
+    unpunctuated corpora read as one sentence rather than zeroing
+    the ratio). All three counts are exact integers from the
+    Java-regex ∩ RE2 common subset; the two formula evaluations are
+    fixed-shape double expressions (left-associated identically in
+    both engines), so the gate is exact-value. Pure per-row
+    projection: zero shuffle at any corpus size. The n_words > 0
+    guard keeps the div-by-zero edge out of the contract (Spark ANSI-
+    off yields NULL where DuckDB yields inf)."""
+    from ..operators import text as text_ops
+
+    d = load(spark, sf_dir, "documents", parallel="always")
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            text_ops.ws_token_count(F.col("text")).cast("bigint").alias("n_words"),
+            text_ops.sentence_count(F.col("text")).alias("n_sentences"),
+            text_ops.syllable_count(F.col("text")).alias("n_syllables"),
+        )
+        .where(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw).alias(
+                "reading_ease"
+            ),
+            (
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+            ).alias("fk_grade"),
+        )
+    )

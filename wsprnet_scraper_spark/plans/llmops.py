@@ -5382,3 +5382,249 @@ def pipe_dedup_cascade(spark, sf_dir):
             .alias("status"),
         )
     )
+
+
+@register(
+    "pipe_paragraph_dedup",
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents
+),
+ch AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(tk[(i*30+1):(i*30+30)], ' ') AS chunk,
+         doc_id * 1048576 + i AS key
+  FROM toks,
+       unnest(generate_series(0, (len(tk) + 29) // 30 - 1)) AS t(i)
+),
+win AS (SELECT md5(chunk) AS h, min(key) AS mk FROM ch GROUP BY md5(chunk)),
+surv AS (
+  SELECT c.doc_id, c.idx, c.chunk
+  FROM ch c JOIN win w ON md5(c.chunk) = w.h AND c.key = w.mk
+),
+tot AS (
+  SELECT doc_id, CAST((len(tk) + 29) // 30 AS BIGINT) AS total_chunks
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+  FROM surv GROUP BY doc_id
+)
+SELECT t.doc_id, t.total_chunks,
+       CAST(COALESCE(a.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       COALESCE(a.text_dedup, '') AS text_dedup
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+)
+def pipe_paragraph_dedup(spark, sf_dir):
+    """Sub-document (paragraph-level) exact dedup — the pass real
+    pipelines run BELOW dedup_exact: boilerplate paragraphs repeat
+    across distinct documents (headers, licenses, nav text), so docs
+    are split into deterministic 30-token chunks (the paragraph
+    stand-in for this unpunctuated corpus), every chunk occurrence
+    after the first — ordered by (doc_id, position), encoded as one
+    integer key so the winner is a plain MIN — is dropped
+    corpus-wide, and each document is reassembled from its surviving
+    chunks in position order. Output keeps the per-doc chunk
+    accounting plus the rebuilt text (docs made entirely of seen
+    chunks degrade to '' instead of vanishing — the left join keeps
+    the row).
+
+    Scale: chunking is a per-row explode (no shuffle); the winner
+    pass is ONE groupBy on the chunk hash shuffling (hash, key)
+    pairs — never the chunk text twice, since survivors rejoin on the
+    hash; reassembly is a doc-keyed groupBy whose collect is bounded
+    by the document's own chunk count. All corpus-sized exchanges are
+    keyed hash shuffles — nothing broadcast, nothing all-pairs."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    tk = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("tk"))
+    nch = ((F.size("tk") + F.lit(29)) / F.lit(30)).cast("bigint")
+    chunks = tk.select(
+        "doc_id",
+        F.size("tk").alias("_n"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("bigint"), nch - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), (i * 30 + 1).cast("int"), 30), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        "chunk",
+        (F.col("doc_id") * F.lit(1048576) + F.col("idx")).alias("key"),
+        F.md5(F.col("chunk")).alias("h"),
+    )
+    win = chunks.groupBy("h").agg(F.min("key").alias("mk"))
+    surv = chunks.join(win, "h").where(F.col("key") == F.col("mk"))
+    tot = tk.select("doc_id", nch.alias("total_chunks"))
+    agg = surv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    return tot.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "total_chunks",
+        F.coalesce(F.col("kept_chunks"), F.lit(0).cast("bigint")).alias(
+            "kept_chunks"
+        ),
+        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+    )
+
+
+@register(
+    "pipe_temperature_mix",
+    """
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n,
+         CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS wt
+  FROM c
+),
+tk AS (
+  SELECT source, n, wt,
+         CAST((200 * wt) // (SELECT SUM(wt) FROM w) AS BIGINT) AS take
+  FROM w
+),
+r AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rn, t.take
+FROM r JOIN tk t ON t.source = r.source
+WHERE r.rn <= t.take
+""",
+)
+def pipe_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain mixing (tau = 1/2) — the
+    multilingual/multi-domain sampling rule (mT5, XLM-R): a domain
+    with n docs gets budget share proportional to n^tau, upweighting
+    small domains relative to proportional sampling without letting
+    any domain dominate. pipe_domain_mix's fixed per-domain budget is
+    the flat special case; this entry derives the budgets FROM the
+    corpus counts.
+
+    Exactness: tau = 1/2 makes the weight sqrt(n) — IEEE-correctly-
+    rounded in both engines — scaled by 1000 and floored to an
+    INTEGER weight, so the share computation ((200 * w) // W) is pure
+    integer arithmetic with zero float-accumulation hazard (a double
+    weight SUM would be order-sensitive). Selection is the
+    deterministic md5 rank within each domain. Scale: one k-bounded
+    counts aggregate builds the take table (broadcast), the rank
+    windows parallelize across domains, and nothing corpus-sized
+    leaves its partition unsorted."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = c.select(
+        "source",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("wt"),
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("tw"))
+    tk = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr("(200 * wt) div tw").cast("bigint").alias("take"),
+    )
+    win = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    r = d.select(
+        "doc_id", "source", F.row_number().over(win).cast("bigint").alias("rn")
+    )
+    return r.join(F.broadcast(tk), "source").where(
+        F.col("rn") <= F.col("take")
+    ).select("doc_id", "source", "rn", "take")
+
+
+@register(
+    "pipe_kfold_stratified",
+    """
+SELECT doc_id, lang, source,
+       CAST((rn - 1) % 5 AS BIGINT) AS fold
+FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+             ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+""",
+)
+def pipe_kfold_stratified(spark, sf_dir):
+    """Stratified 5-fold assignment — pipe_split_hash's evaluation
+    twin: plain hash folding leaves small (lang, source) strata
+    unbalanced across folds by chance, so each stratum deals its docs
+    round-robin in deterministic md5 order instead, guaranteeing
+    every fold holds floor-or-ceil(stratum/5) docs of every stratum.
+    No RNG anywhere: reruns, engines, and cluster sizes produce the
+    identical folds. One rank window per stratum (lang x source =
+    100 strata here — the windows parallelize across them; a
+    pathologically large single stratum would use the blocked-rank
+    pattern of operators/ranking)."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    win = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.pmod(F.row_number().over(win) - 1, F.lit(5))
+        .cast("bigint")
+        .alias("fold"),
+    )
+
+
+@register(
+    "sim_range_search",
+    f"""
+WITH {_LSH_SQL},
+base AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2,
+    b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2, bucket AS qbucket
+      FROM base WHERE vec_id < 25),
+scored AS (
+  SELECT qid, base.vec_id,
+    list_reduce(list_transform(list_zip(v, qv), z -> z[1] * z[2]), (a, b) -> a + b)
+      / (sqrt(n2) * sqrt(qn2)) AS cosine
+  FROM base JOIN q ON base.bucket = q.qbucket
+)
+SELECT qid, vec_id, cosine FROM scored WHERE cosine >= 0.3
+""",
+)
+def sim_range_search(spark, sf_dir):
+    """Radius (range) similarity search: every bucket-mate of the 25
+    query vectors with cosine >= 0.3 — the data-bounded-answer
+    retrieval primitive ('all near-duplicates of X'), vs the
+    caller-bounded top-k. Same deterministic LSH candidate
+    generation and exact left-fold cosine as sim_lsh_bucketed (bit
+    parity with the shared oracle CTE); structurally CHEAPER at
+    scale: the threshold filter replaces the per-query rank window —
+    no sort, no row_number state (see
+    operators/similarity.lsh_range_search)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_range_search(
+        emb, list(range(25)), threshold=0.3, num_planes=_lsh_planes(emb)
+    )
