@@ -130,6 +130,12 @@ HEADLINE += [
     "graph_ppr_bucketed", "strm_minhash_dedup",
     # r9 new entries
     "agg_weighted_median_blocked", "pipe_dedup_survivors",
+    # r9 continuation (probe-tracked per the rule except
+    # diag_t_closeness, which reads the ungrown customer dim)
+    "win_ewma", "agg_cusum_changepoint", "diag_t_closeness",
+    "text_readability", "pipe_paragraph_dedup", "pipe_temperature_mix",
+    "pipe_kfold_stratified", "sim_range_search", "graph_reciprocity",
+    "graph_modularity",
 ]
 
 

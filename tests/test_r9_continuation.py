@@ -1,0 +1,291 @@
+"""Round-9 continuation entries: semantic references on synthetic
+corpora (known changepoint, known EWMA, identical distributions) plus
+the structural invariants the gate can't see (winner identity,
+stratum balance, range-search edge cases). Exactness discipline: the
+EWMA/CUSUM references are recomputed in integer Python, so asserts
+are == not approx."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from wsprnet_scraper_spark.operators.frames import trailing_frame_arrays
+from wsprnet_scraper_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- frames: arrays
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=400),
+        st.integers(min_value=-50, max_value=50),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _reference_arrays(rows, k):
+    out = {}
+    by_series = {}
+    for tb, (s, t, v) in enumerate(rows):
+        by_series.setdefault(s, []).append((t, tb, v))
+    for s, items in by_series.items():
+        items.sort()
+        for i, (t, tb, v) in enumerate(items):
+            frame = items[max(0, i - k) : i + 1]
+            out[(s, t, tb)] = (i + 1, tuple(vv for _, _, vv in frame))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=rows_strategy,
+    k=st.sampled_from([1, 19]),
+    block=st.sampled_from([7, 1000]),
+)
+def test_halo_frame_arrays_equal_single_window(spark, rows, k, block):
+    df = spark.createDataFrame(
+        [Row(s=s, t=t, tb=i, v=v) for i, (s, t, v) in enumerate(rows)]
+    )
+    got = {
+        (r.s, r.t, r.tb): (r.rn, tuple(r.arr))
+        for r in trailing_frame_arrays(
+            df, "s", "t", "tb", "v", k=k, block_us=block
+        ).collect()
+    }
+    assert got == _reference_arrays(rows, k)
+
+
+# ---------------------------------------------- synthetic events
+
+
+def _write_events(tmp_path, values):
+    """events.parquet with one 'm' series: minute-spaced timestamps,
+    value[i] at event_id i."""
+    n = len(values)
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["m"] * n),
+            "value": pa.array([float(v) for v in values], pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _ewma_ref(values):
+    cents = [math.floor(v * 100) for v in values]
+    out = []
+    for i in range(len(cents)):
+        frame = cents[max(0, i - 19) : i + 1]
+        c = len(frame)
+        num = sum(x * (1 << (20 - c + j)) for j, x in enumerate(frame))
+        den = (1 << 20) - (1 << (20 - c))
+        out.append(float(num) / float(den))
+    return out
+
+
+def test_win_ewma_matches_integer_reference(spark, tmp_path):
+    values = [1.0, 2.5, -3.2, 4.0, 4.0, 0.01, 100.0] + [7.5] * 30
+    sf = _write_events(tmp_path, values)
+    got = {
+        r.event_id: r.ewma20
+        for r in QUERIES["win_ewma"](spark, sf).collect()
+    }
+    ref = _ewma_ref(values)
+    assert got == {i: ref[i] for i in range(len(values))}
+
+
+def test_cusum_finds_the_mean_shift(spark, tmp_path):
+    # flat 10.0 for 40 points, then flat 20.0 for 40 — the scaled
+    # CUSUM |n*ps_t - t*S| peaks exactly at the boundary (rn = 40)
+    values = [10.0] * 40 + [20.0] * 40
+    sf = _write_events(tmp_path, values)
+    rows = QUERIES["agg_cusum_changepoint"](spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cp_rn == 40 and r.cp_event_id == 39 and r.n == 80
+    # G_40 = 80*(40*1000) - 40*(40*1000 + 40*2000) = 3_200_000 - ...
+    n, s = 80, 40 * 1000 + 40 * 2000
+    g = abs(n * (40 * 1000) - 40 * s)
+    assert r.g_abs == float(g)
+    assert r.cp_frac == 40.0 / 80.0
+
+
+def test_cusum_tiebreak_is_smallest_rn(spark, tmp_path):
+    # constant series: every G_t = 0 -> deterministic winner rn = 1
+    sf = _write_events(tmp_path, [5.0] * 10)
+    r = QUERIES["agg_cusum_changepoint"](spark, sf).collect()[0]
+    assert r.cp_rn == 1 and r.g_abs == 0.0
+
+
+# ------------------------------------------------- t-closeness
+
+
+def test_t_closeness_zero_for_identical_distribution(spark, tmp_path):
+    # segment A mirrors the global distribution exactly -> t = 0;
+    # segment B holds only the top band -> t > 0
+    rows = []
+    k = 0
+    for seg, bals in [
+        ("A", [500.0, 1500.0, 500.0, 1500.0]),
+        ("B", [1500.0, 1500.0, 1500.0, 1500.0]),
+        ("C", [500.0, 500.0, 500.0, 500.0]),
+    ]:
+        for b in bals:
+            rows.append((k, f"c{k}", 0, b, seg))
+            k += 1
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([r[1] for r in rows]),
+            "c_nationkey": pa.array([r[2] for r in rows], pa.int32()),
+            "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+            "c_mktsegment": pa.array([r[4] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+    got = {
+        r.c_mktsegment: r
+        for r in QUERIES["diag_t_closeness"](spark, str(tmp_path)).collect()
+    }
+    # global: 6 in band 0, 6 in band 1; A is 2/2 -> identical
+    assert got["A"].t_closeness == 0.0 and got["A"].emd_scaled == 0
+    # B: cum(band0)=0 vs global 6/12 -> |0*12 - 6*4| = 24 at band 0
+    assert got["B"].emd_scaled == 24
+    assert got["B"].t_closeness == 24.0 / (4 * 12 * 1)
+    assert got["C"].t_closeness == got["B"].t_closeness
+
+
+# --------------------------------------------- paragraph dedup
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array([f"s{i % 2}" for i in range(len(texts))]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark, tmp_path):
+    blk_a = " ".join(["alpha"] * 30)
+    blk_b = " ".join(["beta"] * 30)
+    blk_c = " ".join(["gamma"] * 30)
+    sf = _write_docs(
+        tmp_path,
+        [
+            f"{blk_a} {blk_b}",  # doc 0: both survive
+            f"{blk_b} {blk_c}",  # doc 1: b dropped, c survives
+            f"{blk_a} {blk_b}",  # doc 2: fully deduped
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in QUERIES["pipe_paragraph_dedup"](spark, sf).collect()
+    }
+    assert (got[0].total_chunks, got[0].kept_chunks) == (2, 2)
+    assert got[0].text_dedup == f"{blk_a} {blk_b}"
+    assert (got[1].total_chunks, got[1].kept_chunks) == (2, 1)
+    assert got[1].text_dedup == blk_c
+    assert (got[2].total_chunks, got[2].kept_chunks) == (2, 0)
+    assert got[2].text_dedup == ""
+
+
+# ------------------------------------- temperature mix / k-fold
+
+
+def test_temperature_mix_budgets_match_integer_rule(spark):
+    rows = QUERIES["pipe_temperature_mix"](spark, SF).collect()
+    import duckdb
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT source, count(*) FROM '{SF}/documents.parquet'"
+            " GROUP BY source"
+        ).fetchall()
+    )
+    wts = {s: math.floor(math.sqrt(n) * 1000) for s, n in counts.items()}
+    tw = sum(wts.values())
+    takes = {s: (200 * w) // tw for s, w in wts.items()}
+    by_src = {}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+        assert r.rn <= r.take == takes[r.source]
+    assert by_src == {s: t for s, t in takes.items() if t > 0}
+
+
+def test_kfold_strata_are_balanced(spark):
+    rows = QUERIES["pipe_kfold_stratified"](spark, SF).collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r.lang, r.source), [0] * 5)[r.fold] += 1
+    for key, folds in per.items():
+        assert max(folds) - min(folds) <= 1, (key, folds)
+
+
+# ------------------------------------------------ range search
+
+
+def test_lsh_range_search_edges(spark):
+    from wsprnet_scraper_spark.operators.similarity import lsh_range_search
+    from wsprnet_scraper_spark.sources import load
+
+    emb = load(spark, SF, "embeddings")
+    assert lsh_range_search(emb, [], 0.5).count() == 0
+    # threshold above 1: even self-pairs fail (cosine(self) == 1.0
+    # only up to the fold; 1.01 excludes everything)
+    assert lsh_range_search(emb, [0], 1.01).count() == 0
+    got = lsh_range_search(emb, [0], 0.999).collect()
+    assert any(r.qid == 0 and r.vec_id == 0 for r in got)
+
+
+# -------------------------------------------------- graph pair
+
+
+def test_reciprocity_invariants(spark):
+    for r in QUERIES["graph_reciprocity"](spark, SF).collect():
+        assert 0 <= r.mutual <= r.out_deg
+        assert r.reciprocity == r.mutual / r.out_deg
+
+
+def test_modularity_accounting(spark):
+    rows = QUERIES["graph_modularity"](spark, SF).collect()
+    assert rows, "LPA produced no communities"
+    # sum of degree_sum over communities = |symmetric edges| = m2,
+    # and sum of intra <= m2; total Q in (-1, 1]
+    total_deg = sum(r.degree_sum for r in rows)
+    total_intra = sum(r.intra_edges for r in rows)
+    assert total_intra <= total_deg
+    q = sum(r.q_contrib for r in rows)
+    assert -1.0 < q <= 1.0
+    for r in rows:
+        assert r.intra_edges >= 0 and r.n_nodes >= 1

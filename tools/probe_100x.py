@@ -100,6 +100,15 @@ QUERIES_100X = [
     # r9 additions (agg_weighted_median_blocked is bench-only, same
     # lineitem rationale as agg_weighted_median)
     "pipe_dedup_survivors",
+    # r9 continuation additions (diag_t_closeness is bench-only: it
+    # reads customer, which this corpus deliberately does not grow)
+    "win_ewma",
+    "agg_cusum_changepoint",
+    "text_readability",
+    "pipe_paragraph_dedup",
+    "pipe_temperature_mix",
+    "pipe_kfold_stratified",
+    "sim_range_search",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each
@@ -120,6 +129,11 @@ GRAPH_QUERIES_100X = [
     "graph_triangles",
     "graph_ppr",
     "graph_ppr_bucketed",
+    # r9 continuation: reciprocity derives its own directed
+    # (returnflag-split) edges — its probe time honestly includes
+    # that one join; modularity rides the sliced front door + LPA
+    "graph_reciprocity",
+    "graph_modularity",
 ]
 GRAPH_ID_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
