@@ -135,7 +135,8 @@ HEADLINE += [
     "win_ewma", "agg_cusum_changepoint", "diag_t_closeness",
     "text_readability", "pipe_paragraph_dedup", "pipe_temperature_mix",
     "pipe_kfold_stratified", "sim_range_search", "graph_reciprocity",
-    "graph_modularity",
+    "graph_modularity", "dedup_token_sort", "evt_markov_stationary",
+    "diag_dp_sensitivity",
 ]
 
 

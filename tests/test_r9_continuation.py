@@ -289,3 +289,80 @@ def test_modularity_accounting(spark):
     assert -1.0 < q <= 1.0
     for r in rows:
         assert r.intra_edges >= 0 and r.n_nodes >= 1
+
+
+# ------------------------------------------- wave 2: markov / dp
+
+
+def test_markov_stationary_sums_to_one(spark):
+    rows = QUERIES["evt_markov_stationary"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-12
+    for r in rows:
+        assert r.pi_q >= 0
+
+
+def test_markov_absorbing_state(spark, tmp_path):
+    # user alternates a->b, then ends on b->b loops: with enough
+    # self-loop mass the quantized chain should concentrate on b
+    seq = ["a", "b"] * 5 + ["b"] * 40
+    n = len(seq)
+    base = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(seq),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = {
+        r.state: r.pi
+        for r in QUERIES["evt_markov_stationary"](spark, str(tmp_path)).collect()
+    }
+    assert got["b"] > got["a"]
+
+
+def test_dp_sensitivity_exact_on_crafted_corpus(spark, tmp_path):
+    # user 1: 3 rows in one cell; user 2: 1 row in each of 4 cells
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for i in range(3):
+        rows.append((i, base, 1, "x"))
+    for i in range(4):
+        rows.append((10 + i, base + dt.timedelta(days=i), 2, "x"))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    r = QUERIES["diag_dp_sensitivity"](spark, str(tmp_path)).collect()[0]
+    assert r.n_users == 2
+    assert r.l0_sensitivity == 4      # user 2 touches 4 cells
+    assert r.linf_sensitivity == 3    # user 1's single cell
+    assert r.l1_sensitivity == 4      # user 2's total rows
+
+
+def test_token_sort_catches_reorderings(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        ["alpha beta gamma", "gamma beta alpha", "alpha beta delta"],
+    )
+    got = {
+        r.doc_id: r for r in QUERIES["dedup_token_sort"](spark, sf).collect()
+    }
+    assert got[0].keep and got[0].group_sz == 2
+    assert not got[1].keep and got[1].group_sz == 2
+    assert got[2].keep and got[2].group_sz == 1

@@ -109,6 +109,9 @@ QUERIES_100X = [
     "pipe_temperature_mix",
     "pipe_kfold_stratified",
     "sim_range_search",
+    "dedup_token_sort",
+    "evt_markov_stationary",
+    "diag_dp_sensitivity",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

@@ -3649,3 +3649,159 @@ def diag_t_closeness(spark, sf_dir):
             / (F.min("ng") * F.min("n") * (F.min("k") - 1)).cast("double")
         ).alias("t_closeness"),
     )
+
+
+def _markov_oracle(rounds: int) -> str:
+    """Unrolled quantized power iteration over the transition matrix
+    (the graph family's integer-superstep discipline on a k x k
+    relation): per-edge contributions floor-divide BEFORE the sum, so
+    every round is order-independent-exact."""
+    steps = [
+        "v0 AS (SELECT src AS state, CAST(1000000 AS BIGINT) AS v FROM rt)"
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"v{i} AS (SELECT p.dst AS state,"
+            f" CAST(SUM((v.v * p.pq) // 1000000) AS BIGINT) AS v"
+            f" FROM p JOIN v{i - 1} v ON v.state = p.src GROUP BY p.dst)"
+        )
+    return f"""
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+),
+l AS (
+  SELECT event_type AS dst,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS src
+  FROM o
+),
+tc AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       FROM l WHERE src IS NOT NULL GROUP BY src, dst),
+rt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM tc GROUP BY src),
+p AS (SELECT tc.src, tc.dst, (1000000 * tc.n) // rt.tot AS pq
+      FROM tc JOIN rt ON rt.src = tc.src),
+{', '.join(steps)}
+SELECT state, v AS pi_q,
+       CAST(v AS DOUBLE) / (SELECT CAST(SUM(v) AS DOUBLE) FROM v{rounds})
+         AS pi
+FROM v{rounds}
+"""
+
+
+_MARKOV_ROUNDS = 3
+
+
+@register("evt_markov_stationary", _markov_oracle(_MARKOV_ROUNDS))
+def evt_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-event Markov chain — the
+    'where does a user end up' summary evt_transition_matrix's raw
+    conditionals can't answer: three quantized power-iteration steps
+    from the uniform start, over the transition matrix estimated from
+    per-user consecutive event pairs.
+
+    Exactness is the graph family's integer-superstep discipline
+    (plans/graph_q.py): probabilities quantized to (1e6 * n) // n_src
+    and every per-edge contribution floor-divided BEFORE the sum, so
+    each round is a plain integer aggregate — exact in any
+    accumulation order, bit-identical to the oracle's unrolled CTE
+    chain. The ONE double division (normalizing the final vector)
+    happens after all accumulation.
+
+    Scale: the fact-sized work is one user-partitioned lag window +
+    one grouped count; everything after runs on the k x k transition
+    relation (k = event types), broadcast through three k-bounded
+    joins — the census-sanctioned codebook shape."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type").over(w).alias("src"),
+    ).where(F.col("src").isNotNull())
+    tc = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rt = tc.groupBy("src").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = tc.join(F.broadcast(rt), "src").select(
+        "src", "dst", F.expr("(1000000 * n) div tot").alias("pq")
+    )
+    v = rt.select(
+        F.col("src").alias("state"), F.lit(1000000).cast("bigint").alias("v")
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        v = (
+            p.join(
+                F.broadcast(v.withColumnRenamed("state", "src")),
+                "src",
+            )
+            .select("dst", F.expr("(v * pq) div 1000000").alias("c"))
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum("c").cast("bigint").alias("v"))
+        )
+    tot = v.agg(F.sum("v").cast("double").alias("tv"))
+    return v.crossJoin(F.broadcast(tot)).select(
+        "state",
+        F.col("v").alias("pi_q"),
+        (F.col("v").cast("double") / F.col("tv")).alias("pi"),
+    )
+
+
+@register(
+    "diag_dp_sensitivity",
+    """
+WITH contrib AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         event_type,
+         CAST(count(*) AS BIGINT) AS rows_in_cell
+  FROM events
+  GROUP BY user_id, day, event_type
+),
+per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS cells,
+         CAST(SUM(rows_in_cell) AS BIGINT) AS total_rows,
+         CAST(MAX(rows_in_cell) AS BIGINT) AS max_cell_rows
+  FROM contrib GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(MAX(cells) AS BIGINT) AS l0_sensitivity,
+       CAST(MAX(max_cell_rows) AS BIGINT) AS linf_sensitivity,
+       CAST(MAX(total_rows) AS BIGINT) AS l1_sensitivity
+FROM per_user
+""",
+)
+def diag_dp_sensitivity(spark, sf_dir):
+    """Differential-privacy sensitivity pre-flight for the canonical
+    histogram release (event counts per day x type): before
+    calibrating noise, a DP pipeline needs the USER-level sensitivity
+    of the release — how much can one user's removal move the count
+    vector. Reports the three norms the standard mechanisms
+    calibrate against: L0 (max cells one user touches — drives
+    zCDP/advanced composition), Linf (max rows in one cell — drives
+    per-cell clipping), L1 (max total rows — drives the Laplace
+    budget). All exact integers from two stacked grouped counts —
+    user-keyed, map-side combinable, constant-sized output; at 100 TB
+    this is one shuffle of (user, day, type) count triples. The
+    fourth privacy diag, completing k-anonymity (class size),
+    l-diversity (sensitive variety), t-closeness (distribution
+    distance) with the calibration-side numbers."""
+    ev = load_events(spark, sf_dir)
+    contrib = ev.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86400000000.0))
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    ).groupBy("user_id", "day", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_in_cell")
+    )
+    per_user = contrib.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cells"),
+        F.sum("rows_in_cell").cast("bigint").alias("total_rows"),
+        F.max("rows_in_cell").cast("bigint").alias("max_cell_rows"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.max("cells").cast("bigint").alias("l0_sensitivity"),
+        F.max("max_cell_rows").cast("bigint").alias("linf_sensitivity"),
+        F.max("total_rows").cast("bigint").alias("l1_sensitivity"),
+    )

@@ -5628,3 +5628,59 @@ def sim_range_search(spark, sf_dir):
     return similarity.lsh_range_search(
         emb, list(range(25)), threshold=0.3, num_planes=_lsh_planes(emb)
     )
+
+
+@register(
+    "dedup_token_sort",
+    """
+WITH norm AS (
+  SELECT doc_id, lang, source,
+         md5(array_to_string(
+           list_sort(regexp_split_to_array(lower(text), '\\s+')), ' ')) AS h
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, source, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY h) AS group_sz
+  FROM norm
+)
+SELECT doc_id, lang, source,
+       CAST(group_sz AS BIGINT) AS group_sz,
+       rn = 1 AS keep
+FROM ranked
+""",
+)
+def dedup_token_sort(spark, sf_dir):
+    """Token-sort exact dedup — the fuzzywuzzy token_sort_ratio == 1
+    case as a pure hash groupBy: lowercase, tokenize, SORT the
+    tokens, hash. Catches word-order shuffles of the same bag of
+    words (template re-orderings, shuffled boilerplate) that
+    dedup_normalized's character normalization can't, while staying
+    candidate-free — the cheap rung between normalized-exact and
+    MinHash in the cascade. Token sort is binary-collation in both
+    engines (ascii-lowercased tokens), so the fingerprints agree
+    byte for byte. Same output contract as dedup_normalized
+    (keep-smallest-id, group size for audit); same scale shape: one
+    shuffle on the 32-byte hash, windows over hash-partitioned
+    groups bounded by duplicate multiplicity, never the corpus."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(
+        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), r"\s+")), " ")
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.count(F.lit(1))
+            .over(W.partitionBy("h"))
+            .cast("bigint")
+            .alias("group_sz"),
+            (F.row_number().over(w) == 1).alias("keep"),
+            "h",
+        )
+        .select("doc_id", "lang", "source", "group_sz", "keep")
+    )
