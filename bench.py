@@ -136,7 +136,8 @@ HEADLINE += [
     "text_readability", "pipe_paragraph_dedup", "pipe_temperature_mix",
     "pipe_kfold_stratified", "sim_range_search", "graph_reciprocity",
     "graph_modularity", "dedup_token_sort", "evt_markov_stationary",
-    "diag_dp_sensitivity",
+    "diag_dp_sensitivity", "win_bollinger", "win_rsi",
+    "agg_winsorized_mean",
 ]
 
 

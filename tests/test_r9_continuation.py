@@ -366,3 +366,70 @@ def test_token_sort_catches_reorderings(spark, tmp_path):
     assert got[0].keep and got[0].group_sz == 2
     assert not got[1].keep and got[1].group_sz == 2
     assert got[2].keep and got[2].group_sz == 1
+
+
+# ----------------------------------- wave 3: bollinger / rsi / winsor
+
+
+def test_multi_sums_match_single_sums(spark):
+    from wsprnet_scraper_spark.operators.frames import (
+        trailing_frame_multi_sums,
+        trailing_frame_sums,
+    )
+
+    rows = [("a", t * 3 % 17, t, (t * 7) % 13 - 6) for t in range(40)]
+    df = spark.createDataFrame(
+        [Row(s=s, t=t, tb=tb, v=v) for s, t, tb, v in rows]
+    ).withColumn("v2", F.col("v") * F.col("v"))
+    multi = {
+        (r.s, r.t, r.tb): (r.rn, r.c, r.s_v, r.s_v2)
+        for r in trailing_frame_multi_sums(
+            df, "s", "t", "tb", ["v", "v2"], k=5, block_us=7
+        ).collect()
+    }
+    single = {
+        (r.s, r.t, r.tb): (r.rn, r.c, r.s0)
+        for r in trailing_frame_sums(
+            df, "s", "t", "tb", "v", k=5, block_us=7
+        ).collect()
+    }
+    assert set(multi) == set(single)
+    for key, (rn, c, sv, _sv2) in multi.items():
+        assert (rn, c, sv) == single[key]
+
+
+def test_bollinger_constant_series_zero_width(spark, tmp_path):
+    sf = _write_events(tmp_path, [4.0] * 25)
+    for r in QUERIES["win_bollinger"](spark, sf).collect():
+        assert r.mid == 400.0
+        assert r.upper_band == 400.0 and r.lower_band == 400.0
+
+
+def test_rsi_monotone_series_pegs_at_100(spark, tmp_path):
+    # strictly increasing -> all deltas positive -> RSI = 100;
+    # strictly decreasing -> RSI = 0
+    up, down = tmp_path / "up", tmp_path / "down"
+    up.mkdir(), down.mkdir()
+    sf = _write_events(up, [float(i) for i in range(30)])
+    rows = QUERIES["win_rsi"](spark, sf).collect()
+    assert rows and all(r.rsi14 == 100.0 for r in rows)
+    sf2 = _write_events(down, [float(60 - i) for i in range(30)])
+    rows2 = QUERIES["win_rsi"](spark, sf2).collect()
+    assert rows2 and all(r.rsi14 == 0.0 for r in rows2)
+
+
+def test_winsorized_mean_between_min_and_max(spark):
+    rows = QUERIES["agg_winsorized_mean"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.lo_cut <= r.hi_cut
+        assert r.lo_cut <= r.winsorized_mean <= r.hi_cut
+
+
+def test_winsorized_mean_clamps_outlier(spark, tmp_path):
+    # 19 copies of 10.0 and one 1000.0: p95 cut lands on 10.0 ->
+    # the outlier clamps and the winsorized mean is exactly 1000c
+    sf = _write_events(tmp_path, [10.0] * 19 + [1000.0])
+    r = QUERIES["agg_winsorized_mean"](spark, sf).collect()[0]
+    assert r.lo_cut == 1000 and r.hi_cut == 1000
+    assert r.winsorized_mean == 1000.0

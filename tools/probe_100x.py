@@ -112,6 +112,9 @@ QUERIES_100X = [
     "dedup_token_sort",
     "evt_markov_stationary",
     "diag_dp_sensitivity",
+    "win_bollinger",
+    "win_rsi",
+    "agg_winsorized_mean",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

@@ -40,17 +40,20 @@ def _halo_blocks(
     series_col: str,
     time_col: str,
     tiebreak_col: str,
-    value_col: str,
+    value_col: str | list[str],
     k: int,
     block_us: int,
 ):
     """Shared steps 1–3 of the module recipe: returns (both, wf)
     where `both` is the big+halo relation carrying (series, _blk,
-    time, tiebreak, value, _rn, _halo) and `wf` is the
-    (series, _blk)-partitioned trailing-k frame over _rn. Both
-    public entry points (sums, arrays) run their own step-4
-    aggregate over this identical frame multiset."""
-    s, t, tb, v = series_col, time_col, tiebreak_col, value_col
+    time, tiebreak, value(s), _rn, _halo) and `wf` is the
+    (series, _blk)-partitioned trailing-k frame over _rn. The
+    public entry points (sums, multi-sums, arrays) each run their
+    own step-4 aggregate over this identical frame multiset.
+    `value_col` may be a list — every listed column rides the halo
+    rows, so one pass serves frames needing several measures."""
+    s, t, tb = series_col, time_col, tiebreak_col
+    vs = [value_col] if isinstance(value_col, str) else list(value_col)
     base = df.withColumn("_blk", F.expr(f"{t} div {block_us}"))
 
     wl = Window.partitionBy(s, "_blk").orderBy(t, tb)
@@ -73,7 +76,7 @@ def _halo_blocks(
     )
 
     tails = ranked.where(F.col("_lrn") > F.col("_cnt") - k).select(
-        s, F.col("_blk").alias("_src_blk"), t, tb, v, "_rn"
+        s, F.col("_blk").alias("_src_blk"), t, tb, *vs, "_rn"
     )
     starts = offsets.select(s, F.col("_blk").alias("_tgt_blk"), "_off")
     halo = tails.join(
@@ -87,13 +90,13 @@ def _halo_blocks(
         F.col("_tgt_blk").alias("_blk"),
         tails[t],
         tails[tb],
-        tails[v],
+        *[tails[v] for v in vs],
         F.col("_rn"),
         F.lit(True).alias("_halo"),
     )
 
     big = ranked.select(
-        s, "_blk", t, tb, v, "_rn", F.lit(False).alias("_halo")
+        s, "_blk", t, tb, *vs, "_rn", F.lit(False).alias("_halo")
     )
     both = big.unionByName(halo)
 
@@ -131,6 +134,35 @@ def trailing_frame_sums(
         F.sum(F.col(v) * F.col("_rn")).over(wf).alias("s1"),
         F.sum(v).over(wf).alias("s0"),
         F.count(F.lit(1)).over(wf).cast("bigint").alias("c"),
+    )
+    return out.where(~F.col("_halo")).drop("_halo")
+
+
+def trailing_frame_multi_sums(
+    df: DataFrame,
+    series_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    value_cols: list[str],
+    k: int = 19,
+    block_us: int = 6 * 3600 * 1_000_000,
+) -> DataFrame:
+    """df + (rn, c, s_<col> per value col): trailing ROWS BETWEEN k
+    PRECEDING AND CURRENT ROW sums of SEVERAL integral columns in one
+    block+halo pass — for frame statistics needing multiple measures
+    (Bollinger's Σx and Σx², RSI's Σδ and Σ|δ|) where running the
+    single-sum helper per measure would pay the exchange repeatedly."""
+    s, t, tb = series_col, time_col, tiebreak_col
+    both, wf = _halo_blocks(df, s, t, tb, value_cols, k, block_us)
+    out = both.select(
+        s,
+        t,
+        tb,
+        *value_cols,
+        F.col("_rn").alias("rn"),
+        "_halo",
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("c"),
+        *[F.sum(v).over(wf).alias(f"s_{v}") for v in value_cols],
     )
     return out.where(~F.col("_halo")).drop("_halo")
 

@@ -3805,3 +3805,262 @@ def diag_dp_sensitivity(spark, sf_dir):
         F.max("max_cell_rows").cast("bigint").alias("linf_sensitivity"),
         F.max("total_rows").cast("bigint").alias("l1_sensitivity"),
     )
+
+
+@register(
+    "win_bollinger",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+f AS (
+  SELECT event_id,
+    SUM(cents) OVER w AS s0,
+    SUM(cents * cents) OVER w AS s2,
+    CAST(COUNT(*) OVER w AS BIGINT) AS c
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+  CAST(s0 AS DOUBLE) / CAST(c AS DOUBLE) AS mid,
+  CAST(s0 AS DOUBLE) / CAST(c AS DOUBLE)
+    + 2.0 * sqrt(CAST(c * s2 - s0 * s0 AS DOUBLE) / CAST(c * c AS DOUBLE))
+    AS upper_band,
+  CAST(s0 AS DOUBLE) / CAST(c AS DOUBLE)
+    - 2.0 * sqrt(CAST(c * s2 - s0 * s0 AS DOUBLE) / CAST(c * c AS DOUBLE))
+    AS lower_band
+FROM f
+""",
+)
+def win_bollinger(spark, sf_dir):
+    """Bollinger bands (trailing-20 mean ± 2 population std) per
+    event type — the volatility envelope under band-breakout anomaly
+    rules; the dispersion sibling of win_weighted_ma's level smoother.
+
+    Exactness: BOTH frame statistics are integer sums (Σx, Σx² on
+    cents) from ONE block+halo pass (the new trailing_frame_multi_
+    sums — one exchange serves both measures), the variance is the
+    all-integer moment identity (c·Σx² − (Σx)²)/c² with the subtraction
+    done in exact integers (nonnegative by Cauchy-Schwarz), and the
+    only float ops are the final fixed-shape division, the IEEE-
+    correctly-rounded sqrt, and one multiply-add per band — written
+    identically in both engines. The plain single-window oracle
+    proves the blocked plan bit-identical, win_weighted_ma's
+    contract."""
+    from ..operators.frames import trailing_frame_multi_sums
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("c2", F.col("cents") * F.col("cents"))
+    f = trailing_frame_multi_sums(
+        t, "event_type", "us", "event_id", ["cents", "c2"], k=19
+    )
+    mid = F.col("s_cents").cast("double") / F.col("c").cast("double")
+    sd = F.sqrt(
+        (F.col("c") * F.col("s_c2") - F.col("s_cents") * F.col("s_cents"))
+        .cast("double")
+        / (F.col("c") * F.col("c")).cast("double")
+    )
+    return f.select(
+        "event_id",
+        mid.alias("mid"),
+        (mid + F.lit(2.0) * sd).alias("upper_band"),
+        (mid - F.lit(2.0) * sd).alias("lower_band"),
+    )
+
+
+@register(
+    "win_rsi",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+d AS (
+  SELECT event_type, us, event_id,
+    cents - lag(cents) OVER (PARTITION BY event_type ORDER BY us, event_id)
+      AS delta
+  FROM t
+),
+dd AS (SELECT event_type, us, event_id, delta, abs(delta) AS adelta
+       FROM d WHERE delta IS NOT NULL),
+f AS (
+  SELECT event_id,
+    SUM(delta) OVER w AS sd,
+    SUM(adelta) OVER w AS sad,
+    CAST(COUNT(*) OVER w AS BIGINT) AS c
+  FROM dd
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id,
+  CAST(50 * (sad + sd) AS DOUBLE) / CAST(NULLIF(sad, 0) AS DOUBLE) AS rsi14
+FROM f WHERE c = 14
+""",
+)
+def win_rsi(spark, sf_dir):
+    """14-period Relative Strength Index per event type — the classic
+    momentum oscillator (Wilder 1978, cut-based form): the fraction
+    of absolute movement that was upward over the trailing 14 deltas,
+    scaled to [0, 100]. Flat windows (Σ|δ| = 0) are NULL via the same
+    nullif guard both engines evaluate identically.
+
+    The algebra stays integer to the last step: with Σδ and Σ|δ|
+    trailing sums, gains = (Σ|δ| + Σδ)/2 and RSI = 100·gains/Σ|δ| =
+    50·(Σ|δ| + Σδ)/Σ|δ| — one bigint product, one double division.
+    Plan: deltas come from the k=1 trailing_frame_arrays pass (a lag
+    is a 2-row frame — same halo machinery, so even the lag never
+    single-tasks a fat series), and both 14-row sums share ONE
+    trailing_frame_multi_sums exchange. The oracle states the plain
+    lag + single-window form; the gate proves the two-pass blocked
+    plan equals it bit for bit."""
+    from ..operators.frames import (
+        trailing_frame_arrays,
+        trailing_frame_multi_sums,
+    )
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    a = trailing_frame_arrays(t, "event_type", "us", "event_id", "cents", k=1)
+    d = (
+        a.where(F.size("arr") == 2)
+        .select(
+            "event_type",
+            "us",
+            "event_id",
+            (F.element_at("arr", 2) - F.element_at("arr", 1)).alias("delta"),
+        )
+        .withColumn("adelta", F.abs(F.col("delta")))
+    )
+    f = trailing_frame_multi_sums(
+        d, "event_type", "us", "event_id", ["delta", "adelta"], k=13
+    )
+    return f.where(F.col("c") == 14).select(
+        "event_id",
+        (
+            (F.lit(50).cast("bigint") * (F.col("s_adelta") + F.col("s_delta")))
+            .cast("double")
+            / F.nullif(F.col("s_adelta"), F.lit(0).cast("bigint")).cast(
+                "double"
+            )
+        ).alias("rsi14"),
+    )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents FROM events
+),
+pp AS (
+  SELECT event_type, cents, CAST(count(*) AS BIGINT) AS cnt
+  FROM t GROUP BY event_type, cents
+),
+cum AS (
+  SELECT event_type, cents, cnt,
+    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+    SUM(cnt) OVER (PARTITION BY event_type) AS n
+  FROM pp
+),
+cuts AS (
+  SELECT event_type,
+    MIN(CASE WHEN 20 * cw >= n THEN cents END) AS lo_cut,
+    MIN(CASE WHEN 20 * cw >= 19 * n THEN cents END) AS hi_cut,
+    CAST(MIN(n) AS BIGINT) AS n
+  FROM cum GROUP BY event_type
+),
+cl AS (
+  SELECT p.event_type, c.n, c.lo_cut, c.hi_cut,
+    SUM(p.cnt * greatest(c.lo_cut, least(p.cents, c.hi_cut))) AS s
+  FROM pp p JOIN cuts c ON c.event_type = p.event_type
+  GROUP BY p.event_type, c.n, c.lo_cut, c.hi_cut
+)
+SELECT event_type, n, lo_cut, hi_cut,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS winsorized_mean
+FROM cl
+""",
+)
+def agg_winsorized_mean(spark, sf_dir):
+    """5%-winsorized mean per event type — the robust location
+    estimate between the raw mean (outlier-dragged) and the median
+    (throws information away): values below the exact p05 / above the
+    exact p95 are CLAMPED to the cut, not dropped. Cuts are rank-
+    defined (smallest value whose cumulative count reaches the
+    quantile — the agg_median_exact discipline: 20·cum ≥ n in pure
+    integers, no interpolation, no doubles), so both engines pick
+    identical cut values; the clamped sum is an exact integer and the
+    single division at the end is bit-stable.
+
+    Scale: the fact table reduces to (type, cents) counts first — a
+    map-side-combinable groupBy whose output is DOMAIN-bounded (cents
+    values, not rows), so the quantile windows run over a relation
+    that stops growing with the corpus (agg_weighted_median_blocked's
+    argument); the cuts broadcast back and the clamp+sum is a second
+    map-side aggregate."""
+    ev = load_events(spark, sf_dir)
+    pp = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy("event_type")
+    cum = pp.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    cuts = cum.groupBy("event_type").agg(
+        F.min(F.when(20 * F.col("cw") >= F.col("n"), F.col("cents"))).alias(
+            "lo_cut"
+        ),
+        F.min(
+            F.when(20 * F.col("cw") >= 19 * F.col("n"), F.col("cents"))
+        ).alias("hi_cut"),
+        F.min("n").cast("bigint").alias("n"),
+    )
+    cl = (
+        pp.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type", "n", "lo_cut", "hi_cut")
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.greatest(
+                    F.col("lo_cut"), F.least(F.col("cents"), F.col("hi_cut"))
+                )
+            ).alias("s")
+        )
+    )
+    return cl.select(
+        "event_type",
+        "n",
+        "lo_cut",
+        "hi_cut",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "winsorized_mean"
+        ),
+    )
