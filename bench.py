@@ -137,7 +137,7 @@ HEADLINE += [
     "pipe_kfold_stratified", "sim_range_search", "graph_reciprocity",
     "graph_modularity", "dedup_token_sort", "evt_markov_stationary",
     "diag_dp_sensitivity", "win_bollinger", "win_rsi",
-    "agg_winsorized_mean",
+    "agg_winsorized_mean", "diag_ivf_balance", "strm_changepoint_monitor",
 ]
 
 

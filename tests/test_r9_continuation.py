@@ -433,3 +433,31 @@ def test_winsorized_mean_clamps_outlier(spark, tmp_path):
     r = QUERIES["agg_winsorized_mean"](spark, sf).collect()[0]
     assert r.lo_cut == 1000 and r.hi_cut == 1000
     assert r.winsorized_mean == 1000.0
+
+
+# --------------------------- wave 4: ivf balance / stream cusum
+
+
+def test_ivf_balance_accounting(spark):
+    rows = QUERIES["diag_ivf_balance"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    imb = rows[0].imbalance
+    assert all(r.imbalance == imb for r in rows)
+    assert imb >= 1.0  # k*Σn²/N² >= 1 by Cauchy-Schwarz
+    n = sum(r.n_vecs for r in rows)
+    assert imb == len(rows) * sum(r.n_vecs**2 for r in rows) / n / n
+
+
+def test_stream_cusum_matches_reference(spark, tmp_path):
+    # corpus (ids % 10 != 0) flat at 10.0 -> ref_q = 1e6 * 1000;
+    # batch slice (ids % 10 == 0) drifts to 20.0 -> G grows linearly
+    values = [10.0 if i % 10 else 20.0 for i in range(100)]
+    sf = _write_events(tmp_path, values)
+    got = sorted(
+        (r.t_idx, r.g)
+        for r in QUERIES["strm_changepoint_monitor"](spark, sf).collect()
+    )
+    # batch events all have cents 2000, ref_q = 1000 * 1e6:
+    # G_t = 1e6 * 2000t - t * 1e9 = 1e9 * t
+    assert got == [(t, 10**9 * t) for t in range(1, 11)]

@@ -115,6 +115,8 @@ QUERIES_100X = [
     "win_bollinger",
     "win_rsi",
     "agg_winsorized_mean",
+    "diag_ivf_balance",
+    "strm_changepoint_monitor",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

@@ -2346,3 +2346,25 @@ def lsh_range_search(
         ).alias("cosine"),
     )
     return scored.where(F.col("cosine") >= F.lit(threshold))
+
+
+def ivf_cells(
+    emb: DataFrame,
+    num_centroids: int = 8,
+    iters: int = 2,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """(vec_id, cell): the IVF coarse-quantizer assignment exactly as
+    ivf_topk(trained=True) serves it — trained codebook inlined as
+    literal arrays, assignment a pure zero-shuffle projection, ties
+    to the lowest centroid id. Split out so index DIAGNOSTICS
+    (cell-balance audits) share the serving path's assignment bit for
+    bit instead of re-deriving it."""
+    cents = train_kmeans_codebook(emb, num_centroids, iters, cache_key)
+    ranked = _argmax_cell(F.col("v"), F.col("n2"), cents)
+    cell = (-F.element_at(ranked, 1)["negc"]).cast("long")
+    return (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .select("vec_id", cell.alias("cell"))
+    )

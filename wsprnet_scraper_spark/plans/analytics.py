@@ -4064,3 +4064,174 @@ def agg_winsorized_mean(spark, sf_dir):
             "winsorized_mean"
         ),
     )
+
+
+@register(
+    "strm_changepoint_monitor",
+    """
+WITH t AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+ref AS (
+  SELECT event_type,
+         CAST((1000000 * SUM(cents)) // COUNT(*) AS BIGINT) AS ref_q
+  FROM t WHERE event_id % 10 <> 0 GROUP BY event_type
+),
+b AS (SELECT event_type, us, event_id, cents FROM t WHERE event_id % 10 = 0),
+p AS (
+  SELECT event_type, event_id,
+    CAST(ROW_NUMBER() OVER w AS BIGINT) AS t_idx,
+    SUM(cents) OVER (PARTITION BY event_type ORDER BY us, event_id
+                     ROWS UNBOUNDED PRECEDING) AS ps
+  FROM b
+  WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+)
+SELECT p.event_id, p.event_type, p.t_idx,
+       CAST(1000000 * p.ps - p.t_idx * r.ref_q AS BIGINT) AS g
+FROM p JOIN ref r ON r.event_type = p.event_type
+""",
+)
+def strm_changepoint_monitor(spark, sf_dir):
+    """Streaming CUSUM drift monitor as a REAL stream —
+    agg_cusum_changepoint's online twin: the standing corpus
+    (event_id % 10 <> 0) calibrates a quantized per-type reference
+    mean ref_q = (1e6·Σcents) // n; the arriving slice lands as two
+    time-ordered NDJSON files, a Structured Streaming file source
+    drains them one micro-batch each (maxFilesPerTrigger=1,
+    availableNow), and every micro-batch extends each series' running
+    (count, sum) state to emit the exact cumulative drift statistic
+    G_t = 1e6·ps_t − t·ref_q per event. Because state carries across
+    batch boundaries, the emitted G_t are INDEPENDENT of where the
+    micro-batch cuts fall — the oracle replays the whole computation
+    as one batch window and the gate proves the equality. (The batch
+    entry finds the argmax against the series' own mean — two-pass,
+    batch-only; a monitor tracks drift against a calibrated reference
+    online, which is the standard production split.)
+
+    State is per-type (count, sum) scalars held on the driver —
+    k-bounded by the type cardinality, the GapMonitor precedent (a
+    production monitor holds exactly these registers); per-batch
+    aggregation collects only those k rows. Integer bounds: 1e6·ps
+    and t·ref_q stay under 2^63 through ~1e5-row slices of 1e5-cent
+    values; the DECIMAL(19,0) dial of the batch entry applies if a
+    deployment monitors beyond that. The landing-file generation
+    collects the batch fixture to control micro-batch order — test
+    scaffolding; production batches arrive from the fetcher as
+    files."""
+    import atexit
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="wspr_cpstrm_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing, results, ckpt = (
+        f"{work}/landing", f"{work}/results", f"{work}/ckpt"
+    )
+    os.makedirs(landing)
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    is_batch = F.col("event_id") % 10 == 0
+    ref_rows = (
+        t.filter(~is_batch)
+        .groupBy("event_type")
+        .agg(
+            F.expr("(1000000 * sum(cents)) div count(*)")
+            .cast("bigint")
+            .alias("ref_q")
+        )
+        .collect()
+    )
+    ref = {r["event_type"]: int(r["ref_q"]) for r in ref_rows}
+
+    rows = sorted(
+        (int(r["us"]), int(r["event_id"]), r["event_type"], int(r["cents"]))
+        for r in t.filter(is_batch).collect()
+    )
+    halves = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    for i, part in enumerate(halves):
+        path = f"{landing}/batch-{i:03d}.json"
+        with open(path, "w") as fh:
+            for us, eid, etype, cents in part:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "us": us,
+                            "event_id": eid,
+                            "event_type": etype,
+                            "cents": cents,
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    spark.createDataFrame(
+        [], "event_id bigint, event_type string, t_idx bigint, g bigint"
+    ).write.mode("overwrite").parquet(results)
+
+    state: dict = {}  # event_type -> (t_off, s_off)
+
+    def monitor_batch(bdf, bid):
+        off = spark.createDataFrame(
+            [
+                (et, state.get(et, (0, 0))[0], state.get(et, (0, 0))[1], rq)
+                for et, rq in ref.items()
+            ],
+            "event_type string, t_off bigint, s_off bigint, ref_q bigint",
+        )
+        wn = W.partitionBy("event_type").orderBy("us", "event_id")
+        wl = wn.rowsBetween(W.unboundedPreceding, W.currentRow)
+        local = bdf.select(
+            "event_type",
+            "us",
+            "event_id",
+            F.row_number().over(wn).cast("bigint").alias("_lrn"),
+            F.sum("cents").over(wl).alias("_lps"),
+        )
+        out = local.join(F.broadcast(off), "event_type").select(
+            "event_id",
+            "event_type",
+            (F.col("t_off") + F.col("_lrn")).alias("t_idx"),
+            (
+                F.lit(1000000).cast("bigint")
+                * (F.col("s_off") + F.col("_lps"))
+                - (F.col("t_off") + F.col("_lrn")) * F.col("ref_q")
+            ).cast("bigint").alias("g"),
+        )
+        out.write.mode("append").parquet(results)
+        for r in (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("dn"),
+                F.sum("cents").cast("bigint").alias("ds"),
+            )
+            .collect()
+        ):
+            t0, s0 = state.get(r["event_type"], (0, 0))
+            state[r["event_type"]] = (t0 + int(r["dn"]), s0 + int(r["ds"]))
+
+    q = (
+        spark.readStream.schema(
+            "us long, event_id long, event_type string, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(landing)
+        .writeStream.foreachBatch(monitor_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(results).select(
+        "event_id", "event_type", "t_idx", "g"
+    )

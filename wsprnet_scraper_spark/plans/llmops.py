@@ -5684,3 +5684,71 @@ def dedup_token_sort(spark, sf_dir):
         )
         .select("doc_id", "lang", "source", "group_sz", "keep")
     )
+
+
+@register(
+    "diag_ivf_balance",
+    f"""
+WITH {_COS_SQL.replace("scored AS", "scored_unused AS").strip()},
+{_KMEANS_SQL.strip()},
+cents AS (SELECT cid, cv, cn2 FROM c2),
+sims AS (
+  SELECT b.vec_id, c.cid,
+    list_reduce(list_transform(list_zip(b.v, c.cv), z -> z[1] * z[2]), (a, x) -> a + x)
+      / (sqrt(b.n2) * sqrt(c.cn2)) AS sim
+  FROM base b CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+  FROM sims
+),
+cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+cc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM cells GROUP BY cell),
+tot AS (
+  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n,
+         CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cc
+)
+SELECT cell, n_vecs,
+       CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
+       CAST(k * s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS imbalance
+FROM cc, tot
+""",
+)
+def diag_ivf_balance(spark, sf_dir):
+    """IVF index-health audit: the per-cell population of the trained
+    coarse quantizer plus the global imbalance factor k·Σn²/N² (1.0 =
+    perfectly balanced; FAISS's imbalance_factor) — the number that
+    predicts IVF serving-latency variance, since probe cost follows
+    the probed cells' sizes. Shares the SERVING path's assignment bit
+    for bit (operators/similarity.ivf_cells — same trained codebook,
+    same fold, same lowest-cid ties as sim_ivf), so the audit
+    measures the index actually served, not a re-derivation. Counts
+    are integers; share and imbalance are single fixed-shape double
+    divisions. Scale: assignment is the zero-shuffle projection;
+    everything after runs on k rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    cells = similarity.ivf_cells(
+        emb, num_centroids=8, iters=2, cache_key=sf_dir
+    )
+    cc = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = cc.agg(
+        F.sum("n_vecs").cast("bigint").alias("n"),
+        F.sum(F.col("n_vecs") * F.col("n_vecs")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return cc.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        (F.col("n_vecs").cast("double") / F.col("n").cast("double")).alias(
+            "share"
+        ),
+        (
+            (F.col("k") * F.col("s2")).cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+        ).alias("imbalance"),
+    )
