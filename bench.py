@@ -138,6 +138,7 @@ HEADLINE += [
     "graph_modularity", "dedup_token_sort", "evt_markov_stationary",
     "diag_dp_sensitivity", "win_bollinger", "win_rsi",
     "agg_winsorized_mean", "diag_ivf_balance", "strm_changepoint_monitor",
+    "agg_seasonality_strength", "evt_time_to_convert",
 ]
 
 

@@ -461,3 +461,45 @@ def test_stream_cusum_matches_reference(spark, tmp_path):
     # batch events all have cents 2000, ref_q = 1000 * 1e6:
     # G_t = 1e6 * 2000t - t * 1e9 = 1e9 * t
     assert got == [(t, 10**9 * t) for t in range(1, 11)]
+
+
+# ------------------------- wave 5: seasonality / time-to-convert
+
+
+def test_seasonality_strength_flat_series_is_null_or_high(spark, tmp_path):
+    # value determined ENTIRELY by the hour (hour parity): strength 1
+    n = 48 * 60
+    vals = []
+    base = dt.datetime(2024, 1, 1)
+    import pyarrow as _pa
+
+    hours = [(base + dt.timedelta(minutes=i)).hour for i in range(n)]
+    vals = [100.0 if h % 2 == 0 else 200.0 for h in hours]
+    sf = _write_events(tmp_path, vals)
+    r = QUERIES["agg_seasonality_strength"](spark, sf).collect()[0]
+    assert r.ss_within == 0.0 and r.seasonality_strength == 1.0
+
+
+def test_time_to_convert_reference(spark, tmp_path):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "view"),
+        (1, base + dt.timedelta(seconds=90), 1, "purchase"),
+        (2, base, 2, "purchase"),  # purchase BEFORE any view
+        (3, base + dt.timedelta(seconds=5), 2, "view"),
+        (4, base, 3, "view"),  # never purchases
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    got = QUERIES["evt_time_to_convert"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].user_id == 1 and got[0].latency_s == 90

@@ -117,6 +117,8 @@ QUERIES_100X = [
     "agg_winsorized_mean",
     "diag_ivf_balance",
     "strm_changepoint_monitor",
+    "agg_seasonality_strength",
+    "evt_time_to_convert",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

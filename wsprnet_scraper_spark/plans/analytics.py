@@ -4235,3 +4235,164 @@ def strm_changepoint_monitor(spark, sf_dir):
     return spark.read.parquet(results).select(
         "event_id", "event_type", "t_idx", "g"
     )
+
+
+@register(
+    "agg_seasonality_strength",
+    """
+WITH t AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+per_h AS (
+  SELECT event_type, h,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(SUM(cents) AS BIGINT) AS sh,
+         CAST(SUM(cents * cents) AS BIGINT) AS qh
+  FROM t GROUP BY event_type, h
+),
+terms AS (
+  SELECT event_type, h, nh, sh, qh,
+         CAST(nh * qh - sh * sh AS DOUBLE) / CAST(nh AS DOUBLE) AS w_term
+  FROM per_h
+),
+folded AS (
+  SELECT event_type,
+         CAST(SUM(nh) AS BIGINT) AS n,
+         CAST(SUM(sh) AS BIGINT) AS s,
+         CAST(SUM(qh) AS BIGINT) AS q,
+         list_reduce(list(w_term ORDER BY h), (a, b) -> a + b) AS ss_within
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n, ss_within,
+       CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE) AS ss_total,
+       1.0 - ss_within
+         / nullif(CAST(n * q - s * s AS DOUBLE) / CAST(n AS DOUBLE), 0.0)
+         AS seasonality_strength
+FROM folded
+""",
+)
+def agg_seasonality_strength(spark, sf_dir):
+    """Hour-of-day seasonality strength per event type — Hyndman's
+    forecasting diagnostic 1 − SS_within/SS_total: how much of the
+    series' variance the daily profile explains (0: no daily pattern;
+    near 1: the hour determines the value). The number that decides
+    whether a capacity model needs the seasonal term that
+    agg_dow_hour_heatmap only displays.
+
+    Exactness discipline for a sum of 24 rational terms: each
+    hour-slot's within-variance is the all-integer moment form
+    (n_h·Q_h − s_h²)/n_h — ONE double division per slot — and the
+    cross-slot sum runs as an h-ORDERED fold (collect over the
+    24-bounded slot relation, array_sort, left fold), because a plain
+    double SUM would be accumulation-order-sensitive. DuckDB's
+    first-element-seeded list_reduce and Spark's 0.0-seeded aggregate
+    agree bit for bit on finite doubles (0.0 + x == x) — the _dot
+    parity argument. Scale: one map-side-combinable groupBy reduces
+    the fact table to ≤ 24·|types| rows; everything after is
+    slot-relation arithmetic."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_type",
+        ((F.unix_micros("ts") / F.lit(3600000000)).cast("bigint") % 24).alias(
+            "h"
+        ),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per_h = t.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("cents").cast("bigint").alias("sh"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("qh"),
+    )
+    terms = per_h.withColumn(
+        "w_term",
+        (F.col("nh") * F.col("qh") - F.col("sh") * F.col("sh")).cast("double")
+        / F.col("nh").cast("double"),
+    )
+    folded = terms.groupBy("event_type").agg(
+        F.sum("nh").cast("bigint").alias("n"),
+        F.sum("sh").cast("bigint").alias("s"),
+        F.sum("qh").cast("bigint").alias("q"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "w_term"))),
+                lambda x: x["w_term"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("ss_within"),
+    )
+    ss_total = (
+        F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / F.col("n").cast("double")
+    return folded.select(
+        "event_type",
+        "n",
+        "ss_within",
+        ss_total.alias("ss_total"),
+        (
+            F.lit(1.0)
+            - F.col("ss_within") / F.nullif(ss_total, F.lit(0.0))
+        ).alias("seasonality_strength"),
+    )
+
+
+@register(
+    "evt_time_to_convert",
+    """
+WITH t AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+),
+fv AS (
+  SELECT user_id, MIN(us) AS first_view_us
+  FROM t WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT t.user_id, MIN(t.us) AS first_purchase_us
+  FROM t JOIN fv ON fv.user_id = t.user_id
+  WHERE t.event_type = 'purchase' AND t.us >= fv.first_view_us
+  GROUP BY t.user_id
+)
+SELECT fv.user_id, fv.first_view_us, fp.first_purchase_us,
+       CAST((fp.first_purchase_us - fv.first_view_us) // 1000000 AS BIGINT)
+         AS latency_s
+FROM fv JOIN fp ON fp.user_id = fv.user_id
+""",
+)
+def evt_time_to_convert(spark, sf_dir):
+    """View-to-purchase conversion latency per user — the funnel
+    TIMING relation evt_funnel's stage counts can't express: first
+    'view', then the first 'purchase' AT OR AFTER it, latency in
+    whole seconds (floor division — exact integers end to end; both
+    engines floor on nonnegative epochs identically). Users who never
+    view, or never purchase after viewing, drop out via the inner
+    joins — the conversion cohort, not the population.
+
+    Scale: two user-keyed aggregates and one user-keyed join — all
+    hash-partitioned on user_id with map-side partial mins; no
+    windows, nothing time-sorted globally. Downstream percentile
+    analysis composes with agg_median_exact / agg_equidepth_hist."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    fv = (
+        t.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_view_us"))
+    )
+    fp = (
+        t.where(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .where(F.col("us") >= F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("first_purchase_us"))
+    )
+    return fv.join(fp, "user_id").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.expr("(first_purchase_us - first_view_us) div 1000000")
+        .cast("bigint")
+        .alias("latency_s"),
+    )
