@@ -954,32 +954,41 @@ def graph_reciprocity(spark, sf_dir):
     derivations are parity-disjoint by construction ((even,odd) vs
     (odd,even)), so the union needs no dedup pass.
 
-    Scale: both derivations are the same orders x lineitem hash join
-    the rest of the graph family amortizes; the mutual count is ONE
+    Scale: the directed edge relation flows through the shared
+    materialized front door (kind "recip_directed") because THREE
+    consumers scan it (the degree count and both sides of the mutual
+    self-join) — inlining the derivation re-ran the orders x lineitem
+    join four times (12 FileScans in the executed plan; the write-
+    once parquet makes it one build + three columnar scans, the
+    module's standard amortization). The mutual count is ONE
     self-join keyed (src,dst)=(dst,src) — hash-partitioned on the
     composite key, never broadcast (the edge relation is corpus-
     sized) — and the degree/mutual aggregates are map-side
     combinable. One final double division per node."""
-    o = load(spark, sf_dir, "orders", parallel="never")
-    li = load(spark, sf_dir, "lineitem", parallel="never")
-    j = o.join(li, o.o_orderkey == li.l_orderkey)
-    fwd = (
-        j.where(F.col("l_returnflag") != "R")
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+
+    def build():
+        o = load(spark, sf_dir, "orders", parallel="never")
+        li = load(spark, sf_dir, "lineitem", parallel="never")
+        j = o.join(li, o.o_orderkey == li.l_orderkey)
+        fwd = (
+            j.where(F.col("l_returnflag") != "R")
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    rev = (
-        j.where(F.col("l_returnflag") == "R")
-        .select(
-            (F.col("l_suppkey") * 2 + 1).alias("src"),
-            (F.col("o_custkey") * 2).alias("dst"),
+        rev = (
+            j.where(F.col("l_returnflag") == "R")
+            .select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("o_custkey") * 2).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    de = fwd.unionByName(rev)
+        return fwd.unionByName(rev)
+
+    de = _materialized_edges(spark, sf_dir, "recip_directed", build)
     deg = de.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("out_deg")
     )

@@ -5431,18 +5431,19 @@ def pipe_paragraph_dedup(spark, sf_dir):
     chunks degrade to '' instead of vanishing — the left join keeps
     the row).
 
-    Scale: chunking is a per-row explode (no shuffle); the winner
-    pass is ONE groupBy on the chunk hash shuffling (hash, key)
-    pairs — never the chunk text twice, since survivors rejoin on the
-    hash; reassembly is a doc-keyed groupBy whose collect is bounded
-    by the document's own chunk count. All corpus-sized exchanges are
-    keyed hash shuffles — nothing broadcast, nothing all-pairs."""
+    Scale: ONE scan of the corpus (the former groupBy-winner + semi-
+    join + separate totals pass re-chunked the documents three times —
+    three FileScans in the executed plan; the min-key winner is now a
+    window over the chunk-hash partition, so the same chunk relation
+    flows straight into the doc-keyed reassembly): two keyed hash
+    exchanges total (by chunk hash, then by doc), nothing broadcast,
+    nothing all-pairs. collect_list skips the NULLed dropped chunks,
+    so fully-deduped docs reassemble to '' without a left join."""
     d = load(spark, sf_dir, "documents", parallel="always")
     tk = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("tk"))
     nch = ((F.size("tk") + F.lit(29)) / F.lit(30)).cast("bigint")
     chunks = tk.select(
         "doc_id",
-        F.size("tk").alias("_n"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0).cast("bigint"), nch - 1),
@@ -5458,28 +5459,28 @@ def pipe_paragraph_dedup(spark, sf_dir):
         (F.col("doc_id") * F.lit(1048576) + F.col("idx")).alias("key"),
         F.md5(F.col("chunk")).alias("h"),
     )
-    win = chunks.groupBy("h").agg(F.min("key").alias("mk"))
-    surv = chunks.join(win, "h").where(F.col("key") == F.col("mk"))
-    tot = tk.select("doc_id", nch.alias("total_chunks"))
-    agg = surv.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("kept_chunks"),
+    marked = chunks.withColumn(
+        "mk", F.min("key").over(W.partitionBy("h"))
+    ).withColumn("keep", F.col("key") == F.col("mk"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_chunks"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chunks"),
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(F.col("idx"), F.col("chunk")),
+                        )
+                    )
                 ),
                 lambda x: x["chunk"],
             ),
             " ",
         ).alias("text_dedup"),
-    )
-    return tot.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "total_chunks",
-        F.coalesce(F.col("kept_chunks"), F.lit(0).cast("bigint")).alias(
-            "kept_chunks"
-        ),
-        F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
     )
 
 
