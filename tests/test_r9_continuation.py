@@ -503,3 +503,36 @@ def test_time_to_convert_reference(spark, tmp_path):
     got = QUERIES["evt_time_to_convert"](spark, str(tmp_path)).collect()
     assert len(got) == 1
     assert got[0].user_id == 1 and got[0].latency_s == 90
+
+
+# ----------------------------------------------- plan-shape pins
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_paragraph_dedup_single_scan(spark):
+    # the r9c restructure: winner-by-window keeps ONE corpus scan
+    # (the groupBy+semi-join form re-chunked the documents 3x)
+    plan = _plan(QUERIES["pipe_paragraph_dedup"](spark, SF))
+    assert plan.count("FileScan") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_entries_no_cartesian(spark):
+    for name in [
+        "win_ewma", "win_bollinger", "win_rsi", "agg_cusum_changepoint",
+        "agg_winsorized_mean", "agg_seasonality_strength",
+        "diag_t_closeness", "diag_dp_sensitivity", "evt_markov_stationary",
+        "evt_time_to_convert", "pipe_temperature_mix",
+        "pipe_kfold_stratified", "dedup_token_sort", "text_readability",
+        "sim_range_search",
+    ]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_winsorized_cuts_are_broadcast(spark):
+    plan = _plan(QUERIES["agg_winsorized_mean"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
