@@ -3586,7 +3586,7 @@ cum AS (
 SELECT seg AS c_mktsegment, CAST(min(ng) AS BIGINT) AS n_g,
   CAST(SUM(abs(cg * n - cn * ng)) AS BIGINT) AS emd_scaled,
   CAST(SUM(abs(cg * n - cn * ng)) AS DOUBLE)
-    / CAST(min(ng) * min(n) * (min(k) - 1) AS DOUBLE) AS t_closeness
+    / CAST(min(ng) * min(n) * NULLIF(min(k) - 1, 0) AS DOUBLE) AS t_closeness
 FROM cum
 GROUP BY seg
 """,
@@ -3608,7 +3608,10 @@ def diag_t_closeness(spark, sf_dir):
     one grouped count keyed by (segment, band); everything after runs
     on the segments x bands grid — domain-bounded, never corpus-
     sized (the CROSS JOIN builds that grid from two k-bounded
-    aggregates, the census-sanctioned shape)."""
+    aggregates, the census-sanctioned shape). A single-band domain
+    (k = 1) makes t undefined — NULL via nullif in BOTH engines
+    (Spark's ANSI-off x/0 is NULL while DuckDB's is inf, so the guard
+    is the cross-engine contract, not cosmetics)."""
     cust = load(spark, sf_dir, "customer")
     b = cust.select(
         F.col("c_mktsegment").alias("seg"),
@@ -3646,7 +3649,11 @@ def diag_t_closeness(spark, sf_dir):
         emd.cast("bigint").alias("emd_scaled"),
         (
             emd.cast("double")
-            / (F.min("ng") * F.min("n") * (F.min("k") - 1)).cast("double")
+            / (
+                F.min("ng")
+                * F.min("n")
+                * F.nullif(F.min("k") - 1, F.lit(0).cast("bigint"))
+            ).cast("double")
         ).alias("t_closeness"),
     )
 
@@ -3709,7 +3716,13 @@ def evt_markov_stationary(spark, sf_dir):
     Scale: the fact-sized work is one user-partitioned lag window +
     one grouped count; everything after runs on the k x k transition
     relation (k = event types), broadcast through three k-bounded
-    joins — the census-sanctioned codebook shape."""
+    joins — the census-sanctioned codebook shape.
+
+    Precondition note (the pagerank-sink analog): a state that never
+    appears as a transition SOURCE absorbs mass that then leaves the
+    vector (no outgoing row to carry it). The oracle replays the same
+    recurrence, so the gate pins the behavior; on this corpus every
+    type transitions onward."""
     ev = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
     pairs = ev.select(
