@@ -536,3 +536,56 @@ def test_new_entries_no_cartesian(spark):
 def test_winsorized_cuts_are_broadcast(spark):
     plan = _plan(QUERIES["agg_winsorized_mean"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
+
+
+# --------------------- wave 6: seasonal outliers / hard negatives
+
+
+def test_seasonal_outlier_exact_boundary(spark, tmp_path):
+    # one 100.0 spike among 19 zeros in a single hour slot: the spike
+    # sits ~4.4 sigma out; the cleared-form integer rule must flag
+    # exactly the same set the python reference computes
+    vals = [0.0] * 19 + [100.0]   # all same hour (minutes apart)
+    sf = _write_events(tmp_path, vals)
+    rows = QUERIES["evt_seasonal_outliers"](spark, str(tmp_path)).collect()
+    cents = [0] * 19 + [10000]
+    n, s2, q = len(cents), sum(cents), sum(c * c for c in cents)
+    expect = {
+        i for i, c in enumerate(cents)
+        if (c * n - s2) ** 2 > 9 * (n * q - s2 * s2)
+    }
+    assert {r.event_id for r in rows} == expect
+    assert expect  # the 100s are > 3 sigma here
+
+
+def test_modality_coverage_full_on_testdata(spark):
+    r = QUERIES["diag_modality_coverage"](spark, SF).collect()[0]
+    assert r.matched <= min(r.n_docs, r.n_embeddings)
+    assert r.docs_without_embedding == r.n_docs - r.matched
+    assert r.coverage == r.matched / r.n_docs
+
+
+def test_hard_negatives_are_cross_label(spark):
+    from wsprnet_scraper_spark.sources import load
+
+    rows = QUERIES["sim_hard_negatives"](spark, SF).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: r["label"]
+        for r in load(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    for r in rows:
+        assert emb[r.vec_id] != emb[r.neg_id]
+        assert r.rn <= 2
+
+
+def test_url_canonical_collides_modulo_classes(spark):
+    rows = QUERIES["dedup_url_canonical"](spark, SF).collect()
+    by_curl = {}
+    for r in rows:
+        by_curl.setdefault(r.curl, []).append(r)
+    for curl, grp in by_curl.items():
+        assert "utm" not in curl and "ref=" not in curl and "?" not in curl
+        keeps = [r for r in grp if r.keep]
+        assert len(keeps) == 1
+        assert keeps[0].doc_id == min(r.doc_id for r in grp)

@@ -119,6 +119,10 @@ QUERIES_100X = [
     "strm_changepoint_monitor",
     "agg_seasonality_strength",
     "evt_time_to_convert",
+    "evt_seasonal_outliers",
+    "diag_modality_coverage",
+    "sim_hard_negatives",
+    "dedup_url_canonical",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

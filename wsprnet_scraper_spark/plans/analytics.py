@@ -4409,3 +4409,133 @@ def evt_time_to_convert(spark, sf_dir):
         .cast("bigint")
         .alias("latency_s"),
     )
+
+
+@register(
+    "evt_seasonal_outliers",
+    """
+WITH t AS (
+  SELECT event_id, event_type,
+         CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS h,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+slot AS (
+  SELECT event_type, h,
+         CAST(count(*) AS BIGINT) AS nh,
+         CAST(SUM(cents) AS BIGINT) AS sh,
+         CAST(SUM(cents * cents) AS BIGINT) AS qh
+  FROM t GROUP BY event_type, h
+)
+SELECT t.event_id, t.event_type, t.h, t.cents, s.nh
+FROM t JOIN slot s ON s.event_type = t.event_type AND s.h = t.h
+WHERE s.nh >= 2
+  AND CAST(t.cents * s.nh - s.sh AS DECIMAL(19,0))
+      * CAST(t.cents * s.nh - s.sh AS DECIMAL(19,0))
+    > 9 * (CAST(s.nh AS DECIMAL(19,0)) * CAST(s.qh AS DECIMAL(19,0))
+           - CAST(s.sh AS DECIMAL(19,0)) * CAST(s.sh AS DECIMAL(19,0)))
+""",
+)
+def evt_seasonal_outliers(spark, sf_dir):
+    """Seasonally-adjusted outlier flags: events more than 3
+    population standard deviations from their OWN (type, hour-of-day)
+    slot's mean — the anomaly rule that doesn't fire every morning
+    peak the way a global z-score does (agg_zscore_outliers'
+    calendar-aware sibling, composing agg_seasonality_strength's slot
+    decomposition).
+
+    ZERO floating point anywhere: (x − μ_h)² > 9σ_h² clears both
+    denominators to (x·n_h − s_h)² > 9·(n_h·q_h − s_h²) — pure
+    integer arithmetic in DECIMAL(19,0)-seeded products (the CUSUM
+    discipline: 100 TB slot moments can't wrap, and multiplying
+    through by n_h² leaves NO division anywhere). Even the flag
+    BOUNDARY is
+    engine-exact — no sqrt, no division remainder, no ulp hazard.
+    Slots of one event (σ undefined) are excluded by the nh >= 2
+    guard in both engines.
+
+    Scale: one map-side-combinable slot aggregate (≤ 24·|types|
+    rows, broadcast back), one scan-side filter — the fact table
+    never shuffles."""
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        ((F.unix_micros("ts") / F.lit(3600000000)).cast("bigint") % 24).alias(
+            "h"
+        ),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    slot = t.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("cents").cast("bigint").alias("sh"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("qh"),
+    )
+    dec = lambda c: c.cast("decimal(19,0)")
+    d = F.col("cents") * F.col("nh") - F.col("sh")
+    lhs = dec(d) * dec(d)
+    rhs = F.lit(9) * (
+        dec(F.col("nh")) * dec(F.col("qh"))
+        - dec(F.col("sh")) * dec(F.col("sh"))
+    )
+    return (
+        t.join(F.broadcast(slot), ["event_type", "h"])
+        .where((F.col("nh") >= 2) & (lhs > rhs))
+        .select("event_id", "event_type", "h", "cents", "nh")
+    )
+
+
+@register(
+    "diag_modality_coverage",
+    """
+WITH d AS (SELECT doc_id FROM documents),
+e AS (SELECT vec_id FROM embeddings),
+m AS (SELECT count(*) AS matched FROM d JOIN e ON e.vec_id = d.doc_id)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_embeddings,
+       CAST(m.matched AS BIGINT) AS matched,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) - CAST(m.matched AS BIGINT)
+         AS docs_without_embedding,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) - CAST(m.matched AS BIGINT)
+         AS embeddings_without_doc,
+       CAST(m.matched AS DOUBLE)
+         / (SELECT CAST(count(*) AS DOUBLE) FROM d) AS coverage
+FROM m
+""",
+)
+def diag_modality_coverage(spark, sf_dir):
+    """Cross-modality key-coverage audit — the first integrity check
+    a multimodal training pipeline runs: does every document have its
+    embedding row, and are there orphaned embeddings? One id-keyed
+    join of two id projections (count-only semi shape — column
+    pruning reaches the scans, so at 100 TB this reads two id
+    columns), three exact counts and one coverage division. The
+    id-alignment contract this audits is what every `sim_*`/`dedup_*`
+    entry joining documents to embeddings silently relies on."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    nd = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ne = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_embeddings"))
+    m = (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("matched"))
+    )
+    return (
+        m.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ne))
+        .select(
+            "n_docs",
+            "n_embeddings",
+            "matched",
+            (F.col("n_docs") - F.col("matched")).alias(
+                "docs_without_embedding"
+            ),
+            (F.col("n_embeddings") - F.col("matched")).alias(
+                "embeddings_without_doc"
+            ),
+            (
+                F.col("matched").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("coverage"),
+        )
+    )

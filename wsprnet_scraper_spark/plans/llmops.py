@@ -5753,3 +5753,167 @@ def diag_ivf_balance(spark, sf_dir):
             / (F.col("n") * F.col("n")).cast("double")
         ).alias("imbalance"),
     )
+
+
+@register(
+    "sim_hard_negatives",
+    f"""
+WITH {_LSH_SQL},
+base AS (
+  SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+    list_reduce(list_transform(e.embedding::DOUBLE[], x -> x * x), (a, b) -> a + b) AS n2,
+    b.bucket
+  FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS neg_id,
+    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+      / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+  FROM base a JOIN base b
+    ON a.bucket = b.bucket AND a.label <> b.label
+),
+ranked AS (
+  SELECT vec_id, neg_id, cosine,
+    row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neg_id) AS rn
+  FROM pairs
+)
+SELECT vec_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 2
+""",
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: for EVERY
+    vector, the 2 most-similar vectors carrying a DIFFERENT label —
+    the near-the-boundary negatives that make embedding models learn
+    (random negatives are trivially separable). The scale path from
+    day one: candidates are LSH bucket-mates (sim_knn_graph's
+    documented dial applied — the all-pairs join never appears), the
+    label inequality prunes in the join condition, and the exact
+    fixed-order fold cosine re-ranks inside the bucket. Per-anchor
+    top-2 windows partition by the anchor. Bucket self-join is a
+    hash join on the bucket id — corpus-sized sides, nothing
+    broadcast; at 100 TB candidate volume is Σ(bucket²·mixing), the
+    LSH plane rule's log-growth keeping buckets ~64-bounded."""
+    from ..operators.similarity import (
+        _as_double,
+        _dot,
+        _norm2,
+        hyperplane_buckets,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    buckets = hyperplane_buckets(emb, _lsh_planes(emb))
+    base = (
+        emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+        .withColumn("n2", _norm2(F.col("v")))
+        .join(buckets, "vec_id")
+    )
+    b = base.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("_nl"),
+        F.col("v").alias("nv"),
+        F.col("n2").alias("nn2"),
+        F.col("bucket").alias("_nb"),
+    )
+    pairs = base.join(
+        b,
+        (F.col("bucket") == F.col("_nb")) & (F.col("label") != F.col("_nl")),
+    ).select(
+        "vec_id",
+        "neg_id",
+        (
+            _dot(F.col("v"), F.col("nv"))
+            / (F.sqrt(F.col("n2")) * F.sqrt(F.col("nn2")))
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine"), F.col("neg_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 2)
+        .select("vec_id", "neg_id", "cosine", "rn")
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    """
+WITH u AS (
+  SELECT doc_id, lang, source,
+         'HTTPS://' || source || '.Example.COM/art/'
+           || CAST(doc_id % 97 AS VARCHAR)
+           || '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+           || '&utm_campaign=c' || CAST(doc_id % 7 AS VARCHAR) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, lang, source, url,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(url), '[?&](utm_[a-z]+|ref)=[^&]*', '', 'g'),
+        '\\?&', '?', 'g'),
+      '\\?$', '', 'g') AS curl
+  FROM u
+),
+ranked AS (
+  SELECT doc_id, lang, source, curl,
+         row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY curl) AS group_sz
+  FROM canon
+)
+SELECT doc_id, lang, source, curl,
+       CAST(group_sz AS BIGINT) AS group_sz,
+       rn = 1 AS keep
+FROM ranked
+""",
+)
+def dedup_url_canonical(spark, sf_dir):
+    """URL-canonicalization dedup — the CommonCrawl recipe's FIRST
+    dedup rung (cheaper than any content pass: no text is read):
+    lowercase the URL, strip tracking parameters (utm_*, ref), tidy
+    the leftover separators, keep the smallest doc_id per canonical
+    URL. The corpus has no URL column, so one is CONSTRUCTED
+    deterministically from (source, doc_id) — the text_pii_redact
+    precedent: the operator under judgment is the canonicalization
+    chain + hash-group dedup, and the construction makes collisions
+    real (doc_id % 97 aliases ~5 docs per source onto one canonical
+    URL once tracking params are stripped). The regex chain lives in
+    the Java-regex ∩ RE2 subset and applies in the same order in
+    both engines. Scale: pure projection + one shuffle on the
+    canonical URL; windows bounded by duplicate multiplicity."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.col("source"),
+        F.lit(".Example.COM/art/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("&utm_campaign=c"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(url), r"[?&](utm_[a-z]+|ref)=[^&]*", ""
+            ),
+            r"\?&",
+            "?",
+        ),
+        r"\?$",
+        "",
+    )
+    w = W.partitionBy("curl").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", curl.alias("curl"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "curl",
+            F.count(F.lit(1))
+            .over(W.partitionBy("curl"))
+            .cast("bigint")
+            .alias("group_sz"),
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
