@@ -140,7 +140,7 @@ HEADLINE += [
     "agg_winsorized_mean", "diag_ivf_balance", "strm_changepoint_monitor",
     "agg_seasonality_strength", "evt_time_to_convert",
     "evt_seasonal_outliers", "diag_modality_coverage",
-    "sim_hard_negatives", "dedup_url_canonical",
+    "sim_hard_negatives", "dedup_url_canonical", "pipe_span_corruption",
 ]
 
 

@@ -589,3 +589,31 @@ def test_url_canonical_collides_modulo_classes(spark):
         keeps = [r for r in grp if r.keep]
         assert len(keeps) == 1
         assert keeps[0].doc_id == min(r.doc_id for r in grp)
+
+
+def test_span_corruption_reference(spark, tmp_path):
+    import hashlib
+
+    toks = [f"w{i}" for i in range(50)]
+    sf = _write_docs(tmp_path, [" ".join(toks)])
+    r = QUERIES["pipe_span_corruption"](spark, sf).collect()[0]
+    off = int(hashlib.md5(b"0").hexdigest()[0], 16) % 18
+    inp, tgt, masked = [], [], 0
+    for p, x in enumerate(toks):
+        if p >= off and (p - off) % 20 < 3:
+            masked += 1
+            j = (p - off) // 20
+            if (p - off) % 20 == 0:
+                inp.append(f"<x_{j}>")
+                tgt.append(f"<x_{j}> {x}")
+            else:
+                tgt.append(x)
+        else:
+            inp.append(x)
+    assert r.n_tokens == 50 and r.n_masked == masked
+    assert r.input_text == " ".join(inp)
+    assert r.target_text == " ".join(tgt)
+    # round-trip: every non-sentinel token appears exactly once
+    # across input+target
+    joined = (r.input_text + " " + r.target_text).split()
+    assert sorted(t for t in joined if not t.startswith("<x_")) == sorted(toks)

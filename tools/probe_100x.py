@@ -123,6 +123,7 @@ QUERIES_100X = [
     "diag_modality_coverage",
     "sim_hard_negatives",
     "dedup_url_canonical",
+    "pipe_span_corruption",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

@@ -5917,3 +5917,135 @@ def dedup_url_canonical(spark, sf_dir):
             (F.row_number().over(w) == 1).alias("keep"),
         )
     )
+
+
+@register(
+    "pipe_span_corruption",
+    """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 18 AS off
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, len(tk) AS n_tokens, off,
+    list_filter(
+      list_transform(tk, (x, i) ->
+        CASE
+          WHEN (i - 1) >= off AND ((i - 1) - off) % 20 < 3 THEN
+            CASE WHEN ((i - 1) - off) % 20 = 0
+                 THEN '<x_' || CAST(((i - 1) - off) // 20 AS VARCHAR) || '>'
+                 ELSE NULL END
+          ELSE x
+        END),
+      x -> x IS NOT NULL) AS inp,
+    list_filter(
+      list_transform(tk, (x, i) ->
+        CASE
+          WHEN (i - 1) >= off AND ((i - 1) - off) % 20 < 3 THEN
+            CASE WHEN ((i - 1) - off) % 20 = 0
+                 THEN '<x_' || CAST(((i - 1) - off) // 20 AS VARCHAR)
+                      || '> ' || x
+                 ELSE x END
+          ELSE NULL
+        END),
+      x -> x IS NOT NULL) AS tgt,
+    len(list_filter(list_transform(tk, (x, i) ->
+          CASE WHEN (i - 1) >= off AND ((i - 1) - off) % 20 < 3
+               THEN x END),
+        x -> x IS NOT NULL)) AS n_masked
+  FROM base
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       COALESCE(array_to_string(inp, ' '), '') AS input_text,
+       COALESCE(array_to_string(tgt, ' '), '') AS target_text
+FROM marked
+""",
+)
+def pipe_span_corruption(spark, sf_dir):
+    """T5-style span corruption (Raffel et al. 2020) — the masked
+    pretraining objective as a data op: ~15% of each document's
+    tokens are replaced by span sentinels (3-token spans every 20
+    positions), inputs keep one `<x_j>` sentinel per span, targets
+    carry `<x_j>` + the masked tokens — the (input, target) pair a
+    seq2seq trainer consumes. NO RNG: the span phase is an md5-nibble
+    offset per document (0..17), so reruns, engines, and cluster
+    sizes corrupt the identical positions — the property that makes
+    training-data bugs reproducible. Position rule: token p is masked
+    iff p >= off and (p - off) % 20 < 3; span id (p - off) // 20
+    (division only on the guarded nonnegative side — Spark's div
+    truncates toward zero while DuckDB floors, so negatives never
+    reach it).
+
+    Scale: pure per-row array transforms — ZERO shuffle, zero joins;
+    the whole objective is a projection Catalyst pipelines into the
+    scan. (Real T5 samples span lengths; the fixed-stride rule is
+    the deterministic stand-in with the same masking rate — the
+    docstring dial: plug sampled offsets in via a seeded hash
+    without touching the plan.)"""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    base = d.select(
+        "doc_id",
+        F.split(F.col("text"), " ").alias("tk"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int")
+            % 18
+        ).alias("off"),
+    )
+    masked = lambda i: (i >= F.col("off")) & (
+        ((i - F.col("off")) % 20) < 3
+    )
+    span_start = lambda i: ((i - F.col("off")) % 20) == 0
+    inp = F.filter(
+        F.transform(
+            F.col("tk"),
+            lambda x, i: F.when(
+                masked(i),
+                F.when(
+                    span_start(i),
+                    F.concat(
+                        F.lit("<x_"),
+                        ((i - F.col("off")) / 20).cast("long").cast("string"),
+                        F.lit(">"),
+                    ),
+                ),
+            ).otherwise(x),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    tgt = F.filter(
+        F.transform(
+            F.col("tk"),
+            lambda x, i: F.when(
+                masked(i),
+                F.when(
+                    span_start(i),
+                    F.concat(
+                        F.lit("<x_"),
+                        ((i - F.col("off")) / 20).cast("long").cast("string"),
+                        F.lit("> "),
+                        x,
+                    ),
+                ).otherwise(x),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    n_masked = F.size(
+        F.filter(
+            F.transform(
+                F.col("tk"), lambda x, i: F.when(masked(i), x)
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        n_masked.cast("bigint").alias("n_masked"),
+        F.array_join(inp, " ").alias("input_text"),
+        F.array_join(tgt, " ").alias("target_text"),
+    )
