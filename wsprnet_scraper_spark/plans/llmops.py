@@ -5878,7 +5878,11 @@ def dedup_url_canonical(spark, sf_dir):
     real (doc_id % 97 aliases ~5 docs per source onto one canonical
     URL once tracking params are stripped). The regex chain lives in
     the Java-regex ∩ RE2 subset and applies in the same order in
-    both engines. Scale: pure projection + one shuffle on the
+    both engines. Tidy-rule scope: the separator cleanup covers the
+    shapes this construction produces ('?&' and trailing '?'); a
+    general-URL canonicalizer would also rewrite a leading '&' left
+    by stripping a first-position tracking param before a kept one —
+    the documented dial if real URLs flow in. Scale: pure projection + one shuffle on the
     canonical URL; windows bounded by duplicate multiplicity."""
     d = load(spark, sf_dir, "documents")
     url = F.concat(
