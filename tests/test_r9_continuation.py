@@ -617,3 +617,113 @@ def test_span_corruption_reference(spark, tmp_path):
     # across input+target
     joined = (r.input_text + " " + r.target_text).split()
     assert sorted(t for t in joined if not t.startswith("<x_")) == sorted(toks)
+
+
+# --------------------------------- final hardening properties
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=70),
+    doc_id=st.integers(min_value=0, max_value=10**9),
+)
+def test_span_corruption_roundtrip_property(spark, tmp_path_factory, n, doc_id):
+    import hashlib
+
+    toks = [f"t{i}" for i in range(n)]
+    tmp = tmp_path_factory.mktemp(f"spanprop_{doc_id}_{n}")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([doc_id], pa.int64()),
+            "text": pa.array([" ".join(toks) if toks else "x"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["s0"]),
+            "n_chars": pa.array([1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp / "documents.parquet"))
+    r = QUERIES["pipe_span_corruption"](spark, str(tmp)).collect()[0]
+    # every non-sentinel token survives exactly once across the pair
+    body = [t for t in (r.input_text + " " + r.target_text).split()
+            if t and not t.startswith("<x_")]
+    expect = toks if toks else ["x"]
+    assert sorted(body) == sorted(expect)
+    off = int(hashlib.md5(str(doc_id).encode()).hexdigest()[0], 16) % 18
+    n_eff = len(expect)
+    ref_masked = sum(
+        1 for p in range(n_eff) if p >= off and (p - off) % 20 < 3
+    )
+    assert r.n_masked == ref_masked
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-500, max_value=500), min_size=1, max_size=60
+    )
+)
+def test_winsorized_mean_matches_python_reference(
+    spark, tmp_path_factory, vals
+):
+    tmp = tmp_path_factory.mktemp("winsor")
+    sf = _write_events(tmp, [v / 10 for v in vals])
+    r = QUERIES["agg_winsorized_mean"](spark, sf).collect()[0]
+    cents = sorted(math.floor(v / 10 * 100) for v in vals)
+    n = len(cents)
+    # rank-defined cuts: smallest value with 20*cum >= n (p05) /
+    # 20*cum >= 19n (p95), over the ordered distinct values
+    cum, lo, hi = 0, None, None
+    from collections import Counter
+
+    for v, c in sorted(Counter(cents).items()):
+        cum += c
+        if lo is None and 20 * cum >= n:
+            lo = v
+        if hi is None and 20 * cum >= 19 * n:
+            hi = v
+    clamped = [min(max(c, lo), hi) for c in cents]
+    assert (r.lo_cut, r.hi_cut, r.n) == (lo, hi, n)
+    assert r.winsorized_mean == sum(clamped) / n
+
+
+def test_t_closeness_single_band_is_null(spark, tmp_path):
+    # every acctbal in one band -> k = 1 -> t undefined -> NULL in
+    # BOTH engines (the nullif guard; Spark x/0 is NULL, DuckDB inf)
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([0, 0, 0], pa.int32()),
+            "c_acctbal": pa.array([100.0, 200.0, 300.0], pa.float64()),
+            "c_mktsegment": pa.array(["A", "A", "B"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+    rows = QUERIES["diag_t_closeness"](spark, str(tmp_path)).collect()
+    assert rows and all(r.t_closeness is None for r in rows)
+    assert all(r.emd_scaled == 0 for r in rows)
+
+
+def test_stream_cusum_invariant_to_batch_cuts(spark, tmp_path):
+    import os
+
+    values = [10.0 if i % 10 else float(10 + i) for i in range(60)]
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    _write_events(a, values)
+    _write_events(b, values)
+    got2 = sorted(
+        (r.event_id, r.t_idx, r.g)
+        for r in QUERIES["strm_changepoint_monitor"](spark, str(a)).collect()
+    )
+    os.environ["SPARK_GRAFT_STRM_FILES"] = "3"
+    try:
+        got3 = sorted(
+            (r.event_id, r.t_idx, r.g)
+            for r in QUERIES["strm_changepoint_monitor"](
+                spark, str(b)
+            ).collect()
+        )
+    finally:
+        del os.environ["SPARK_GRAFT_STRM_FILES"]
+    assert got2 == got3 and got2

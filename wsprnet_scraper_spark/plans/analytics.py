@@ -4170,7 +4170,16 @@ def strm_changepoint_monitor(spark, sf_dir):
         (int(r["us"]), int(r["event_id"]), r["event_type"], int(r["cents"]))
         for r in t.filter(is_batch).collect()
     )
-    halves = rows[: len(rows) // 2], rows[len(rows) // 2 :]
+    # SPARK_GRAFT_STRM_FILES (default 2): how many landing files the
+    # fixture splits the slice into = how many micro-batches run. The
+    # docstring's claim — emitted G_t is independent of where the
+    # batch cuts fall — is pinned by a test that runs 2-file and
+    # 3-file splits and asserts identical output.
+    import os as _os
+
+    n_files = max(1, int(_os.environ.get("SPARK_GRAFT_STRM_FILES", "2")))
+    step = max(1, -(-len(rows) // n_files)) if rows else 1
+    halves = [rows[i : i + step] for i in range(0, len(rows), step)] or [[]]
     for i, part in enumerate(halves):
         path = f"{landing}/batch-{i:03d}.json"
         with open(path, "w") as fh:
