@@ -17,8 +17,23 @@ STOPWORDS = ["the", "a", "of"]
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace tokenization count."""
-    return F.size(F.split(text, r"\s+"))
+    """Whitespace tokenization count, over the TRIMMED text.
+
+    The trim is load-bearing for cross-engine parity (ADVICE r9):
+    Java's split drops trailing empty strings while DuckDB's
+    regexp_split_to_array keeps them, so an untrimmed split counts a
+    trailing-whitespace document differently in the two engines.
+    Trimming first (mirrored as trim(text) in every oracle that
+    whitespace-tokenizes) makes the count corpus-independent.
+
+    The single-space-split family (F.split(text, " ") vs DuckDB
+    string_split) is mostly immune — stopword/marker-word filters
+    never match the empty token — but entries that COUNT single-space
+    tokens assume the space-normalized synthetic corpus (no trailing
+    separators); pipe_span_corruption trims explicitly for the same
+    reason.
+    """
+    return F.size(F.split(F.trim(text), r"\s+"))
 
 
 def bpe_ish_token_count(text: Column) -> Column:

@@ -4129,22 +4129,41 @@ def strm_changepoint_monitor(spark, sf_dir):
     aggregation collects only those k rows. Integer bounds: 1e6·ps
     and t·ref_q stay under 2^63 through ~1e5-row slices of 1e5-cent
     values; the DECIMAL(19,0) dial of the batch entry applies if a
-    deployment monitors beyond that. The landing-file generation
-    collects the batch fixture to control micro-batch order — test
-    scaffolding; production batches arrive from the fetcher as
-    files."""
+    deployment monitors beyond that. The landing files are written
+    DISTRIBUTED (streaming/landing.py — contiguous us-range cuts,
+    driver touches only n_files renames; the cut placement differs
+    from the old count-median cuts and that is the point of the
+    invariance proof); production batches arrive from the fetcher as
+    files.
+
+    ref_q's `div` is integer division truncating toward zero in BOTH
+    engines (Spark `div`, and DuckDB 1.x's integer `//` — checked
+    against the ADVICE r9 claim that DuckDB floors: it does not for
+    integer operands; tests/test_advice_r10.py proves negative-sum
+    parity end-to-end), so a type whose cents sum goes negative still
+    gates exact.
+
+    The sink is idempotent under foreachBatch's at-least-once
+    contract (ADVICE r9): each micro-batch OVERWRITES its own
+    results/b<bid> directory, and the (count,sum) state is
+    snapshotted per batch id so a retried batch restores its
+    pre-batch state instead of double-applying deltas. (Driver-held
+    snapshots cover in-process retries — the failure mode foreachBatch
+    actually re-delivers; surviving a driver restart would persist
+    the same k-bounded registers keyed by batch id.)"""
     import atexit
-    import json as _json
     import os
     import shutil
     import tempfile
+
+    from ..streaming import landing as landing_mod
+    from ..streaming.landing import land_ordered_ndjson
 
     work = tempfile.mkdtemp(prefix="wspr_cpstrm_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     landing, results, ckpt = (
         f"{work}/landing", f"{work}/results", f"{work}/ckpt"
     )
-    os.makedirs(landing)
 
     ev = load_events(spark, sf_dir)
     t = ev.select(
@@ -4166,44 +4185,29 @@ def strm_changepoint_monitor(spark, sf_dir):
     )
     ref = {r["event_type"]: int(r["ref_q"]) for r in ref_rows}
 
-    rows = sorted(
-        (int(r["us"]), int(r["event_id"]), r["event_type"], int(r["cents"]))
-        for r in t.filter(is_batch).collect()
-    )
     # SPARK_GRAFT_STRM_FILES (default 2): how many landing files the
     # fixture splits the slice into = how many micro-batches run. The
     # docstring's claim — emitted G_t is independent of where the
     # batch cuts fall — is pinned by a test that runs 2-file and
     # 3-file splits and asserts identical output.
-    import os as _os
-
-    n_files = max(1, int(_os.environ.get("SPARK_GRAFT_STRM_FILES", "2")))
-    step = max(1, -(-len(rows) // n_files)) if rows else 1
-    halves = [rows[i : i + step] for i in range(0, len(rows), step)] or [[]]
-    for i, part in enumerate(halves):
-        path = f"{landing}/batch-{i:03d}.json"
-        with open(path, "w") as fh:
-            for us, eid, etype, cents in part:
-                fh.write(
-                    _json.dumps(
-                        {
-                            "us": us,
-                            "event_id": eid,
-                            "event_type": etype,
-                            "cents": cents,
-                        }
-                    )
-                    + "\n"
-                )
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    n_files = max(1, int(os.environ.get("SPARK_GRAFT_STRM_FILES", "2")))
+    land_ordered_ndjson(
+        t.filter(is_batch).select("us", "event_id", "event_type", "cents"),
+        "us",
+        landing,
+        n_files,
+    )
 
     spark.createDataFrame(
         [], "event_id bigint, event_type string, t_idx bigint, g bigint"
-    ).write.mode("overwrite").parquet(results)
+    ).write.mode("overwrite").parquet(f"{results}/seed")
 
     state: dict = {}  # event_type -> (t_off, s_off)
+    snaps: dict = {}  # batch id -> pre-batch copy of `state`
 
     def monitor_batch(bdf, bid):
+        # at-least-once retry: restore pre-batch state, re-overwrite
+        landing_mod.snapshot_or_restore(state, snaps, bid)
         off = spark.createDataFrame(
             [
                 (et, state.get(et, (0, 0))[0], state.get(et, (0, 0))[1], rq)
@@ -4230,7 +4234,7 @@ def strm_changepoint_monitor(spark, sf_dir):
                 - (F.col("t_off") + F.col("_lrn")) * F.col("ref_q")
             ).cast("bigint").alias("g"),
         )
-        out.write.mode("append").parquet(results)
+        out.write.mode("overwrite").parquet(f"{results}/b{bid:05d}")
         for r in (
             bdf.groupBy("event_type")
             .agg(
@@ -4254,9 +4258,13 @@ def strm_changepoint_monitor(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(results).select(
-        "event_id", "event_type", "t_idx", "g"
-    )
+    # explicit dir list, not a glob: a glob path makes the reader
+    # probe it for streaming-sink metadata and log a spurious warning
+    return spark.read.schema(
+        "event_id bigint, event_type string, t_idx bigint, g bigint"
+    ).parquet(
+        *[f"{results}/{s}" for s in sorted(os.listdir(results))]
+    ).select("event_id", "event_type", "t_idx", "g")
 
 
 @register(

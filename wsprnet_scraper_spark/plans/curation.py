@@ -781,7 +781,7 @@ def pipe_importance_select(spark, sf_dir):
     """
 WITH m AS (
   SELECT doc_id,
-    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_words,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
     CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
       AS n_sentences,
     CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables

@@ -277,7 +277,7 @@ lab AS (SELECT doc, min(label) AS cluster FROM reach GROUP BY doc),
 full_docs AS (
   SELECT d.doc_id,
          CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster,
-         CAST(len(regexp_split_to_array(d.text, '\\s+')) AS INT) AS n_tokens
+         CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS INT) AS n_tokens
   FROM documents d LEFT JOIN lab l ON l.doc = d.doc_id
 ),
 best AS (
@@ -511,43 +511,39 @@ def strm_minhash_dedup(spark, sf_dir):
     is_corpus) — signature rows only, never text, which is the 100 TB
     state shape (the store grows with docs × bands, not tokens).
 
-    The landing-file generation collects the batch fixture to control
-    micro-batch file order — test scaffolding only: in production the
+    The landing files are written DISTRIBUTED (streaming/landing.py —
+    contiguous doc_id-range cuts, driver renames n files; r9 verdict
+    task #2: the old fixture collected the slice): in production the
     batch arrives from the fetcher as files, and the dedup itself
-    collects nothing."""
+    collects nothing. Both sinks are idempotent under foreachBatch's
+    at-least-once contract (ADVICE r9): every micro-batch OVERWRITES
+    its own b<bid> subdirectory of `results` and of the signature
+    sink, and the standing-signature read excludes the current bid,
+    so a retried batch reproduces its first attempt instead of
+    double-appending or matching against its own signatures."""
     import atexit
-    import json as _json
     import os
     import shutil
     import tempfile
+
+    from ..streaming.landing import land_ordered_ndjson
 
     work = tempfile.mkdtemp(prefix="wspr_mhstrm_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     landing, sink, results, ckpt = (
         f"{work}/landing", f"{work}/sink", f"{work}/results", f"{work}/ckpt"
     )
-    os.makedirs(landing)
 
     d = load(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % 10 == 0
     corpus, batch = d.filter(~is_batch), d.filter(is_batch)
 
-    rows = sorted(
-        (int(r["doc_id"]), r["text"])
-        for r in batch.select("doc_id", "text").collect()
-    )
-    halves = rows[: len(rows) // 2], rows[len(rows) // 2 :]
-    for i, part in enumerate(halves):
-        path = f"{landing}/batch-{i:03d}.json"
-        with open(path, "w") as fh:
-            for did, text in part:
-                fh.write(_json.dumps({"doc_id": did, "text": text}) + "\n")
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    land_ordered_ndjson(batch.select("doc_id", "text"), "doc_id", landing, 2)
 
     corp_sh = dedup.word_shingles(corpus, "doc_id", "text", 3, distinct=False)
     dedup.minhash_signatures(corp_sh).withColumn(
         "is_corpus", F.lit(True)
-    ).write.mode("overwrite").parquet(sink)
+    ).write.mode("overwrite").parquet(f"{sink}/seed")
 
     # Empty typed seed (ADVICE r8): with an empty batch slice no
     # micro-batch ever appends to `results`, and the final read would
@@ -557,13 +553,19 @@ def strm_minhash_dedup(spark, sf_dir):
         [],
         "doc_id bigint, dup_of_corpus_id bigint, n_corpus_matches bigint,"
         " dup_in_batch_id bigint, status string",
-    ).write.mode("overwrite").parquet(results)
+    ).write.mode("overwrite").parquet(f"{results}/seed")
 
     def dedup_batch(bdf, bid):
         sh = dedup.word_shingles(bdf, "doc_id", "text", 3, distinct=False)
         cur = dedup.minhash_signatures(sh).cache()
         try:
-            standing = spark.read.parquet(sink)
+            standing = spark.read.parquet(
+                *[
+                    f"{sink}/{s}"
+                    for s in sorted(os.listdir(sink))
+                    if s != f"b{bid:05d}"
+                ]
+            )
             near = (
                 cur.alias("a")
                 .join(
@@ -621,10 +623,10 @@ def strm_minhash_dedup(spark, sf_dir):
                     .alias("status"),
                 )
             )
-            out.write.mode("append").parquet(results)
+            out.write.mode("overwrite").parquet(f"{results}/b{bid:05d}")
             cur.withColumn("is_corpus", F.lit(False)).write.mode(
-                "append"
-            ).parquet(sink)
+                "overwrite"
+            ).parquet(f"{sink}/b{bid:05d}")
         finally:
             cur.unpersist()
 
@@ -638,7 +640,14 @@ def strm_minhash_dedup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(results).select(
+    # explicit dir list, not a glob: a glob path makes the reader
+    # probe it for streaming-sink metadata and log a spurious warning
+    return spark.read.schema(
+        "doc_id bigint, dup_of_corpus_id bigint, n_corpus_matches bigint,"
+        " dup_in_batch_id bigint, status string"
+    ).parquet(
+        *[f"{results}/{s}" for s in sorted(os.listdir(results))]
+    ).select(
         "doc_id", "dup_of_corpus_id", "n_corpus_matches",
         "dup_in_batch_id", "status",
     )
@@ -1444,7 +1453,7 @@ SELECT doc_id, source, n_tok, cum_tok FROM (
     CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY pick_key, doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
   FROM (SELECT doc_id, source,
-          CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
           md5('mix:' || CAST(doc_id AS VARCHAR)) AS pick_key
         FROM documents)
 ) WHERE cum_tok - n_tok < 600
@@ -1484,7 +1493,7 @@ def pipe_domain_mix(spark, sf_dir):
     """
 WITH dom AS (
   SELECT source,
-    SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT)) AS domain_tokens
+    SUM(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)) AS domain_tokens
   FROM documents GROUP BY source
 ),
 domq AS (
@@ -1592,12 +1601,12 @@ def text_lang_id(spark, sf_dir):
     "text_quality",
     """
 SELECT doc_id,
-  CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
   CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS INT) AS n_stop,
   len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))::DOUBLE
-    / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio,
+    / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio,
   CAST(length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')) AS INT) AS n_punct,
-  length(replace(text, ' ', ''))::DOUBLE / len(regexp_split_to_array(text, '\\s+')) AS avg_tok_len
+  length(replace(text, ' ', ''))::DOUBLE / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_tok_len
 FROM documents
 """,
 )
@@ -1620,7 +1629,7 @@ def text_quality(spark, sf_dir):
     "text_token_count",
     """
 SELECT doc_id,
-  CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS ws_tokens,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS bpe_ish_tokens
 FROM documents
 """,
@@ -1641,9 +1650,9 @@ def text_token_count(spark, sf_dir):
     """
 WITH scored AS (
   SELECT doc_id, lang, text,
-    CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
     len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))::DOUBLE
-      / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio
+      / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
   FROM documents
 ),
 filtered AS (
@@ -2579,14 +2588,18 @@ def strm_semantic_dedup(spark, sf_dir):
     batch twin) and reused by every micro-batch's zero-shuffle fold
     assignment. Statuses land in a results dir read back at the end.
 
-    The landing-file generation collects the batch FIXTURE (a
-    corpus-tenth of vectors) to control micro-batch file order — test
-    scaffolding only: in a real deployment the batch arrives from the
-    fetcher as files, and the dedup operator itself collects nothing
-    (same plan as dedup_semantic_incremental).
+    The landing files are written DISTRIBUTED (streaming/landing.py —
+    contiguous vec_id-range cuts, the driver renames n files; r9
+    verdict task #2: the old fixture collected the slice): in a real
+    deployment the batch arrives from the fetcher as files, and the
+    dedup operator itself collects nothing (same plan as
+    dedup_semantic_incremental). Both sinks are idempotent under
+    foreachBatch's at-least-once contract (ADVICE r9): every
+    micro-batch OVERWRITES its own b<bid> subdirectory of `results`
+    and of the vector sink, and the standing read excludes the
+    current bid, so a retried batch reproduces its first attempt.
     """
     import atexit
-    import json as _json
     import os
     import shutil
     import tempfile
@@ -2599,12 +2612,13 @@ def strm_semantic_dedup(spark, sf_dir):
         train_kmeans_df,
     )
 
+    from ..streaming.landing import land_ordered_ndjson
+
     work = tempfile.mkdtemp(prefix="wspr_semstrm_")
     atexit.register(shutil.rmtree, work, ignore_errors=True)
     landing, sink, results, ckpt = (
         f"{work}/landing", f"{work}/sink", f"{work}/results", f"{work}/ckpt"
     )
-    os.makedirs(landing)
 
     emb = load(spark, sf_dir, "embeddings")
     is_batch = F.col("vec_id") % 10 == 0
@@ -2616,24 +2630,19 @@ def strm_semantic_dedup(spark, sf_dir):
     # land the batch as two id-ordered NDJSON files (file order =
     # id order, pinned by explicit mtimes so the file source cannot
     # reorder them)
-    rows = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in batch.select("vec_id", "embedding").collect()
+    land_ordered_ndjson(
+        batch.select("vec_id", F.col("embedding").cast("array<double>")),
+        "vec_id",
+        landing,
+        2,
     )
-    half = rows[: len(rows) // 2], rows[len(rows) // 2 :]
-    for i, part in enumerate(half):
-        path = f"{landing}/batch-{i:03d}.json"
-        with open(path, "w") as fh:
-            for vid, vec in part:
-                fh.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
-        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
 
     pre_corpus = corpus.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ).withColumn("n2", _norm2(F.col("v")))
     assign_cells_df(pre_corpus, cents, carry=("v", "n2")).withColumn(
         "is_corpus", F.lit(True)
-    ).write.mode("overwrite").parquet(sink)
+    ).write.mode("overwrite").parquet(f"{sink}/seed")
 
     def dedup_batch(bdf, bid):
         pre = bdf.select(
@@ -2641,7 +2650,13 @@ def strm_semantic_dedup(spark, sf_dir):
         ).withColumn("n2", _norm2(F.col("v")))
         cur = assign_cells_df(pre, cents, carry=("v", "n2")).cache()
         try:
-            standing = spark.read.parquet(sink)
+            standing = spark.read.parquet(
+                *[
+                    f"{sink}/{s}"
+                    for s in sorted(os.listdir(sink))
+                    if s != f"b{bid:05d}"
+                ]
+            )
             near = (
                 cur.alias("a")
                 .join(standing.alias("s"), F.col("a.cell") == F.col("s.cell"))
@@ -2706,10 +2721,10 @@ def strm_semantic_dedup(spark, sf_dir):
                     .alias("status"),
                 )
             )
-            out.write.mode("append").parquet(results)
+            out.write.mode("overwrite").parquet(f"{results}/b{bid:05d}")
             cur.withColumn("is_corpus", F.lit(False)).write.mode(
-                "append"
-            ).parquet(sink)
+                "overwrite"
+            ).parquet(f"{sink}/b{bid:05d}")
         finally:
             cur.unpersist()
 
@@ -2723,7 +2738,11 @@ def strm_semantic_dedup(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(results).select(
+    # explicit dir list, not a glob: a glob path makes the reader
+    # probe it for streaming-sink metadata and log a spurious warning
+    return spark.read.parquet(
+        *[f"{results}/{s}" for s in sorted(os.listdir(results))]
+    ).select(
         "vec_id", "cell", "dup_of_corpus_id", "n_corpus_near",
         "dup_in_batch_id", "status",
     )
@@ -3225,9 +3244,9 @@ def sim_ivfpq(spark, sf_dir):
     f"""
 WITH scored AS (
   SELECT doc_id, source, text,
-    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
     len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of')))::DOUBLE
-      / len(regexp_split_to_array(text, '\\s+')) AS stop_ratio
+      / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
   FROM documents
 ),
 kept AS (
@@ -3360,13 +3379,13 @@ def mm_silence_trim(spark, sf_dir):
     """
 WITH m AS (
   SELECT doc_id,
-    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
     length(replace(text, ' ', ''))::DOUBLE
-      / len(regexp_split_to_array(text, '\\s+')) AS mean_tok_len,
+      / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_tok_len,
     CAST(len(list_filter(string_split(text, ' '),
                          x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS stop_hits,
     (length(text) - length(regexp_replace(text, '[.!?,]', '', 'g')))::DOUBLE
-      / len(regexp_split_to_array(text, '\\s+')) AS punct_per_tok,
+      / len(regexp_split_to_array(trim(text), '\\s+')) AS punct_per_tok,
     len(list_filter(string_split(text, ' '), x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
       / len(string_split(text, ' ')) AS alpha_frac
   FROM documents
@@ -4028,7 +4047,7 @@ _SRC_WEIGHT = (
     f"""
 WITH d AS (
   SELECT doc_id, source,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
          md5('epoch:' || CAST(doc_id AS VARCHAR)) AS ek
   FROM documents
 ),
@@ -5388,19 +5407,20 @@ def pipe_dedup_cascade(spark, sf_dir):
     "pipe_paragraph_dedup",
     """
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tk FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk FROM documents
 ),
 ch AS (
   SELECT doc_id, i AS idx,
-         array_to_string(tk[(i*30+1):(i*30+30)], ' ') AS chunk,
-         doc_id * 1048576 + i AS key
+         array_to_string(tk[(i*30+1):(i*30+30)], ' ') AS chunk
   FROM toks,
        unnest(generate_series(0, (len(tk) + 29) // 30 - 1)) AS t(i)
 ),
-win AS (SELECT md5(chunk) AS h, min(key) AS mk FROM ch GROUP BY md5(chunk)),
+win AS (SELECT md5(chunk) AS h, min(ROW(doc_id, idx)) AS mk
+        FROM ch GROUP BY md5(chunk)),
 surv AS (
   SELECT c.doc_id, c.idx, c.chunk
-  FROM ch c JOIN win w ON md5(c.chunk) = w.h AND c.key = w.mk
+  FROM ch c JOIN win w ON md5(c.chunk) = w.h
+                      AND ROW(c.doc_id, c.idx) = w.mk
 ),
 tot AS (
   SELECT doc_id, CAST((len(tk) + 29) // 30 AS BIGINT) AS total_chunks
@@ -5423,8 +5443,10 @@ def pipe_paragraph_dedup(spark, sf_dir):
     across distinct documents (headers, licenses, nav text), so docs
     are split into deterministic 30-token chunks (the paragraph
     stand-in for this unpunctuated corpus), every chunk occurrence
-    after the first — ordered by (doc_id, position), encoded as one
-    integer key so the winner is a plain MIN — is dropped
+    after the first — ordered by (doc_id, position) as a STRUCT min,
+    lexicographic in both engines at any chunk count (ADVICE r9: the
+    old doc_id*2^20+idx packing silently mis-ordered past 2^20
+    chunks/doc) — is dropped
     corpus-wide, and each document is reassembled from its surviving
     chunks in position order. Output keeps the per-doc chunk
     accounting plus the rebuilt text (docs made entirely of seen
@@ -5440,7 +5462,7 @@ def pipe_paragraph_dedup(spark, sf_dir):
     nothing all-pairs. collect_list skips the NULLed dropped chunks,
     so fully-deduped docs reassemble to '' without a left join."""
     d = load(spark, sf_dir, "documents", parallel="always")
-    tk = d.select("doc_id", F.split(F.col("text"), r"\s+").alias("tk"))
+    tk = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("tk"))
     nch = ((F.size("tk") + F.lit(29)) / F.lit(30)).cast("bigint")
     chunks = tk.select(
         "doc_id",
@@ -5456,7 +5478,7 @@ def pipe_paragraph_dedup(spark, sf_dir):
         "doc_id",
         F.col("idx").cast("bigint").alias("idx"),
         "chunk",
-        (F.col("doc_id") * F.lit(1048576) + F.col("idx")).alias("key"),
+        F.struct(F.col("doc_id"), F.col("idx")).alias("key"),
         F.md5(F.col("chunk")).alias("h"),
     )
     marked = chunks.withColumn(
@@ -5637,7 +5659,7 @@ def sim_range_search(spark, sf_dir):
 WITH norm AS (
   SELECT doc_id, lang, source,
          md5(array_to_string(
-           list_sort(regexp_split_to_array(lower(text), '\\s+')), ' ')) AS h
+           list_sort(regexp_split_to_array(trim(lower(text)), '\\s+')), ' ')) AS h
   FROM documents
 ),
 ranked AS (
@@ -5667,7 +5689,9 @@ def dedup_token_sort(spark, sf_dir):
     groups bounded by duplicate multiplicity, never the corpus."""
     d = load(spark, sf_dir, "documents")
     h = F.md5(
-        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), r"\s+")), " ")
+        F.array_join(
+            F.array_sort(F.split(F.trim(F.lower(F.col("text"))), r"\s+")), " "
+        )
     )
     w = W.partitionBy("h").orderBy("doc_id")
     return (
@@ -5927,9 +5951,9 @@ def dedup_url_canonical(spark, sf_dir):
     "pipe_span_corruption",
     """
 WITH base AS (
-  SELECT doc_id, string_split(text, ' ') AS tk,
-         (strpos('0123456789abcdef',
-                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 18 AS off
+  SELECT doc_id, string_split(trim(text), ' ') AS tk,
+         strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS off
   FROM documents
 ),
 marked AS (
@@ -5975,7 +5999,11 @@ def pipe_span_corruption(spark, sf_dir):
     positions), inputs keep one `<x_j>` sentinel per span, targets
     carry `<x_j>` + the masked tokens — the (input, target) pair a
     seq2seq trainer consumes. NO RNG: the span phase is an md5-nibble
-    offset per document (0..17), so reruns, engines, and cluster
+    offset per document (0..15 — ONE hex digit; ADVICE r9 caught the
+    old docstring claiming 0..17, unreachable from a single nibble
+    whose dead `% 18` is now dropped — the narrower phase range is a
+    harmless bias: the offset only decorrelates span positions across
+    documents), so reruns, engines, and cluster
     sizes corrupt the identical positions — the property that makes
     training-data bugs reproducible. Position rule: token p is masked
     iff p >= off and (p - off) % 20 < 3; span id (p - off) // 20
@@ -5992,12 +6020,10 @@ def pipe_span_corruption(spark, sf_dir):
     d = load(spark, sf_dir, "documents", parallel="always")
     base = d.select(
         "doc_id",
-        F.split(F.col("text"), " ").alias("tk"),
-        (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
-            .cast("int")
-            % 18
-        ).alias("off"),
+        F.split(F.trim(F.col("text")), " ").alias("tk"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("off"),
     )
     masked = lambda i: (i >= F.col("off")) & (
         ((i - F.col("off")) % 20) < 3
