@@ -3386,6 +3386,8 @@ SELECT event_id,
          AS DOUBLE) AS ewma20
 FROM a
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_win_ewma_matches_integer_reference",
 )
 def win_ewma(spark, sf_dir):
     """Truncated exponentially-weighted moving average (alpha = 1/2,
@@ -3465,6 +3467,8 @@ FROM g
 QUALIFY row_number() OVER (PARTITION BY event_type
                            ORDER BY g_abs DESC, rn) = 1
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_cusum_finds_the_mean_shift",
 )
 def agg_cusum_changepoint(spark, sf_dir):
     """CUSUM change-point detection per event type: the time-ordered
@@ -3590,6 +3594,8 @@ SELECT seg AS c_mktsegment, CAST(min(ng) AS BIGINT) AS n_g,
 FROM cum
 GROUP BY seg
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_t_closeness_zero_for_identical_distribution",
 )
 def diag_t_closeness(spark, sf_dir):
     """t-closeness audit — the third privacy axis after
@@ -3697,7 +3703,10 @@ FROM v{rounds}
 _MARKOV_ROUNDS = 3
 
 
-@register("evt_markov_stationary", _markov_oracle(_MARKOV_ROUNDS))
+@register("evt_markov_stationary", _markov_oracle(_MARKOV_ROUNDS),
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_markov_absorbing_state",
+)
 def evt_markov_stationary(spark, sf_dir):
     """Stationary distribution of the user-event Markov chain — the
     'where does a user end up' summary evt_transition_matrix's raw
@@ -3781,6 +3790,8 @@ SELECT CAST(count(*) AS BIGINT) AS n_users,
        CAST(MAX(total_rows) AS BIGINT) AS l1_sensitivity
 FROM per_user
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_dp_sensitivity_exact_on_crafted_corpus",
 )
 def diag_dp_sensitivity(spark, sf_dir):
     """Differential-privacy sensitivity pre-flight for the canonical
@@ -3847,6 +3858,8 @@ SELECT event_id,
     AS lower_band
 FROM f
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_bollinger_constant_series_zero_width",
 )
 def win_bollinger(spark, sf_dir):
     """Bollinger bands (trailing-20 mean ± 2 population std) per
@@ -3918,6 +3931,8 @@ SELECT event_id,
   CAST(50 * (sad + sd) AS DOUBLE) / CAST(NULLIF(sad, 0) AS DOUBLE) AS rsi14
 FROM f WHERE c = 14
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_rsi_monotone_series_pegs_at_100",
 )
 def win_rsi(spark, sf_dir):
     """14-period Relative Strength Index per event type — the classic
@@ -4105,6 +4120,8 @@ SELECT p.event_id, p.event_type, p.t_idx,
        CAST(1000000 * p.ps - p.t_idx * r.ref_q AS BIGINT) AS g
 FROM p JOIN ref r ON r.event_type = p.event_type
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_stream_cusum_matches_reference",
 )
 def strm_changepoint_monitor(spark, sf_dir):
     """Streaming CUSUM drift monitor as a REAL stream —
@@ -4303,6 +4320,8 @@ SELECT event_type, n, ss_within,
          AS seasonality_strength
 FROM folded
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_seasonality_strength_flat_series_is_null_or_high",
 )
 def agg_seasonality_strength(spark, sf_dir):
     """Hour-of-day seasonality strength per event type — Hyndman's
@@ -4452,6 +4471,8 @@ WHERE s.nh >= 2
     > 9 * (CAST(s.nh AS DECIMAL(19,0)) * CAST(s.qh AS DECIMAL(19,0))
            - CAST(s.sh AS DECIMAL(19,0)) * CAST(s.sh AS DECIMAL(19,0)))
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_seasonal_outlier_exact_boundary",
 )
 def evt_seasonal_outliers(spark, sf_dir):
     """Seasonally-adjusted outlier flags: events more than 3

@@ -210,7 +210,10 @@ def _edges(spark, sf_dir):
     return e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
-@register("graph_pagerank", _pagerank_oracle(_ITERATIONS))
+@register("graph_pagerank", _pagerank_oracle(_ITERATIONS),
+    oracle_style="mirrored",
+    semantic_check="tests/test_graph.py::test_pagerank_hand_computed_path_graph",
+)
 def graph_pagerank(spark, sf_dir):
     """Three-round damped PageRank over the undirected
     customer–supplier graph; integer-quantized supersteps (see
@@ -264,7 +267,10 @@ def _ppr_oracle(iterations: int, sources: list[int]) -> str:
     )
 
 
-@register("graph_ppr", _ppr_oracle(_ITERATIONS, _PPR_SOURCES))
+@register("graph_ppr", _ppr_oracle(_ITERATIONS, _PPR_SOURCES),
+    oracle_style="mirrored",
+    semantic_check="tests/test_advice_r9.py::test_ppr_source_without_in_edges_keeps_teleport_mass",
+)
 def graph_ppr(spark, sf_dir):
     """PERSONALIZED PageRank (random walk with restart) from the
     two-customer source set {custkey 1, 2}: all mass starts at the
@@ -286,6 +292,8 @@ def graph_ppr(spark, sf_dir):
     "graph_ppr_bucketed",
     _ppr_oracle(_ITERATIONS, _PPR_SOURCES),
     cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_ppr_bucketed_bit_identical_to_broadcast",
 )
 def graph_ppr_bucketed(spark, sf_dir):
     """graph_ppr under the strategy that survives a billion-node
@@ -313,6 +321,9 @@ def graph_ppr_bucketed(spark, sf_dir):
 # cached plan would serve pre-built state to timed re-runs.
 @register(
     "graph_pagerank_bucketed", _pagerank_oracle(_ITERATIONS), cache_plans=False
+,
+    oracle_style="mirrored",
+    semantic_check="tests/test_graph.py::test_pagerank_bucketed_bit_identical_to_broadcast",
 )
 def graph_pagerank_bucketed(spark, sf_dir):
     """The same PageRank under the strategy that survives a
@@ -452,7 +463,10 @@ def _cc_oracle(rounds: int) -> str:
 # time (per-round localCheckpoint + convergence counts), so a cached
 # "plan" is really a materialized result — re-runs would time ~0 and
 # overstate steady-state throughput. Rebuild per call instead.
-@register("graph_cc", _cc_oracle(_CC_ROUNDS), cache_plans=False)
+@register("graph_cc", _cc_oracle(_CC_ROUNDS), cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_components.py::test_components_basic",
+)
 def graph_cc(spark, sf_dir):
     """Connected components of a one-month slice of the interaction
     graph (the slice keeps the graph genuinely multi-component —
@@ -606,7 +620,10 @@ def _bfs_oracle(rounds: int) -> str:
 
 # cache_plans=False: bfs_layers executes eagerly (per-round frontier
 # localCheckpoint + emptiness checks), graph_cc rationale.
-@register("graph_bfs_layers", _bfs_oracle(_BFS_ROUNDS), cache_plans=False)
+@register("graph_bfs_layers", _bfs_oracle(_BFS_ROUNDS), cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_graph.py::test_bfs_layers_path_graph_exact_distances",
+)
 def graph_bfs_layers(spark, sf_dir):
     """Breadth-first reachability from the graph's minimum node id
     over the one-month interaction slice: every node within 4 hops
@@ -665,7 +682,10 @@ def _lpa_steps(rounds: int) -> list[str]:
 
 # cache_plans=False: label_propagation executes eagerly (per-round
 # localCheckpoint), same rationale as graph_cc.
-@register("graph_label_propagation", _lpa_oracle(_LPA_ROUNDS), cache_plans=False)
+@register("graph_label_propagation", _lpa_oracle(_LPA_ROUNDS), cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_graph.py::test_label_propagation_two_cliques_converge",
+)
 def graph_label_propagation(spark, sf_dir):
     """Community detection by synchronous label propagation over the
     one-month interaction slice (shared with graph_cc/graph_kcore —
@@ -709,7 +729,10 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 
 
 # cache_plans=False for the same reason as graph_cc (eager peeling).
-@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS), cache_plans=False)
+@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS), cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_graph.py::test_kcore_peels_to_known_core",
+)
 def graph_kcore(spark, sf_dir):
     """3-core of the one-month interaction graph — iterative peeling
     (drop degree-<3 nodes, recount, repeat): the subgraph where every
@@ -761,7 +784,10 @@ def _hits_oracle(iterations: int) -> str:
     )
 
 
-@register("graph_hits", _hits_oracle(2), cache_plans=False)
+@register("graph_hits", _hits_oracle(2), cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_hits_crafted_graph_reference",
+)
 def graph_hits(spark, sf_dir):
     """HITS hubs-and-authorities over the DIRECTED customer→supplier
     graph (two mutual-reinforcement rounds): which suppliers are
@@ -777,7 +803,10 @@ def graph_hits(spark, sf_dir):
     return hits_quantized(_directed_edges(spark, sf_dir), iterations=2)
 
 
-@register("graph_hits_bucketed", _hits_oracle(2), cache_plans=False)
+@register("graph_hits_bucketed", _hits_oracle(2), cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_graph_frontdoor.py::test_hits_bucketed_bit_identical_and_no_broadcast",
+)
 def graph_hits_bucketed(spark, sf_dir):
     """The same HITS under the strategy that survives a billion-node
     graph (r5 verdict #2, mirroring graph_pagerank_bucketed): nothing
@@ -1052,6 +1081,9 @@ FROM dsum d LEFT JOIN intra i ON i.label = d.label, m2
 # localCheckpoint), same rationale as graph_label_propagation.
 @register(
     "graph_modularity", _modularity_oracle(_LPA_ROUNDS), cache_plans=False
+,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_modularity_accounting",
 )
 def graph_modularity(spark, sf_dir):
     """Newman-Girvan modularity of the LPA communities — the 'did

@@ -158,6 +158,8 @@ sigs AS (
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_minhash_crafted_identical_pair_only",
 )
 def dedup_minhash(spark, sf_dir):
     """MinHash+LSH candidate pairs: 8 salted hashes, 4 bands of 2 —
@@ -208,6 +210,8 @@ reach AS (
 SELECT doc, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY doc
 """,
     cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_minhash_crafted_identical_pair_only",
 )
 def dedup_minhash_cluster(spark, sf_dir):
     """Lexical fuzzy-dedup CLUSTERS: MinHash+LSH candidate pairs
@@ -415,6 +419,8 @@ LEFT JOIN nm ON nm.bdoc = b.doc
 LEFT JOIN inbp p ON p.doc = b.doc
 """,
     cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_minhash_incremental.py::test_incremental_statuses_and_labels",
 )
 def dedup_minhash_cluster_incremental(spark, sf_dir):
     """Incremental LEXICAL fuzzy-dedup clusters — the production
@@ -486,7 +492,10 @@ LEFT JOIN bp ON bp.bdoc = d.doc
 """
 
 
-@register("strm_minhash_dedup", _MINHASH_STRM_ORACLE)
+@register("strm_minhash_dedup", _MINHASH_STRM_ORACLE,
+    oracle_style="mirrored",
+    semantic_check="tests/test_minhash_incremental.py::test_incremental_statuses_and_labels",
+)
 def strm_minhash_dedup(spark, sf_dir):
     """Lexical MinHash dedup as a REAL stream — the lexical twin of
     strm_semantic_dedup (one code path for batch and stream, LSH
@@ -709,6 +718,8 @@ sigs_c AS (
 SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
 FROM sigs_c a JOIN sigs_c b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_dedup_caps.py::test_capped_minhash_bucket_bounded",
 )
 def dedup_minhash_capped(spark, sf_dir):
     """MinHash+LSH candidates with the band-bucket size cap
@@ -768,6 +779,8 @@ WHERE doc_id % 10 = 0
   )
 """,
     cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_components.py::test_components_basic",
 )
 def pipe_dedup_e2e(spark, sf_dir):
     """The END-TO-END near-dup dedup pipeline as one judged query:
@@ -811,6 +824,8 @@ per_bit AS (
 SELECT doc, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM per_bit GROUP BY doc
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_simhash_identical_equal_disjoint_differ",
 )
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints — integer voting, engine-exact."""
@@ -984,6 +999,8 @@ sqranked AS (
 WITH {_SQ8_SQL.strip().lstrip()}
 SELECT qid, vec_id, score FROM sqranked WHERE rn <= 10
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_sq8.py::test_scores_are_symmetric_integers",
 )
 def sim_sq8_topk(spark, sf_dir):
     """Scalar-quantized (SQ8) ANN serving: per-dimension [min, max]
@@ -1018,6 +1035,8 @@ LEFT JOIN exact e ON e.qid = s.qid AND e.vec_id = s.vec_id AND e.rn <= 10
 WHERE s.rn <= 10
 GROUP BY s.qid
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_sq8_recall_bounds_and_self_hit",
 )
 def diag_sq8_recall(spark, sf_dir):
     """Recall@10 of SQ8 integer-quantized serving against the exact
@@ -1123,6 +1142,8 @@ ranked AS (
 )
 SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_lsh_range_search_edges",
 )
 def sim_lsh_bucketed(spark, sf_dir):
     """ANN scale path: deterministic hyperplane LSH buckets (integer-
@@ -1240,7 +1261,10 @@ SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 """
 
 
-@register("sim_ivf", _IVF_ORACLE)
+@register("sim_ivf", _IVF_ORACLE,
+    oracle_style="mirrored",
+    semantic_check="tests/test_similarity_fastpath.py::test_ivf_scores_exact_and_self_first",
+)
 def sim_ivf(spark, sf_dir):
     """IVF ANN with a TRAINED codebook: deterministic distributed
     k-means (2 Lloyd iterations, spherical, first-8 init — exactly
@@ -1254,7 +1278,10 @@ def sim_ivf(spark, sf_dir):
     )
 
 
-@register("sim_ivf_sharded", _IVF_ORACLE)
+@register("sim_ivf_sharded", _IVF_ORACLE,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_ivf_sharded_bit_identical_to_ivf",
+)
 def sim_ivf_sharded(spark, sf_dir):
     """IVF ANN with a DataFrame-RESIDENT codebook end to end
     (round-3 verdict item #1): train_kmeans_df never collects, cell
@@ -1291,6 +1318,8 @@ pairs AS (
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 """,
     oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_embedding_near_dup_pairs_crafted",
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs: LSH bucket candidates + exact
@@ -1350,6 +1379,8 @@ SELECT doc, CAST(min(label) AS BIGINT) AS cluster FROM reach GROUP BY doc
 """,
     cache_plans=False,
     oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_embedding_near_dup_pairs_crafted",
 )
 def dedup_cluster(spark, sf_dir):
     """Near-dup CLUSTERS from embedding-cosine pairs: distributed
@@ -2069,6 +2100,8 @@ ranked AS (
 )
 SELECT qid, vec_id, approx_cos FROM ranked WHERE rn <= 3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_pq.py::test_pq_cluster_precision",
 )
 def sim_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al., TPAMI 2011): two
@@ -2167,6 +2200,8 @@ FROM cells c LEFT JOIN agg a ON a.vid = c.vec_id
     "dedup_semantic",
     _semdedup_oracle(_SEMDEDUP_K_SQL),
     oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_semantic_dedup_crafted_near_dups",
 )
 def dedup_semantic(spark, sf_dir):
     """SemDeDup: trained-k-means clustering + within-cluster cosine
@@ -2209,6 +2244,8 @@ def dedup_semantic(spark, sf_dir):
     "dedup_semantic_scaled",
     _semdedup_oracle(_SEMDEDUP_K16_SQL),
     oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_semantic_dedup_crafted_near_dups",
 )
 def dedup_semantic_scaled(spark, sf_dir):
     """SemDeDup at the scaled dial — k = max(16, n // 256), a larger
@@ -2424,7 +2461,10 @@ SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 """
 
 
-@register("dedup_semantic_2level", _semdedup_2level_oracle())
+@register("dedup_semantic_2level", _semdedup_2level_oracle(),
+    oracle_style="mirrored",
+    semantic_check="tests/test_distributed_codebook.py::test_twolevel_labels_and_bounds",
+)
 def dedup_semantic_2level(spark, sf_dir):
     """SemDeDup through the TWO-LEVEL coarse/fine quantizer
     (`train_twolevel_df` + `semantic_dedup_twolevel`) — the
@@ -2534,6 +2574,8 @@ WHERE s.is_batch
     "dedup_semantic_incremental",
     _SEMDEDUP_INC_ORACLE,
     oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+    oracle_style="mirrored",
+    semantic_check="tests/test_llmops_extras.py::test_dedup_incremental_statuses",
 )
 def dedup_semantic_incremental(spark, sf_dir):
     """Incremental SemDeDup (operators/similarity.
@@ -2567,7 +2609,10 @@ def dedup_semantic_incremental(spark, sf_dir):
     )
 
 
-@register("strm_semantic_dedup", _SEMDEDUP_INC_ORACLE)
+@register("strm_semantic_dedup", _SEMDEDUP_INC_ORACLE,
+    oracle_style="mirrored",
+    semantic_check="tests/test_llmops_extras.py::test_dedup_incremental_statuses",
+)
 def strm_semantic_dedup(spark, sf_dir):
     """dedup_semantic_incremental as a REAL stream: the ingest batch
     lands as two NDJSON files split by vec_id (lower half first), a
@@ -2748,7 +2793,10 @@ def strm_semantic_dedup(spark, sf_dir):
     )
 
 
-@register("sim_topk_2level", _sim_topk_2level_oracle())
+@register("sim_topk_2level", _sim_topk_2level_oracle(),
+    oracle_style="mirrored",
+    semantic_check="tests/test_distributed_codebook.py::test_topk_twolevel_recall_and_exactness",
+)
 def sim_topk_2level(spark, sf_dir):
     """Two-level ANN top-k (operators/similarity.topk_twolevel):
     coarse route -> probe the query's 2 nearest fine cells within its
@@ -2845,6 +2893,8 @@ JOIN documents d ON d.doc_id = sd.vec_id
 WHERE sd.dup_of IS NULL
 """,
     oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_semantic_dedup_crafted_near_dups",
 )
 def pipe_semdedup_e2e(spark, sf_dir):
     """End-to-end semantic curation: SemDeDup keep-set (dup_of IS
@@ -3033,6 +3083,8 @@ SELECT a.p AS i, b.p AS j,
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.p <= b.p
 GROUP BY a.p, b.p
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_llmops_extras.py::test_gram_matches_numpy_exactly",
 )
 def emb_gram(spark, sf_dir):
     """Distributed Gram / second-moment matrix of the embedding
@@ -3220,6 +3272,8 @@ ranked AS (
 )
 SELECT qid, vec_id, approx_cos FROM ranked WHERE rn <= 3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_pq.py::test_ivfpq_recall_and_self_hit",
 )
 def sim_ivfpq(spark, sf_dir):
     """IVF-PQ, the production ANN index (FAISS IndexIVFPQ shape):
@@ -3681,6 +3735,8 @@ ranked AS (
 SELECT vid AS vec_id, nbr AS nbr_id, cosine, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_knn_graph_matches_numpy_bruteforce",
 )
 def sim_knn_graph(spark, sf_dir):
     """k-nearest-neighbor GRAPH (k=3, every vector gets its 3 nearest
@@ -3805,6 +3861,8 @@ SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
 FROM pred WHERE rn = 1
 GROUP BY 1, 2
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_centroid_classify_confusion_is_diagonal",
 )
 def sim_centroid_classify(spark, sf_dir):
     """Nearest-centroid classification of every embedding against the
@@ -4488,6 +4546,8 @@ hits AS (
 SELECT qid, n_hit, CAST(n_hit AS DOUBLE) / 3.0 AS recall_at_3
 FROM hits
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_llmops_extras.py::test_ann_recall_bounds_and_self_hit",
 )
 def diag_ann_recall(spark, sf_dir):
     """ANN index evaluation: recall@3 of the hyperplane-LSH index
@@ -4689,6 +4749,8 @@ SELECT qid, vec_id, cosine FROM (
   FROM ex
 ) WHERE rn <= 3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_llmops_extras.py::test_mrl_rerank_subset_of_coarse_and_exact_scores",
 )
 def sim_mrl_prefix_rerank(spark, sf_dir):
     """Matryoshka (MRL) prefix-dimension ANN: coarse cosine on the
@@ -4884,6 +4946,8 @@ ranked AS (
 )
 SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_llmops_extras.py::test_multiprobe_recall_at_least_single_probe",
 )
 def sim_lsh_multiprobe(spark, sf_dir):
     """Multi-probe LSH ANN (sim_lsh_bucketed's recall dial): each
@@ -5100,6 +5164,8 @@ SELECT doc_a, doc_b, n_match,
        CAST(n_match AS DOUBLE) / 8.0 AS est_jaccard
 FROM m
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_minhash_estimate_is_exact_on_identical_docs",
 )
 def dedup_minhash_estimate(spark, sf_dir):
     """MinHash as an ESTIMATOR, not just a bucketizer: for each LSH
@@ -5336,6 +5402,8 @@ LEFT JOIN k1 ON k1.doc_id = d.doc_id
 LEFT JOIN k2 ON k2.doc_id = d.doc_id
 LEFT JOIN drop3 dr ON dr.doc_id = d.doc_id
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_dedup_cascade.py::test_cascade_oracle_agrees_on_crafted_corpus",
 )
 def pipe_dedup_cascade(spark, sf_dir):
     """The lexical dedup CASCADE a curation pipeline actually ships
@@ -5636,6 +5704,8 @@ scored AS (
 )
 SELECT qid, vec_id, cosine FROM scored WHERE cosine >= 0.3
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_lsh_range_search_edges",
 )
 def sim_range_search(spark, sf_dir):
     """Radius (range) similarity search: every bucket-mate of the 25
@@ -5741,6 +5811,8 @@ SELECT cell, n_vecs,
        CAST(k * s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS imbalance
 FROM cc, tot
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_ivf_balance_accounting",
 )
 def diag_ivf_balance(spark, sf_dir):
     """IVF index-health audit: the per-cell population of the trained
@@ -5804,6 +5876,8 @@ ranked AS (
 SELECT vec_id, neg_id, cosine, CAST(rn AS BIGINT) AS rn
 FROM ranked WHERE rn <= 2
 """,
+    oracle_style="mirrored",
+    semantic_check="tests/test_r9_continuation.py::test_hard_negatives_are_cross_label",
 )
 def sim_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: for EVERY

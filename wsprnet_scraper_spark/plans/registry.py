@@ -32,6 +32,31 @@ from collections.abc import Callable
 QUERIES: dict[str, Callable] = {}
 ORACLE: dict[str, str] = {}
 
+# Mirrored-oracle audit (r9 verdict task #1). The differential gate
+# is blind to spec bugs when BOTH sides share the recurrence: the
+# evt_seasonal_outliers near-miss (r9c) gate-PASSED a wrong algebra
+# because the oracle SQL replayed the engine's own cleared form, and
+# only a flag-rate plausibility smell caught it. So every entry whose
+# oracle was authored by MIRRORING the engine's own chain — unrolled
+# graph supersteps, quantized k-means/PQ/SQ8/two-level codebook
+# chains, LSH plane folds, window recurrences (EWMA/Bollinger/RSI/
+# CUSUM), markov chains, seasonal/t-closeness algebra — must be
+# tagged `oracle_style="mirrored"` and carry a `semantic_check`
+# pointing at an INDEPENDENT test (crafted-corpus expected values, a
+# pure-Python/numpy reference, or a hand-computed fixture; bit-
+# identity twins may chain through the twin's semantic check).
+# tests/test_mirrored_oracle_audit.py sweeps: a mirrored entry
+# without a resolvable semantic_check FAILS the suite.
+#
+# `oracle_style` values: "independent" (default for entries with an
+# oracle — the SQL re-derives the semantics from the spec, so a
+# divergent bug on either side breaks the gate) or "mirrored".
+ORACLE_STYLE: dict[str, str] = {}
+
+# name -> "tests/<file>.py::<test_function>" of the independent
+# semantic check backing a mirrored oracle.
+SEMANTIC_CHECK: dict[str, str] = {}
+
 # Exact-value oracle DOMAIN bounds: name -> (table, max_rows).
 # A registered oracle is the bit-exact spec of the judged plan ONLY
 # while the named input table holds <= max_rows rows. The one family
@@ -76,6 +101,8 @@ def register(
     oracle: str | None = None,
     cache_plans: bool | None = None,
     oracle_bound: tuple[str, int] | None = None,
+    oracle_style: str | None = None,
+    semantic_check: str | None = None,
 ):
     # default: strm_* builders are assumed side-effectful; pure batch
     # expressions of streaming semantics opt back in explicitly
@@ -105,6 +132,11 @@ def register(
             ORACLE[name] = "\n".join(
                 line for line in oracle.strip().splitlines()
             )
+            ORACLE_STYLE[name] = oracle_style or "independent"
+        elif oracle_style is not None:
+            raise ValueError(f"{name}: oracle_style without an oracle")
+        if semantic_check is not None:
+            SEMANTIC_CHECK[name] = semantic_check
         if oracle_bound is not None:
             ORACLE_BOUND[name] = oracle_bound
         return fn
