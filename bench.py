@@ -141,6 +141,8 @@ HEADLINE += [
     "agg_seasonality_strength", "evt_time_to_convert",
     "evt_seasonal_outliers", "diag_modality_coverage",
     "sim_hard_negatives", "dedup_url_canonical", "pipe_span_corruption",
+    # r10 new entry (probe-tracked per the rule)
+    "pipe_bpe_train",
 ]
 
 

@@ -277,6 +277,67 @@ def test_hits_crafted_graph_reference(spark):
     assert got[3] > got[5] > 0
 
 
+def _bpe_python_reference(token_counts, rounds):
+    """Classic BPE training (Sennrich et al. 2016) in pure Python:
+    vocabulary entries as symbol LISTS, pair counts weighted by token
+    frequency (every adjacent position counts), best pair by
+    (count desc, pair lexicographic), leftmost non-overlapping merge.
+    Independent of the engine's framed-string representation."""
+    vocab = {tok: list(tok) for tok in token_counts}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for tok, syms in vocab.items():
+            n = token_counts[tok]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, a + b, cnt))
+        for tok, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[tok] = out
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, tmp_path):
+    # Backs pipe_bpe_train (and transitively the single-step entries
+    # pipe_bpe_merge_step / pipe_bpe_apply_step that share its pair
+    # algebra): the engine's framed-string merge loop must learn the
+    # same merge table as textbook BPE. The corpus includes repeated
+    # characters ("aaaa") so the leftmost-non-overlapping rule and
+    # the abab double-merge case are both exercised.
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa abab low new",
+        "wider wide wide low",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    expected = _bpe_python_reference(counts, 10)
+    got = sorted(
+        (r["rn"], r["pair_a"], r["pair_b"], r["merged"], r["cnt"])
+        for r in QUERIES["pipe_bpe_train"](spark, sf).collect()
+    )
+    assert got == expected and len(got) == 10
+
+
 def test_ppr_bucketed_bit_identical_to_broadcast(spark):
     # Backs graph_ppr_bucketed: the SHUFFLE_HASH serving strategy must
     # reproduce the broadcast walk bit for bit (graph_ppr's own

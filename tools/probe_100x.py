@@ -124,6 +124,9 @@ QUERIES_100X = [
     "sim_hard_negatives",
     "dedup_url_canonical",
     "pipe_span_corruption",
+    # r10 addition: 10-round BPE training loop — corpus scanned once
+    # into the vocab relation, then rounds x vocab-sized pair aggs
+    "pipe_bpe_train",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each

@@ -3713,6 +3713,162 @@ def pipe_bpe_merge_step(spark, sf_dir):
     )
 
 
+_BPE_ROUNDS = 10
+# Symbol framing for the multi-round BPE loop: every symbol is
+# written as \x1e<sym>\x1f, so "merge adjacent (a, b)" is ONE
+# replace(enc, \x1e a \x1f \x1e b \x1f, \x1e ab \x1f) — leftmost
+# non-overlapping in both engines, boundary-exact (a pattern can
+# never match a symbol suffix/prefix through the framing), and
+# consecutive occurrences share no characters so "abab" merges twice.
+_BPE_SYM_RE = r"\x1e([^\x1f]*)\x1f"
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    head = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks
+  WHERE len(tok) >= 1
+    AND strpos(tok, chr(30)) = 0 AND strpos(tok, chr(31)) = 0
+  GROUP BY tok
+),
+e0 AS (
+  SELECT regexp_replace(tok, '(.)', chr(30) || '\\1' || chr(31), 'g')
+           AS enc, n
+  FROM v
+)"""
+    ctes, unions = [], []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+p{r} AS (
+  SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM (SELECT regexp_extract_all(enc, '{_BPE_SYM_RE}', 1) AS s, n
+        FROM e{r - 1}) z,
+       unnest(generate_series(1, len(s) - 1)) AS t(i)
+  GROUP BY 1, 2
+),
+b{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+e{r} AS (
+  SELECT CASE WHEN b{r}.a IS NULL THEN enc
+         ELSE replace(enc,
+                      chr(30) || b{r}.a || chr(31) || chr(30) || b{r}.b || chr(31),
+                      chr(30) || b{r}.a || b{r}.b || chr(31)) END AS enc,
+         n
+  FROM e{r - 1} LEFT JOIN b{r} ON TRUE
+)""")
+        unions.append(f"SELECT {r} AS rn, a, b, cnt FROM b{r}")
+    body = " UNION ALL ".join(unions)
+    return f"""{head},{",".join(ctes)}
+SELECT CAST(rn AS BIGINT) AS rn, a AS pair_a, b AS pair_b,
+       a || b AS merged, CAST(cnt AS BIGINT) AS cnt
+FROM ({body})
+"""
+
+
+@register(
+    "pipe_bpe_train",
+    _bpe_train_oracle(_BPE_ROUNDS),
+    # cache_plans=False: the merge loop runs at BUILD time (per-round
+    # 1-row convergence scalars, the graph-family precedent), so a
+    # cached plan would hand timed re-runs a pre-computed local
+    # relation instead of re-running the training loop.
+    cache_plans=False,
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_bpe_train_matches_python_reference",
+)
+def pipe_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING, end to end: the full 10-merge loop
+    (Sennrich et al. 2016) whose single inner step pipe_bpe_merge_step
+    judges — each round counts adjacent symbol pairs over the
+    VOCABULARY relation (never the corpus) weighted by token
+    frequency, merges the winner (cnt DESC, pair lexicographic — the
+    deterministic tie-break) into one symbol everywhere, and the
+    output is the learned merge table (round, pair, merged symbol,
+    count) a tokenizer ships.
+
+    Representation is the scale trick: token symbol sequences are
+    framed as \\x1e<sym>\\x1f runs, so one round's merge is a single
+    replace() per vocabulary row — leftmost non-overlapping in BOTH
+    engines, boundary-exact through the framing, and adjacent
+    occurrences ("abab") merge correctly because matches share no
+    characters. Tokens containing the two framing control characters
+    are filtered (mirrored) — absent from any space-tokenized text.
+
+    Scale: the corpus is scanned ONCE into the (token, count) vocab
+    relation (map-side combinable); every round after that is
+    vocabulary-sized — one pair aggregation + one projection. The
+    per-round winner is a 1-row aggregate collected as a convergence
+    scalar (the graph family's am/hm precedent: one row per round,
+    never a relation), embedded as literals so the encoded-vocab
+    lineage stays a linear projection chain; the vocab is persisted
+    across rounds and released before return. Cost model for the
+    probe: rounds × (vocab pair-agg), independent of corpus size
+    beyond the first scan. The oracle unrolls the identical 10
+    rounds as CTEs (mirrored by construction — the independent check
+    is a pure-Python classic-BPE reference on a crafted corpus)."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    SL, SR = "\x1e", "\x1f"
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab = (
+        toks.filter(
+            (F.length("tok") >= 1)
+            & ~F.col("tok").contains(SL)
+            & ~F.col("tok").contains(SR)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    enc0 = vocab.select(
+        F.regexp_replace("tok", "(.)", f"{SL}$1{SR}").alias("enc"), "n"
+    ).persist()
+    kept, rows, cur = [enc0], [], enc0
+    try:
+        for r in range(1, _BPE_ROUNDS + 1):
+            pr = cur.withColumn(
+                "s", F.regexp_extract_all("enc", F.lit(_BPE_SYM_RE), 1)
+            ).select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(s, 1, size(s) - 1),"
+                        " slice(s, 2, size(s) - 1),"
+                        " (x, y) -> struct(x AS a, y AS b))"
+                    )
+                ).alias("p"),
+                "n",
+            )
+            pairs = pr.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            ).agg(F.sum("n").cast("bigint").alias("cnt"))
+            bs = pairs.agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), "a", "b")
+                ).alias("bs")
+            ).first()["bs"]
+            if bs is None or bs["a"] is None:
+                break  # vocabulary fully merged / single-symbol
+            a, b, cnt = bs["a"], bs["b"], -int(bs["nc"])
+            rows.append((r, a, b, a + b, cnt))
+            nxt = cur.select(
+                F.replace(
+                    F.col("enc"),
+                    F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"),
+                    F.lit(f"{SL}{a}{b}{SR}"),
+                ).alias("enc"),
+                "n",
+            ).persist()
+            kept.append(nxt)
+            cur = nxt
+    finally:
+        for df in kept:
+            df.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "rn bigint, pair_a string, pair_b string, merged string, cnt bigint",
+    )
+
+
 @register(
     "sim_knn_graph",
     """
