@@ -27,6 +27,94 @@ from .registry import register
 _Q15 = 900 * 1_000_000
 _H1 = 3600 * 1_000_000
 
+# Shared trailing-frame relation for the win_ewma / win_bollinger /
+# win_rsi family (r9 verdict task #5, the edge-store precedent): the
+# three entries frame the SAME events stream under the SAME
+# (event_type, time, event_id) order, so one block+halo pass
+# (operators/frames._halo_blocks, k=19) serves all three measure
+# sets — the EWMA frame array (collapsed to its scalar immediately,
+# so nothing 20-wide is retained), Bollinger's Σx/Σx²/count, and
+# RSI's lag-delta Σδ/Σ|δ|/count over the trailing 13 rows (the row
+# frame ending at rn carries exactly the 14 deltas the old
+# delta-relation frame carried, since every row's delta looks back
+# one). All frames share one Window partitioning: Spark plans them
+# as stacked Window execs over a single exchange. The relation is
+# persisted per (application, sf_dir) — fixed-width columns, events-
+# sized; at true 100 TB scale the persist is the dial (drop it and
+# each entry recomputes the one pass instead of sharing memory).
+_FRAME_STORE: dict = {}
+
+
+def _frame_relation(spark, sf_dir):
+    from ..operators.frames import _halo_blocks
+
+    app = spark.sparkContext.applicationId
+    bucket = _FRAME_STORE.get(app)
+    if bucket is None:
+        _FRAME_STORE.clear()  # drop relations of stopped applications
+        bucket = _FRAME_STORE.setdefault(app, {})
+    df = bucket.get(sf_dir)
+    if df is not None:
+        return df
+
+    ev = load_events(spark, sf_dir)
+    t = ev.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+    ).withColumn("c2", F.col("cents") * F.col("cents"))
+    both, wf19 = _halo_blocks(
+        t, "event_type", "us", "event_id", ["cents", "c2"], 19,
+        6 * 3600 * 1_000_000,
+    )
+    w = W.partitionBy("event_type", "_blk").orderBy("_rn")
+    # dyadic EWMA collapsed in place: frame array -> one bigint fold
+    # -> one double division (win_ewma's documented algebra)
+    arr = F.collect_list("cents").over(wf19)
+    staged = both.select(
+        "event_id",
+        "event_type",
+        "us",
+        "_blk",
+        "_halo",
+        F.col("_rn").alias("rn"),
+        arr.alias("_arr"),
+        F.count(F.lit(1)).over(wf19).cast("bigint").alias("c"),
+        F.sum("cents").over(wf19).alias("s_cents"),
+        F.sum("c2").over(wf19).alias("s_c2"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("_delta"),
+    )
+    num = F.expr(
+        "aggregate(transform(_arr,"
+        " (x, i) -> x * shiftleft(1L, 20 - size(_arr) + i)),"
+        " 0L, (a, b) -> a + b)"
+    )
+    den = F.expr("shiftleft(1L, 20) - shiftleft(1L, 20 - size(_arr))")
+    wd = W.partitionBy("event_type", "_blk").orderBy("rn")
+    wf13 = wd.rowsBetween(-13, W.currentRow)
+    df = (
+        staged.select(
+            "event_id",
+            "event_type",
+            "us",
+            "rn",
+            "_halo",
+            (num.cast("double") / den.cast("double")).alias("ewma20"),
+            "c",
+            "s_cents",
+            "s_c2",
+            F.count("_delta").over(wf13).cast("bigint").alias("dc"),
+            F.sum("_delta").over(wf13).alias("s_delta"),
+            F.sum(F.abs("_delta")).over(wf13).alias("s_adelta"),
+        )
+        .where(~F.col("_halo"))
+        .drop("_halo", "_blk")
+        .persist()
+    )
+    bucket[sf_dir] = df
+    return df
+
 
 def _bucket(col, width_us: int, width_s: int):
     """time_bucket(): epoch-seconds bucket start, pure integer math."""
@@ -3411,29 +3499,15 @@ def win_ewma(spark, sf_dir):
     plain single-window form, so the gate proves the blocked plan
     bit-identical. Sum bound: 2^20 * max|cents| * 20 ~ 2e13 —
     comfortably in BIGINT at any corpus size (the fold is per-row
-    over <= 20 elements; nothing accumulates across rows)."""
-    from ..operators.frames import trailing_frame_arrays
+    over <= 20 elements; nothing accumulates across rows).
 
-    ev = load_events(spark, sf_dir)
-    t = ev.select(
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    f = trailing_frame_arrays(
-        t, "event_type", "us", "event_id", "cents", k=19
-    )
-    num = F.expr(
-        "aggregate(transform(arr,"
-        " (x, i) -> x * shiftleft(1L, 20 - size(arr) + i)),"
-        " 0L, (a, b) -> a + b)"
-    )
-    den = F.expr("shiftleft(1L, 20) - shiftleft(1L, 20 - size(arr))")
-    return f.select(
-        "event_id",
-        (num.cast("double") / den.cast("double")).alias("ewma20"),
-    )
+    r10: served from the SHARED frame relation (_frame_relation,
+    r9 verdict task #5) — one block+halo exchange computes this
+    entry's collapsed EWMA next to Bollinger's and RSI's frame sums
+    instead of each entry paying the same exchange over the same
+    events scan. Values unchanged: the gate re-proved the shared
+    pass against the untouched single-window oracle."""
+    return _frame_relation(spark, sf_dir).select("event_id", "ewma20")
 
 
 @register(
@@ -3875,19 +3949,12 @@ def win_bollinger(spark, sf_dir):
     correctly-rounded sqrt, and one multiply-add per band — written
     identically in both engines. The plain single-window oracle
     proves the blocked plan bit-identical, win_weighted_ma's
-    contract."""
-    from ..operators.frames import trailing_frame_multi_sums
+    contract.
 
-    ev = load_events(spark, sf_dir)
-    t = ev.select(
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-    ).withColumn("c2", F.col("cents") * F.col("cents"))
-    f = trailing_frame_multi_sums(
-        t, "event_type", "us", "event_id", ["cents", "c2"], k=19
-    )
+    r10: served from the SHARED frame relation (_frame_relation, r9
+    verdict task #5) — the Σx/Σx²/count columns come from the one
+    exchange also serving win_ewma and win_rsi. Values unchanged."""
+    f = _frame_relation(spark, sf_dir)
     mid = F.col("s_cents").cast("double") / F.col("c").cast("double")
     sd = F.sqrt(
         (F.col("c") * F.col("s_c2") - F.col("s_cents") * F.col("s_cents"))
@@ -3949,34 +4016,19 @@ def win_rsi(spark, sf_dir):
     single-tasks a fat series), and both 14-row sums share ONE
     trailing_frame_multi_sums exchange. The oracle states the plain
     lag + single-window form; the gate proves the two-pass blocked
-    plan equals it bit for bit."""
-    from ..operators.frames import (
-        trailing_frame_arrays,
-        trailing_frame_multi_sums,
-    )
+    plan equals it bit for bit.
 
-    ev = load_events(spark, sf_dir)
-    t = ev.select(
-        "event_id",
-        "event_type",
-        F.unix_micros("ts").alias("us"),
-        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
-    )
-    a = trailing_frame_arrays(t, "event_type", "us", "event_id", "cents", k=1)
-    d = (
-        a.where(F.size("arr") == 2)
-        .select(
-            "event_type",
-            "us",
-            "event_id",
-            (F.element_at("arr", 2) - F.element_at("arr", 1)).alias("delta"),
-        )
-        .withColumn("adelta", F.abs(F.col("delta")))
-    )
-    f = trailing_frame_multi_sums(
-        d, "event_type", "us", "event_id", ["delta", "adelta"], k=13
-    )
-    return f.where(F.col("c") == 14).select(
+    r10: served from the SHARED frame relation (_frame_relation, r9
+    verdict task #5). The delta sums there run over the trailing 13
+    ROWS ending at each row — exactly the same 14 deltas as the old
+    two-pass delta-relation frame, because every row's delta looks
+    back one (row frame [rn-13, rn] carries delta indices
+    [rn-14, rn-1] = the 14 consecutive deltas ending at this row's);
+    dc == 14 is the old c == 14. Values unchanged — the gate
+    re-proved the shared pass against the untouched lag +
+    single-window oracle."""
+    f = _frame_relation(spark, sf_dir)
+    return f.where(F.col("dc") == 14).select(
         "event_id",
         (
             (F.lit(50).cast("bigint") * (F.col("s_adelta") + F.col("s_delta")))
