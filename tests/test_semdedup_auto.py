@@ -152,11 +152,13 @@ def test_oracle_bound_records_the_dispatch_ceiling():
     for name in ORACLE_BOUND:
         assert name in ORACLE, name
     # r7 additions: the LSH pair machinery dispatches its pair stage
-    # (fold below / per-bucket GEMM above) on the same ceiling
+    # (fold below / per-bucket GEMM above) on the same ceiling;
+    # r10: the semantic STREAM twin joined the dispatch (the probe
+    # caught its flat trainer still live at the 100x corpus)
     assert set(ORACLE_BOUND) == {
         "dedup_semantic", "dedup_semantic_scaled",
         "dedup_semantic_incremental", "pipe_semdedup_e2e",
-        "dedup_embedding", "dedup_cluster",
+        "dedup_embedding", "dedup_cluster", "strm_semantic_dedup",
     }
 
 
@@ -181,3 +183,37 @@ def test_judged_entries_route_through_the_front_doors():
         assert "semantic_dedup_incremental(" not in s.replace(
             "semantic_dedup_incremental_auto(", ""
         ), name
+
+
+def test_strm_semantic_dedup_above_ceiling_scale_branch(spark, tmp_path):
+    """r10: the STREAM twin runs the same FLAT_ASSIGN_MAX dispatch as
+    semantic_dedup_incremental_auto (the r10 probe caught the flat
+    k=n/256 trainer still live in the stream fixture: 219 s at the
+    100x corpus vs 14.5 s dispatched). Above the ceiling the
+    two-level composite cells must still produce the contract's
+    statuses: every planted identical pair (10k batch vector, 10k+1
+    corpus vector) routes to the same cell in ANY deterministic
+    assignment, so all batch vectors come back dup_of_corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+
+    n = 5010  # corpus side 4509 > FLAT_ASSIGN_MAX = 4096
+    vecs = []
+    for i in range(n):
+        j = i - (i % 2)  # 2j and 2j+1 identical
+        vecs.append([float(((j * 7 + d * 3) % 11) - 5) for d in range(4)])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = entrymod.queries()["strm_semantic_dedup"](spark, str(tmp_path))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert len(rows) == (n - 1) // 10 + 1  # vec_id % 10 == 0 slice
+    assert all(r["status"] == "dup_of_corpus" for r in rows.values())
+    assert all(r["n_corpus_near"] >= 1 for r in rows.values())

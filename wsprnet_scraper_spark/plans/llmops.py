@@ -2610,6 +2610,7 @@ def dedup_semantic_incremental(spark, sf_dir):
 
 
 @register("strm_semantic_dedup", _SEMDEDUP_INC_ORACLE,
+    oracle_bound=("embeddings", similarity.FLAT_ASSIGN_MAX),
     oracle_style="mirrored",
     semantic_check="tests/test_llmops_extras.py::test_dedup_incremental_statuses",
 )
@@ -2629,9 +2630,21 @@ def strm_semantic_dedup(spark, sf_dir):
 
     In-stream state: the parquet sink carries (vec_id, cell, v, n2,
     is_corpus); the codebook is trained ONCE on the corpus
-    (train_kmeans_df — DataFrame-resident, shared discipline with the
-    batch twin) and reused by every micro-batch's zero-shuffle fold
-    assignment. Statuses land in a results dir read back at the end.
+    (DataFrame-resident, shared discipline with the batch twin) and
+    reused by every micro-batch's zero-shuffle fold assignment.
+    Statuses land in a results dir read back at the end.
+
+    r10 scale dispatch: the stream twin now runs the SAME
+    FLAT_ASSIGN_MAX dispatch as semantic_dedup_incremental_auto —
+    below the ceiling the flat corpus-trained codebook (k = max(8,
+    n/256), the exact-oracle region the gate certifies, values
+    unchanged), above it the balanced two-level quantizer with
+    composite (ccell, fcell) cells for the sink AND every
+    micro-batch. The r10 probe caught the gap: the flat Θ(n·k)
+    training the batch entries retired in r5 was still live here
+    (219 s at the 100× corpus, 110 s of it the k=703 flat trainer;
+    two-level: see SCALE.md r10). ORACLE_BOUND now declares the
+    above-ceiling region rows-only, exactly like the batch twin.
 
     The landing files are written DISTRIBUTED (streaming/landing.py —
     contiguous vec_id-range cuts, the driver renames n files; r9
@@ -2669,8 +2682,45 @@ def strm_semantic_dedup(spark, sf_dir):
     is_batch = F.col("vec_id") % 10 == 0
     corpus, batch = emb.filter(~is_batch), emb.filter(is_batch)
     corpus_n = corpus.count()
-    k = max(8, corpus_n // 256)
-    cents = train_kmeans_df(emb.filter(~is_batch), k, 2, f"{sf_dir}:strm_inc")
+    if corpus_n <= similarity.FLAT_ASSIGN_MAX:
+        cents = train_kmeans_df(
+            corpus, max(8, corpus_n // 256), 2, f"{sf_dir}:strm_inc"
+        )
+
+        def assign(pre):
+            return assign_cells_df(pre, cents, carry=("v", "n2"))
+
+    else:  # two-level composite cells — the batch twin's scale branch
+        kb = similarity._balanced_k(corpus_n, 256)
+        coarse, fine = similarity.train_twolevel_df(
+            corpus, kb, kb, 2, f"{sf_dir}:strm_inc2l"
+        )
+        books = similarity._fine_books(fine)
+
+        def assign(pre):
+            routed = assign_cells_df(pre, coarse, carry=("v", "n2")).select(
+                "vec_id", F.col("cell").alias("ccell"), "v", "n2"
+            )
+            base = routed.join(books, "ccell", "left").select(
+                "vec_id",
+                "ccell",
+                F.coalesce(
+                    similarity._argmax_fold(
+                        F.col("book"), F.col("v"), F.col("n2")
+                    ),
+                    F.lit(-1),
+                )
+                .cast("long")
+                .alias("fcell"),
+                "v",
+                "n2",
+            )
+            return base.select(
+                "vec_id",
+                similarity._composite_cell(kb).alias("cell"),
+                "v",
+                "n2",
+            )
 
     # land the batch as two id-ordered NDJSON files (file order =
     # id order, pinned by explicit mtimes so the file source cannot
@@ -2685,7 +2735,7 @@ def strm_semantic_dedup(spark, sf_dir):
     pre_corpus = corpus.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ).withColumn("n2", _norm2(F.col("v")))
-    assign_cells_df(pre_corpus, cents, carry=("v", "n2")).withColumn(
+    assign(pre_corpus).withColumn(
         "is_corpus", F.lit(True)
     ).write.mode("overwrite").parquet(f"{sink}/seed")
 
@@ -2693,7 +2743,7 @@ def strm_semantic_dedup(spark, sf_dir):
         pre = bdf.select(
             "vec_id", _as_double(F.col("embedding")).alias("v")
         ).withColumn("n2", _norm2(F.col("v")))
-        cur = assign_cells_df(pre, cents, carry=("v", "n2")).cache()
+        cur = assign(pre).cache()
         try:
             standing = spark.read.parquet(
                 *[
