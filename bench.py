@@ -141,8 +141,8 @@ HEADLINE += [
     "agg_seasonality_strength", "evt_time_to_convert",
     "evt_seasonal_outliers", "diag_modality_coverage",
     "sim_hard_negatives", "dedup_url_canonical", "pipe_span_corruption",
-    # r10 new entry (probe-tracked per the rule)
-    "pipe_bpe_train",
+    # r10 new entries (probe-tracked per the rule)
+    "pipe_bpe_train", "pipe_bpe_encode",
     # r10: the semantic stream twin joins the headline (its lexical
     # twin has been here since r8; both fixtures went distributed
     # this round and the cost should be visible round over round)

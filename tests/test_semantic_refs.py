@@ -338,6 +338,47 @@ def test_bpe_train_matches_python_reference(spark, tmp_path):
     assert got == expected and len(got) == 10
 
 
+def test_bpe_encode_matches_python_reference(spark, tmp_path):
+    # Backs pipe_bpe_encode: encoding the corpus with the learned
+    # merges must equal a textbook BPE encoder — train with the
+    # pure-Python reference, then apply its merges left-to-right
+    # non-overlapping to each document's character sequence (spaces
+    # are ordinary symbols; learned pairs never contain one, so
+    # merges cannot cross word boundaries).
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa abab low new",
+        "wider wide wide low",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    merges = _bpe_python_reference(counts, 10)
+
+    def encode(text):
+        syms = list(text)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {
+        r["doc_id"]: r["n_symbols"]
+        for r in QUERIES["pipe_bpe_encode"](spark, sf).collect()
+    }
+    assert got == {i: len(encode(t)) for i, t in enumerate(texts)}
+
+
 def test_ppr_bucketed_bit_identical_to_broadcast(spark):
     # Backs graph_ppr_bucketed: the SHUFFLE_HASH serving strategy must
     # reproduce the broadcast walk bit for bit (graph_ppr's own

@@ -127,6 +127,7 @@ QUERIES_100X = [
     # r10 addition: 10-round BPE training loop — corpus scanned once
     # into the vocab relation, then rounds x vocab-sized pair aggs
     "pipe_bpe_train",
+    "pipe_bpe_encode",
     # r10 addition: both dedup stream twins now land their fixtures
     # distributed; probe them so the fixture share stays visible
     "strm_minhash_dedup",

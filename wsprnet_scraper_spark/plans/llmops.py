@@ -3859,6 +3859,18 @@ def pipe_bpe_train(spark, sf_dir):
     rounds as CTEs (mirrored by construction — the independent check
     is a pure-Python classic-BPE reference on a crafted corpus)."""
     d = load(spark, sf_dir, "documents", parallel="always")
+    return spark.createDataFrame(
+        _bpe_train_merges(d),
+        "rn bigint, pair_a string, pair_b string, merged string, cnt bigint",
+    )
+
+
+def _bpe_train_merges(d) -> list:
+    """The shared BPE training loop (pipe_bpe_train's engine,
+    also the build phase of pipe_bpe_encode): returns the learned
+    merge table as [(rn, a, b, merged, cnt)] — per-round winners as
+    1-row convergence scalars; see pipe_bpe_train's docstring for the
+    framing + scale argument."""
     SL, SR = "\x1e", "\x1f"
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     vocab = (
@@ -3913,9 +3925,89 @@ def pipe_bpe_train(spark, sf_dir):
     finally:
         for df in kept:
             df.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "rn bigint, pair_a string, pair_b string, merged string, cnt bigint",
+    return rows
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """pipe_bpe_train's unrolled training CTEs + a document-encode
+    chain: documents framed char-by-char (spaces become ordinary
+    symbols that the letter-pair merges can never match across —
+    word-boundary-respecting BPE for free), then every learned merge
+    replayed in round order."""
+    train = _bpe_train_oracle(rounds)
+    head = train[: train.rindex("SELECT CAST(rn AS BIGINT)")].rstrip() + ","
+    ctes = [
+        """
+d0 AS (
+  SELECT doc_id,
+         regexp_replace(text, '(.)', chr(30) || '\\1' || chr(31), 'g')
+           AS enc
+  FROM documents
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+d{r} AS (
+  SELECT doc_id,
+    CASE WHEN b{r}.a IS NULL THEN enc
+         ELSE replace(enc,
+                      chr(30) || b{r}.a || chr(31) || chr(30) || b{r}.b || chr(31),
+                      chr(30) || b{r}.a || b{r}.b || chr(31)) END AS enc
+  FROM d{r - 1} LEFT JOIN b{r} ON TRUE
+)""")
+    return f"""{head}{",".join(ctes)}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(enc, '{_BPE_SYM_RE}', 1)) AS BIGINT)
+         AS n_symbols,
+       md5(enc) AS encoded_md5
+FROM d{rounds}
+"""
+
+
+@register(
+    "pipe_bpe_encode",
+    _bpe_encode_oracle(_BPE_ROUNDS),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_bpe_encode_matches_python_reference",
+)
+def pipe_bpe_encode(spark, sf_dir):
+    """BPE ENCODING with the learned merge table — the serving end
+    that completes the tokenizer family (pipe_bpe_merge_step learns
+    one pair, pipe_bpe_train the full table, this encodes the
+    corpus): every document is framed char-by-char into
+    \\x1e<sym>\\x1f runs and the 10 learned merges are replayed in
+    round order as literal replace()s. Spaces are framed like any
+    other character, and since learned pairs come from the
+    whitespace-token vocabulary no merge pattern can ever contain or
+    cross a space symbol — word-boundary-respecting BPE falls out of
+    the framing with no segmentation pass. Output per document: the
+    encoded symbol count (the number a token-budget planner consumes)
+    and the md5 of the full encoded symbol string (the gate checks
+    the exact symbol sequence, not just counts).
+
+    Scale: training is pipe_bpe_train's build phase (vocabulary-sized
+    rounds, per-round 1-row convergence scalars); the encode itself
+    is a PURE PROJECTION — 10 chained replace()s + one regexp count +
+    one md5 per row, zero shuffle, pipelined into the documents scan
+    at any corpus size. Plans are cached (prepared-plan discipline),
+    so a serving process trains once per corpus and every encode run
+    is the projection only. The oracle replays training AND encoding
+    as one unrolled CTE chain (mirrored by construction — the
+    independent check is the pure-Python textbook-BPE encoder on a
+    crafted corpus)."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    SL, SR = "\x1e", "\x1f"
+    enc = F.regexp_replace("text", "(.)", f"{SL}$1{SR}")
+    for _, a, b, _, _ in _bpe_train_merges(d):
+        enc = F.replace(
+            enc, F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"), F.lit(f"{SL}{a}{b}{SR}")
+        )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(enc, F.lit(_BPE_SYM_RE), 1))
+        .cast("bigint")
+        .alias("n_symbols"),
+        F.md5(enc).alias("encoded_md5"),
     )
 
 
