@@ -260,3 +260,40 @@ def test_land_ordered_ndjson_empty_slice_lands_one_empty_file(
     files = sorted(os.listdir(landing))
     assert n == 1 and files == ["batch-000.json"]
     assert os.path.getsize(f"{landing}/batch-000.json") == 0
+
+
+@pytest.mark.parametrize(
+    "keys,n_files",
+    [
+        ([5, 5, 5, 7, 7, 9], 3),            # ties must stay together
+        ([0, 1000000], 4),                   # sparse extremes
+        ([42], 3),                           # single row
+        (list(range(100, 200)) + [10**12], 2),  # clustered + outlier
+        ([-50, -10, 0, 10, 50], 2),          # negative keys
+    ],
+)
+def test_land_ordered_ndjson_edge_shapes(spark, tmp_path, keys, n_files):
+    # The helper's contract under awkward key distributions: files
+    # are contiguous in the order column (ties never split), every
+    # row lands exactly once, mtimes strictly increase.
+    import os
+
+    landing = str(tmp_path / "landing")
+    df = spark.createDataFrame([(k, "p") for k in keys], "k bigint, p string")
+    n = land_ordered_ndjson(df, "k", landing, n_files)
+    files = sorted(os.listdir(landing))
+    assert 1 <= n == len(files) <= n_files
+    seen, prev_max, prev_mtime = [], None, None
+    for fname in files:
+        path = f"{landing}/{fname}"
+        ks = [json.loads(line)["k"] for line in open(path) if line.strip()]
+        assert ks
+        if prev_max is not None:
+            assert min(ks) > prev_max
+        prev_max = max(ks)
+        mt = os.path.getmtime(path)
+        if prev_mtime is not None:
+            assert mt > prev_mtime
+        prev_mtime = mt
+        seen.extend(ks)
+    assert sorted(seen) == sorted(keys)
