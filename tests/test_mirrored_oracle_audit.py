@@ -55,7 +55,6 @@ MIRRORED_NAME_HINTS = re.compile(
 # set algebra, or spec-level math re-derived in SQL), reviewed in
 # COVERAGE.md's audit note.
 REVIEWED_INDEPENDENT = {
-    "strm_semantic_dedup",  # tagged via its shared oracle twin below
     "sim_topk_bruteforce",  # cosine re-derived: left-fold on sorted
     # dims both sides IS the spec (pinned by test_gemm numpy parity)
 }
@@ -99,6 +98,22 @@ def test_recurrence_named_entries_are_tagged_or_reviewed():
     assert not suspects, (
         "entries in mirrored-prone families neither tagged nor "
         f"reviewed-independent: {suspects}"
+    )
+
+
+def test_coverage_census_matches_registry():
+    # The r10 verdict's doc-drift finding: COVERAGE.md's hand-written
+    # mirrored-entry census went stale twice (55/336, 56/337 vs the
+    # actual 57). The doc now states ONE number and this test pins it
+    # to the registry's ORACLE_STYLE map, so a new mirrored entry
+    # that forgets the doc update fails the suite.
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"\*\*(\d+)\*\* entries are tagged", text)
+    assert m, "COVERAGE.md census line ('**N** entries are tagged') missing"
+    actual = sum(1 for s in ORACLE_STYLE.values() if s == "mirrored")
+    assert int(m.group(1)) == actual, (
+        f"COVERAGE.md census says {m.group(1)} mirrored entries, "
+        f"registry has {actual} — update the doc line"
     )
 
 

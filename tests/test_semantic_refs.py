@@ -338,6 +338,72 @@ def test_bpe_train_matches_python_reference(spark, tmp_path):
     assert got == expected and len(got) == 10
 
 
+def test_bpe_vocab_matches_python_reference(spark, tmp_path):
+    # Backs pipe_bpe_vocab: the post-merge symbol vocabulary must
+    # equal textbook BPE's — train with the pure-Python reference,
+    # apply its merges to every token's symbol list, count symbols
+    # weighted by token frequency.
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa abab low new",
+        "wider wide wide low",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    merges = _bpe_python_reference(counts, 10)
+    expected: dict[str, int] = {}
+    for tok, n in counts.items():
+        syms = list(tok)
+        for _, a, b, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for s in syms:
+            expected[s] = expected.get(s, 0) + n
+    got = {
+        r["symbol"]: (r["cnt"], r["is_merged"])
+        for r in QUERIES["pipe_bpe_vocab"](spark, sf).collect()
+    }
+    assert got == {
+        s: (c, len(s) > 1) for s, c in expected.items()
+    }
+
+
+def test_bpe_train_rounds_knob_matches_reference(spark, tmp_path):
+    # r10 verdict task #5: rounds is a knob and lineage is truncated
+    # every checkpoint_every rounds. 25 rounds with checkpoint_every=4
+    # crosses six truncation boundaries — the learned table must still
+    # equal textbook BPE exactly, and early convergence (a corpus that
+    # runs out of pairs) must break identically to the reference.
+    from wsprnet_scraper_spark.plans.llmops import _bpe_train_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "aaaa abab low new",
+        "wider wide wide low",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    expected = _bpe_python_reference(counts, 25)
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    got = _bpe_train_merges(d, rounds=25, checkpoint_every=4)
+    assert got == expected
+
+
 def test_bpe_encode_matches_python_reference(spark, tmp_path):
     # Backs pipe_bpe_encode: encoding the corpus with the learned
     # merges must equal a textbook BPE encoder — train with the

@@ -132,6 +132,28 @@ QUERIES_100X = [
     # distributed; probe them so the fixture share stays visible
     "strm_minhash_dedup",
     "strm_semantic_dedup",
+    # r11 additions (VERDICT r10 task #4): the r10 driver bench
+    # flagged both superlinear sf0.01->sf0.1 under ambient load;
+    # these keys are the controlled adjudication
+    "text_ngram_topk",
+    "win_rolling_median",
+    # r11: completes the tokenizer family probe (train/encode above)
+    "pipe_bpe_vocab",
+]
+
+# r11 (VERDICT r10 tasks #1/#6): entries whose standing state —
+# MinHash signature store + corpus labels, trained ANN codebooks —
+# now routes through the corpus-fingerprint-keyed persistent store
+# (SPARK_GRAFT_SIG_STORE). The main loop's min-of-2 numbers measure
+# the WARM serve path (the store survives clearCache, like the graph
+# edge store); this section records the cold/warm split explicitly so
+# the standing-build share stays visible instead of silently
+# vanishing from the per-entry numbers.
+SIGSTORE_SPLIT = [
+    "dedup_minhash_cluster_incremental",
+    "strm_minhash_dedup",
+    "sim_topk_2level",
+    "dedup_semantic_2level",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each
@@ -169,7 +191,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
-    ap.add_argument("--json-out", default="tools/probe_results_r9_100x.json")
+    ap.add_argument("--json-out", default="tools/probe_results_r11_100x.json")
     args = ap.parse_args()
 
     import tools.scaling_probe as sp
@@ -260,6 +282,15 @@ def main() -> None:
         graph_q._copurchase_pairs(spark, at).count()
         return time.perf_counter() - t0
 
+    # r11: the standing-state store (signatures, labels, codebooks)
+    # persists across probe invocations under a probe-owned dir, the
+    # SPARK_GRAFT_EDGE_STORE discipline — per-entry numbers below are
+    # the amortized steady state; the SIGSTORE_SPLIT section records
+    # the cold build share explicitly.
+    os.environ.setdefault(
+        "SPARK_GRAFT_SIG_STORE", str(out) + "_sigstore"
+    )
+
     # Session warm-up (r8): the first timed entries of a fresh session
     # otherwise absorb one-time driver costs — first-allocation GC heap
     # growth, JIT of the shuffle/agg paths at BOTH corpus shapes — on
@@ -286,6 +317,74 @@ def main() -> None:
         }
         print(name, results[name], file=sys.stderr, flush=True)
         # write after every query so a timeout loses nothing
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+
+    # ---- standing-store cold/warm split (VERDICT r10 #1/#6) -------
+    # Cold = in-memory tiers dropped AND the persistent store dir
+    # emptied (a brand-new corpus version: standing build + the
+    # entry's own work); warm = the fresh-session shape (in-memory
+    # tiers dropped, standing parquet intact). warm is what a
+    # production ingest pays per batch; cold - warm is the
+    # once-per-corpus standing-build share.
+    import shutil
+
+    from wsprnet_scraper_spark.operators import similarity as op_sim
+    from wsprnet_scraper_spark.operators import stores as op_stores
+    from wsprnet_scraper_spark.plans import analytics as pl_analytics
+
+    def drop_memory_tiers():
+        op_stores._STORE_CACHE.clear()  # handles only; files survive
+        op_sim.clear_codebooks()
+        pl_analytics._FRAME_STORE.clear()
+
+    for name in SIGSTORE_SPLIT:
+        key = f"{name}@storesplit"
+        if name not in QUERIES or key in results:
+            continue
+        run(name, args.base)  # plan-shape warm-up, untimed
+        store_dir = os.environ["SPARK_GRAFT_SIG_STORE"]
+        shutil.rmtree(store_dir, ignore_errors=True)
+        drop_memory_tiers()
+        cold = run(name, str(out))
+        drop_memory_tiers()
+        warm = min(run(name, str(out)), run(name, str(out)))
+        results[key] = {
+            "cold100x_sec": round(cold, 3),
+            "warm100x_sec": round(warm, 3),
+            "standing_build_share_sec": round(cold - warm, 3),
+            "note": "cold = store dir emptied (new corpus version); "
+            "warm = fresh-session serve from the standing parquet",
+        }
+        print(key, results[key], file=sys.stderr, flush=True)
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+
+    # ---- shared frame relation one-time pass (VERDICT r10 #3) -----
+    # win_ewma/bollinger/rsi serve from ONE localCheckpoint-pinned
+    # block+halo pass; per-entry numbers above are amortized (the pin
+    # survives clearCache now). Record the one-time pass explicitly.
+    if "frame_relation_build" not in results:
+        def frame_build(at: str) -> float:
+            pl_analytics._FRAME_STORE.clear()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pl_analytics._frame_relation(spark, at).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        fb, fg = frame_build(args.base), frame_build(str(out))
+        results["frame_relation_build"] = {
+            "sf0.1_sec": round(fb, 3),
+            "x100_sec": round(fg, 3),
+            "slope100": round(fg / fb, 1) if fb > 0 else None,
+            "note": "one-time shared block+halo pass serving "
+            "win_ewma/win_bollinger/win_rsi; localCheckpoint-pinned, "
+            "paid once per (application, corpus)",
+        }
+        print(
+            "frame_relation_build", results["frame_relation_build"],
+            file=sys.stderr, flush=True,
+        )
         out_path.write_text(json.dumps(results, indent=1) + "\n")
 
     # ---- graph family: CONTROLLED protocol (VERDICT r8 #1) --------

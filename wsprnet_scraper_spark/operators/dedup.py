@@ -425,6 +425,7 @@ def minhash_cluster_incremental(
     n: int = 3,
     num_hashes: int = 8,
     rows_per_band: int = 2,
+    standing_store=None,
 ) -> DataFrame:
     """Incremental lexical fuzzy-dedup: the production shape for a
     CONTINUOUS corpus, where the standing corpus's MinHash signature
@@ -448,10 +449,19 @@ def minhash_cluster_incremental(
       reachable in the contracted graph; an untouched batch doc is
       its own cluster.
 
-    In steady-state production the corpus signatures/labels are a
-    persisted store and only steps 2-3 run per batch; this judged
-    entry recomputes the store each run (the
-    dedup_semantic_incremental caveat, lexical edition). Labels stay
+    `standing_store` (r10 verdict task #1) is the production shape:
+    a callable `(subkind: str, build: () -> DataFrame) -> DataFrame`
+    (plans pass `operators.stores.materialized` curried with the
+    corpus path) that serves the STANDING state — the corpus
+    signature relation (subkind "sig": doc, band, sig) and the
+    standing cluster labels (subkind "lab": doc, cluster) — from a
+    write-once corpus-fingerprint-keyed parquet store, building only
+    when absent. With the store warm, a run pays ONLY steps 2-3
+    (batch signatures, probe join, batch-sized CC): the standing
+    corpus is scanned as signature rows, never re-shingled or
+    re-clustered. `standing_store=None` recomputes everything in-run
+    (the pre-r11 behavior; bit-identical output — the store is a
+    cache, pinned by tests/test_sig_store.py). Labels stay
     deterministic: corpus labels are corpus doc ids, disjoint from
     batch ids by the caller's batch predicate.
 
@@ -466,22 +476,48 @@ def minhash_cluster_incremental(
     base = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
-    sh = word_shingles(base, "doc_id", "_text", n, distinct=False)
-    # Materialize the signature store ONCE — it IS the "persisted
-    # signature store" of the production shape, and five consumers
-    # read it below (both match-join sides, two candidate_pairs
-    # derivations, the CC seeds); without this each re-executes the
-    # full scan+explode+hash lineage (measured 35 s vs 21 s at the
-    # 100× corpus). The operator is already eager (CC passes), so
-    # the checkpoint adds no new laziness caveat.
-    sigs = minhash_signatures(
-        sh, num_hashes=num_hashes, rows_per_band=rows_per_band
-    ).localCheckpoint(eager=True)
-    csig = sigs.filter(~batch_pred(F.col("doc")))
-    bsig = sigs.filter(batch_pred(F.col("doc")))
+    if standing_store is None:
+        sh = word_shingles(base, "doc_id", "_text", n, distinct=False)
+        # Materialize the signature store ONCE — it IS the "persisted
+        # signature store" of the production shape, and five consumers
+        # read it below (both match-join sides, two candidate_pairs
+        # derivations, the CC seeds); without this each re-executes the
+        # full scan+explode+hash lineage (measured 35 s vs 21 s at the
+        # 100× corpus). The operator is already eager (CC passes), so
+        # the checkpoint adds no new laziness caveat.
+        sigs = minhash_signatures(
+            sh, num_hashes=num_hashes, rows_per_band=rows_per_band
+        ).localCheckpoint(eager=True)
+        csig = sigs.filter(~batch_pred(F.col("doc")))
+        bsig = sigs.filter(batch_pred(F.col("doc")))
+        # (doc, cluster) for corpus docs appearing in pairs
+        clab = connected_components(candidate_pairs(csig))
+    else:
+        # Production shape: standing state from the write-once store
+        # (signatures per corpus doc are independent of the batch
+        # side, so computing them corpus-only here is bit-identical
+        # to the filter-after-signing above); only the batch slice
+        # is shingled/signed in-run.
+        def _build_csig():
+            csh = word_shingles(
+                base.filter(~batch_pred(F.col("doc_id"))),
+                "doc_id", "_text", n, distinct=False,
+            )
+            return minhash_signatures(
+                csh, num_hashes=num_hashes, rows_per_band=rows_per_band
+            )
 
-    corpus_pairs = candidate_pairs(csig)
-    clab = connected_components(corpus_pairs)  # (doc, cluster) corpus docs in pairs
+        csig = standing_store("sig", _build_csig)
+        clab = standing_store(
+            "lab", lambda: connected_components(candidate_pairs(csig))
+        )
+        bsh = word_shingles(
+            base.filter(batch_pred(F.col("doc_id"))),
+            "doc_id", "_text", n, distinct=False,
+        )
+        bsig = minhash_signatures(
+            bsh, num_hashes=num_hashes, rows_per_band=rows_per_band
+        ).localCheckpoint(eager=True)
 
     matches = (
         bsig.alias("b")

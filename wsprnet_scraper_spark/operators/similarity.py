@@ -449,6 +449,38 @@ def _path_fingerprint(cache_key: str):
     return None
 
 
+def _codebook_store_path(cache_key, params: tuple):
+    """Persistent-tier codebook location (r10 verdict task #6): when
+    SPARK_GRAFT_SIG_STORE is set and the cache key names a real
+    corpus path, trained codebooks round-trip through
+    <store>/cbk_<keyhash>_<corpus-fingerprint>/ so a FRESH SESSION
+    serves from the standing index instead of retraining — the
+    in-memory `_CODEBOOKS` tier only ever amortized within one
+    application. Returns None (store disabled / non-path key)
+    otherwise. The fingerprint is over the embeddings parquet, so a
+    rewritten corpus keys out stale codebooks; `params` must encode
+    k/iters/etc. The store is a cache: parquet round-trips the exact
+    (cid, cv, cn2) values, so serving and dedup plans are
+    bit-identical either way (pinned by tests/test_sig_store.py)."""
+    import hashlib
+    import os
+
+    store = os.environ.get("SPARK_GRAFT_SIG_STORE")
+    if store is None or cache_key is None:
+        return None
+    base = str(cache_key).split("#", 1)[0]
+    corpus_dir = base if os.path.isdir(base) else base.rsplit(":", 1)[0]
+    if not os.path.isdir(corpus_dir):
+        return None
+    from .stores import corpus_fingerprint
+
+    fp = corpus_fingerprint(corpus_dir, ("embeddings",))
+    h = hashlib.sha1(
+        "|".join([str(cache_key)] + [str(p) for p in params]).encode()
+    ).hexdigest()[:12]
+    return os.path.join(store, f"cbk_{h}_{fp}")
+
+
 def _lit_double_array(xs: list[float]):
     # one parsed expression instead of 1 + len(xs) py4j literal
     # calls: repr(float) round-trips exactly through Spark's
@@ -754,6 +786,15 @@ def train_kmeans_df(
         if ck in _CODEBOOKS:
             return _CODEBOOKS[ck]
 
+    import os
+
+    spath = _codebook_store_path(cache_key, ("kmeans_df", num_centroids, iters))
+    if spath is not None and os.path.isfile(os.path.join(spath, "_SUCCESS")):
+        cents = emb.sparkSession.read.parquet(spath).localCheckpoint(eager=True)
+        if ck:
+            _CODEBOOKS[ck] = cents
+        return cents
+
     vq = F.transform(
         _as_double(F.col("embedding")),
         lambda x: F.floor(x * 1000).cast("long").cast("double"),
@@ -796,6 +837,9 @@ def train_kmeans_df(
             .localCheckpoint(eager=True)
         )
 
+    if spath is not None:
+        os.makedirs(os.path.dirname(spath), exist_ok=True)
+        cents.write.mode("overwrite").parquet(spath)
     if ck:
         _CODEBOOKS[ck] = cents
     return cents
@@ -1324,6 +1368,25 @@ def train_twolevel_df(
         if ck in _CODEBOOKS:
             return _CODEBOOKS[ck]
 
+    import os
+
+    spath = _codebook_store_path(
+        cache_key, ("twolevel_df", k_coarse, k_fine, iters, init_pool)
+    )
+    if (
+        spath is not None
+        and os.path.isfile(os.path.join(spath, "coarse", "_SUCCESS"))
+        and os.path.isfile(os.path.join(spath, "fine", "_SUCCESS"))
+    ):
+        rd = emb.sparkSession.read
+        out = (
+            rd.parquet(os.path.join(spath, "coarse")).localCheckpoint(eager=True),
+            rd.parquet(os.path.join(spath, "fine")).localCheckpoint(eager=True),
+        )
+        if ck:
+            _CODEBOOKS[ck] = out
+        return out
+
     from pyspark.sql import Window
 
     coarse = train_kmeans_df(
@@ -1418,6 +1481,9 @@ def train_twolevel_df(
 
     routed.unpersist()
     out = (coarse, fine)
+    if spath is not None:
+        coarse.write.mode("overwrite").parquet(os.path.join(spath, "coarse"))
+        fine.write.mode("overwrite").parquet(os.path.join(spath, "fine"))
     if ck:
         _CODEBOOKS[ck] = out
     return out

@@ -68,11 +68,13 @@ def session_maintenance(spark) -> None:
     re-planning the next query of each shape, nothing else."""
     import gc
 
+    from ..operators.stores import clear_store_cache
     from ..plans.graph_q import clear_edge_cache
     from ..plans.registry import clear_plan_cache
 
     clear_plan_cache()
     clear_edge_cache()
+    clear_store_cache()
     spark.catalog.clearCache()
     gc.collect()
 

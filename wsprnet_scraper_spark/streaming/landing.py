@@ -103,10 +103,24 @@ def land_ordered_ndjson(
     )
     count = 0
     for d in fid_dirs:
-        parts = sorted(glob.glob(f"{d}/part-*.json"))
-        assert len(parts) == 1, f"expected one part file per fid in {d}"
+        # Glob part-* with ANY suffix: a session-level compression
+        # codec changes the extension, and maxRecordsPerFile can split
+        # one fid's task output into several part files — concatenate
+        # them in sorted (part-number) order, which preserves the
+        # single task's write order within the fid.
+        parts = sorted(
+            p for p in glob.glob(f"{d}/part-*")
+            if not p.endswith((".crc", "._SUCCESS"))
+        )
+        assert parts, f"no part files under {d}"
         path = f"{landing_dir}/batch-{count:03d}.json"
-        shutil.move(parts[0], path)
+        if len(parts) == 1:
+            shutil.move(parts[0], path)
+        else:
+            with open(path, "wb") as out:
+                for p in parts:
+                    with open(p, "rb") as src:
+                        shutil.copyfileobj(src, out)
         os.utime(path, (mtime_base + count, mtime_base + count))
         count += 1
     shutil.rmtree(staging, ignore_errors=True)
