@@ -1246,10 +1246,20 @@ def win_rolling_median(spark, sf_dir):
     (a+b)/2 on the two middle doubles as DuckDB's `median`, and both
     operate on the identical 10-value multiset (frame fixed by the
     (us, event_id) total order), so the doubles are bit-identical —
-    no rounding tolerance needed. Scale: the window is partitioned by
-    event_type and the frame is O(1) rows; a bounded-frame
-    percentile is linear work per partition, and nothing is global.
+    no rounding tolerance needed.
+
+    Scale (r11): the frame runs BLOCK-PARALLEL through the halo-block
+    machinery (operators/frames._halo_blocks, k=9) — the r10 bench
+    flagged this entry superlinear and the r11 controlled probe
+    CONFIRMED it (slope 24.8 at 100×): partitioned only by the ~5
+    event types, the whole 100M-row sort + per-row frame percentile
+    ran through 5 tasks. Blocks restore full parallelism; the frame
+    multiset per row is identical (halo rows make each block
+    self-sufficient, dropped from output), so the medians are
+    bit-identical — the same fix the WMA/EWMA family shipped in r9.
     """
+    from ..operators.frames import _halo_blocks
+
     ev = load_events(spark, sf_dir)
     t = ev.select(
         "event_id",
@@ -1257,14 +1267,17 @@ def win_rolling_median(spark, sf_dir):
         F.unix_micros("ts").alias("us"),
         F.col("value").alias("v"),
     )
-    w = (
-        W.partitionBy("event_type")
-        .orderBy("us", "event_id")
-        .rowsBetween(-9, W.currentRow)
+    both, wf9 = _halo_blocks(
+        t, "event_type", "us", "event_id", "v", 9, 6 * 3600 * 1_000_000
     )
-    return t.select(
-        "event_id",
-        F.percentile(F.col("v"), F.lit(0.5)).over(w).alias("med10"),
+    return (
+        both.select(
+            "event_id",
+            F.percentile(F.col("v"), F.lit(0.5)).over(wf9).alias("med10"),
+            "_halo",
+        )
+        .where(~F.col("_halo"))
+        .drop("_halo")
     )
 
 

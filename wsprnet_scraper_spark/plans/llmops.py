@@ -2760,10 +2760,25 @@ def strm_semantic_dedup(spark, sf_dir):
         2,
     )
 
-    pre_corpus = corpus.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("n2", _norm2(F.col("v")))
-    assign(pre_corpus).withColumn(
+    # Corpus seed (assignments + vectors) from the standing store
+    # (r11, the _MHSIG_KIND pattern): with the store warm this is a
+    # parquet copy instead of re-running the corpus-wide fold
+    # assignment each run. The kind encodes the dispatch branch and
+    # its k rule — the two branches produce different cell ids.
+    def _build_seed():
+        pre_corpus = corpus.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        ).withColumn("n2", _norm2(F.col("v")))
+        return assign(pre_corpus)
+
+    seed_kind = (
+        f"semass_mod10_flat{max(8, corpus_n // 256)}"
+        if corpus_n <= similarity.FLAT_ASSIGN_MAX
+        else f"semass_mod10_2l{similarity._balanced_k(corpus_n, 256)}"
+    )
+    stores.materialized(
+        spark, sf_dir, seed_kind, _build_seed, tables=("embeddings",)
+    ).withColumn(
         "is_corpus", F.lit(True)
     ).write.mode("overwrite").parquet(f"{sink}/seed")
 
@@ -3813,7 +3828,7 @@ v AS (
   GROUP BY tok
 ),
 e0 AS (
-  SELECT regexp_replace(tok, '([\s\S])', chr(30) || '\\1' || chr(31), 'g')
+  SELECT regexp_replace(tok, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g')
            AS enc, n
   FROM v
 )"""
@@ -3930,7 +3945,7 @@ def _bpe_train_merges(d, rounds: int = _BPE_ROUNDS, checkpoint_every: int = 8) -
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
     cur = vocab.select(
-        F.regexp_replace("tok", r"([\s\S])", f"{SL}$1{SR}").alias("enc"), "n"
+        F.regexp_replace("tok", "(?s)(.)", f"{SL}$1{SR}").alias("enc"), "n"
     ).localCheckpoint(eager=True)
     rows = []
     for r in range(1, rounds + 1):
@@ -3983,7 +3998,7 @@ def _bpe_encode_oracle(rounds: int) -> str:
         """
 d0 AS (
   SELECT doc_id,
-         regexp_replace(text, '([\s\S])', chr(30) || '\\1' || chr(31), 'g')
+         regexp_replace(text, '(?s)(.)', chr(30) || '\\1' || chr(31), 'g')
            AS enc
   FROM documents
 )"""
@@ -4040,7 +4055,7 @@ def pipe_bpe_encode(spark, sf_dir):
     crafted corpus)."""
     d = load(spark, sf_dir, "documents", parallel="always")
     SL, SR = "\x1e", "\x1f"
-    enc = F.regexp_replace("text", r"([\s\S])", f"{SL}$1{SR}")
+    enc = F.regexp_replace("text", "(?s)(.)", f"{SL}$1{SR}")
     for _, a, b, _, _ in _bpe_train_merges(d):
         enc = F.replace(
             enc, F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"), F.lit(f"{SL}{a}{b}{SR}")
@@ -4108,7 +4123,7 @@ def pipe_bpe_vocab(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    enc = F.regexp_replace("tok", r"([\s\S])", f"{SL}$1{SR}")
+    enc = F.regexp_replace("tok", "(?s)(.)", f"{SL}$1{SR}")
     for _, a, b, _, _ in _bpe_train_merges(d):
         enc = F.replace(
             enc, F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"), F.lit(f"{SL}{a}{b}{SR}")
