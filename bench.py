@@ -143,8 +143,9 @@ HEADLINE += [
     "sim_hard_negatives", "dedup_url_canonical", "pipe_span_corruption",
     # r10 new entries (probe-tracked per the rule)
     "pipe_bpe_train", "pipe_bpe_encode",
-    # r11 new entry (probe-tracked per the rule): tokenizer vocab
-    "pipe_bpe_vocab",
+    # r11 new entries (probe-tracked per the rule): tokenizer vocab,
+    # incremental CC over the standing-store labels
+    "pipe_bpe_vocab", "graph_cc_incremental",
     # r10: the semantic stream twin joins the headline (its lexical
     # twin has been here since r8; both fixtures went distributed
     # this round and the cost should be visible round over round)

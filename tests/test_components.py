@@ -58,3 +58,32 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     # pure projection + filter: no exchange in the plan
     plan = s1._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cc_incremental_crafted(spark):
+    # Backs graph_cc_incremental: hand-checkable standing graph +
+    # edge batch covering all three verdicts. Standing: {1,2,3}
+    # (label 1), {5,6} (label 5), {11,12} (label 11). Batch: (3,5)
+    # bridges the first two standing comps, (6,7) pulls a new node
+    # into the bridged component, (9,10) is all-new, (12,13) joins
+    # exactly one standing comp.
+    from wsprnet_scraper_spark.operators.graph import cc_incremental
+
+    standing = dedup.connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (5, 6), (11, 12)])
+    )
+    batch = _pairs(spark, [(3, 5), (6, 7), (9, 10), (12, 13)])
+    got = {
+        (r.nid, r.cluster, r.was_standing, r.n_standing_comps, r.status)
+        for r in cc_incremental(standing, batch).collect()
+    }
+    assert got == {
+        (3, 1, True, 2, "bridges_standing"),
+        (5, 1, True, 2, "bridges_standing"),
+        (6, 1, True, 2, "bridges_standing"),
+        (7, 1, False, 2, "bridges_standing"),
+        (9, 9, False, 0, "new_component"),
+        (10, 9, False, 0, "new_component"),
+        (12, 11, True, 1, "joins_standing"),
+        (13, 11, False, 1, "joins_standing"),
+    }

@@ -179,6 +179,10 @@ GRAPH_QUERIES_100X = [
     # that one join; modularity rides the sliced front door + LPA
     "graph_reciprocity",
     "graph_modularity",
+    # r11: incremental CC — standing labels from the persistent
+    # store (warm-serve numbers; the standing build is the
+    # @storesplit discipline's cold share)
+    "graph_cc_incremental",
 ]
 GRAPH_ID_COLS = {
     "orders": ["o_orderkey", "o_custkey"],

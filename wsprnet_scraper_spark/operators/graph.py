@@ -507,3 +507,92 @@ def hits_quantized(
         if persist_edges:
             edges.unpersist()
     return final
+
+
+def cc_incremental(
+    standing_labels: DataFrame, batch_pairs: DataFrame, max_iter: int = 8
+) -> DataFrame:
+    """Incremental connected components — the GRAPH twin of
+    dedup_minhash_cluster_incremental's contraction recipe, for a
+    continuously-growing graph where the standing labeling already
+    exists (a persisted store in production) and each new EDGE BATCH
+    must be folded in without re-clustering the world:
+
+    1. every batch edge endpoint CONTRACTS to its standing component
+       label when it has one (a billion-node standing component is
+       ONE supernode — the incremental graph never holds
+       standing-sized pieces) and stays itself otherwise;
+    2. one connected-components pass over the contracted batch edges
+       (batch-sized by construction) labels the novel subgraph;
+    3. each batch-incident node reports its final cluster (min id
+       reachable through standing ∪ batch edges — consistent with
+       the standing labeling's min-id convention), whether it was
+       already in the standing graph, and its component's verdict:
+       how many distinct standing components the batch component
+       touches (`n_standing_comps`), classified as
+       `bridges_standing` (>= 2: the batch MERGED standing
+       components — the event an incremental maintainer must
+       detect), `joins_standing` (exactly 1), or `new_component`
+       (all-new nodes).
+
+    `standing_labels` is (doc, cluster) — `connected_components`
+    output over the standing edges, typically served from the
+    corpus-fingerprint-keyed store (operators/stores.py). Nodes
+    absent from it (standing singletons or brand-new) contract to
+    themselves. EAGER (the batch CC pass executes at build) —
+    registry entries must set cache_plans=False.
+    """
+    from .dedup import connected_components
+
+    sl = standing_labels.select(
+        F.col(standing_labels.columns[0]).alias("_d"),
+        F.col(standing_labels.columns[1]).alias("_l"),
+    )
+    a, b = batch_pairs.columns[:2]
+    bp = batch_pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    cb = (
+        bp.join(sl.withColumnRenamed("_d", "src"), "src", "left")
+        .withColumnRenamed("_l", "_la")
+        .join(sl.withColumnRenamed("_d", "dst"), "dst", "left")
+        .select(
+            F.coalesce("_la", F.col("src")).alias("ca"),
+            F.coalesce("_l", F.col("dst")).alias("cb"),
+        )
+    )
+    ilab = connected_components(cb, max_iter=max_iter)
+
+    nodes = (
+        bp.select(F.col("src").alias("nid"))
+        .unionByName(bp.select(F.col("dst").alias("nid")))
+        .distinct()
+    )
+    rep = nodes.join(
+        sl.withColumnRenamed("_d", "nid"), "nid", "left"
+    ).select(
+        "nid",
+        F.coalesce("_l", F.col("nid")).alias("_rep"),
+        F.col("_l").isNotNull().alias("was_standing"),
+    )
+    fin = rep.join(
+        ilab.withColumnRenamed("doc", "_rep"), "_rep", "left"
+    ).select(
+        "nid",
+        "_rep",
+        "was_standing",
+        F.coalesce("cluster", F.col("_rep")).cast("bigint").alias("cluster"),
+    )
+    comp = fin.groupBy("cluster").agg(
+        F.countDistinct(
+            F.when(F.col("was_standing"), F.col("_rep"))
+        ).cast("bigint").alias("n_standing_comps")
+    )
+    return fin.join(comp, "cluster").select(
+        F.col("nid").cast("bigint").alias("nid"),
+        "cluster",
+        "was_standing",
+        "n_standing_comps",
+        F.when(F.col("n_standing_comps") >= 2, "bridges_standing")
+        .when(F.col("n_standing_comps") == 1, "joins_standing")
+        .otherwise("new_component")
+        .alias("status"),
+    )

@@ -486,6 +486,151 @@ def graph_cc(spark, sf_dir):
     ).select(F.col("doc").alias("nid"), "cluster")
 
 
+def _cc_gen_steps(edges_cte: str, prefix: str, rounds: int) -> list[str]:
+    """The _cc_oracle generation chain, parameterized by edge CTE and
+    label prefix so one oracle can replay TWO CC passes (standing +
+    contracted-batch). Same AS MATERIALIZED rationale as _cc_oracle."""
+    steps = [
+        f"{prefix}0 AS MATERIALIZED"
+        f" (SELECT DISTINCT src AS doc, src AS label FROM {edges_cte})"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"{prefix}{i - 1}"
+        steps.append(
+            f"{prefix}{i} AS MATERIALIZED (SELECT doc, MIN(label) AS label FROM ("
+            f" SELECT doc, label FROM {p}"
+            f" UNION ALL"
+            f" SELECT e.src AS doc, l.label FROM {edges_cte} e"
+            f"   JOIN {p} l ON l.doc = e.dst"
+            f" UNION ALL"
+            f" SELECT l1.doc, l2.label FROM {p} l1"
+            f"   JOIN {p} l2 ON l2.doc = l1.label"
+            f") GROUP BY doc)"
+        )
+    return steps
+
+
+def _cc_inc_oracle(rounds: int) -> str:
+    """graph_cc_incremental mirrored: standing CC unrolled over the
+    non-batch slice edges, batch endpoints contracted to standing
+    labels, incremental CC unrolled over the contracted batch edges,
+    per-node verdicts assembled exactly as operators/graph.
+    cc_incremental does (same fixed-point convergence argument as
+    _cc_oracle)."""
+    steps = [
+        """ei AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         (o.o_orderkey % 10 = 0) AS isb
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderdate >= DATE '1995-01-01'
+    AND o.o_orderdate < DATE '1995-02-01'
+)""",
+        "sp AS (SELECT DISTINCT src, dst FROM ei WHERE NOT isb)",
+        "bp AS (SELECT DISTINCT src, dst FROM ei WHERE isb)",
+        "sedges AS MATERIALIZED"
+        " (SELECT src, dst FROM sp UNION ALL SELECT dst, src FROM sp)",
+    ]
+    steps += _cc_gen_steps("sedges", "slab", rounds)
+    steps += [
+        f"""cbp AS (
+  SELECT COALESCE(la.label, bp.src) AS src,
+         COALESCE(lb.label, bp.dst) AS dst
+  FROM bp LEFT JOIN slab{rounds} la ON la.doc = bp.src
+          LEFT JOIN slab{rounds} lb ON lb.doc = bp.dst
+)""",
+        "cedges AS MATERIALIZED"
+        " (SELECT src, dst FROM cbp UNION ALL SELECT dst, src FROM cbp)",
+    ]
+    steps += _cc_gen_steps("cedges", "ilab", rounds)
+    steps += [
+        "nodes AS (SELECT src AS nid FROM bp UNION SELECT dst FROM bp)",
+        f"""rep AS (
+  SELECT n.nid, COALESCE(s.label, n.nid) AS rep,
+         s.label IS NOT NULL AS was_standing
+  FROM nodes n LEFT JOIN slab{rounds} s ON s.doc = n.nid
+)""",
+        f"""fin AS (
+  SELECT r.nid, r.rep, r.was_standing,
+         COALESCE(i.label, r.rep) AS cluster
+  FROM rep r LEFT JOIN ilab{rounds} i ON i.doc = r.rep
+)""",
+        """cs AS (
+  SELECT cluster,
+         count(DISTINCT CASE WHEN was_standing THEN rep END) AS ns
+  FROM fin GROUP BY cluster
+)""",
+    ]
+    return (
+        f"WITH {', '.join(steps)}\n"
+        "SELECT f.nid, CAST(f.cluster AS BIGINT) AS cluster,"
+        " f.was_standing,"
+        " CAST(cs.ns AS BIGINT) AS n_standing_comps,"
+        " CASE WHEN cs.ns >= 2 THEN 'bridges_standing'"
+        "      WHEN cs.ns = 1 THEN 'joins_standing'"
+        "      ELSE 'new_component' END AS status\n"
+        "FROM fin f JOIN cs USING (cluster)"
+    )
+
+
+@register(
+    "graph_cc_incremental",
+    _cc_inc_oracle(_CC_ROUNDS),
+    cache_plans=False,  # both CC passes execute eagerly at build
+    oracle_style="mirrored",
+    semantic_check="tests/test_components.py::test_cc_incremental_crafted",
+)
+def graph_cc_incremental(spark, sf_dir):
+    """Incremental connected components — the GRAPH face of the
+    engine's incremental family (dedup_minhash_cluster_incremental's
+    contraction recipe on the interaction graph): the one-month
+    slice's edges split into a STANDING graph (orders with
+    o_orderkey % 10 <> 0) whose CC labeling is served from the
+    corpus-fingerprint-keyed store (operators/stores.py — built once
+    per corpus version, the production shape for continuously-growing
+    graphs) and a NEW EDGE BATCH (o_orderkey % 10 = 0) folded in
+    WITHOUT re-clustering the world: batch endpoints contract to
+    standing labels (a standing component is one supernode), one
+    batch-sized CC pass labels the novel subgraph, and every
+    batch-incident node reports its final min-id cluster, standing
+    membership, how many standing components its batch component
+    touches, and the bridges_standing / joins_standing /
+    new_component verdict. Standing nodes NOT incident to a batch
+    edge keep their standing label (relabeling them after a bridge
+    is the batch recluster's job — same stream-safe contract as the
+    dedup twin). The oracle replays both closures unrolled (standing
+    + contracted-batch), the _cc_oracle fixed-point argument twice."""
+    from ..operators import stores
+    from ..operators.dedup import connected_components
+    from ..operators.graph import cc_incremental
+
+    def month_pairs(batch: bool):
+        o = load(spark, sf_dir, "orders", parallel="never")
+        li = load(spark, sf_dir, "lineitem", parallel="never")
+        pred = F.col("o_orderkey") % 10 == 0
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1995-02-01"))
+            )
+            .filter(pred if batch else ~pred)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+
+    slab = stores.materialized(
+        spark,
+        sf_dir,
+        f"gccinc_stand_mod10_r{_CC_ROUNDS}",
+        lambda: connected_components(month_pairs(False), max_iter=_CC_ROUNDS),
+        tables=("orders", "lineitem"),
+    )
+    return cc_incremental(slab, month_pairs(True), max_iter=_CC_ROUNDS)
+
+
 @register(
     "graph_triangles",
     """
