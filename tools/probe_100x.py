@@ -154,6 +154,9 @@ SIGSTORE_SPLIT = [
     "strm_minhash_dedup",
     "sim_topk_2level",
     "dedup_semantic_2level",
+    # r11 continuation: the semantic stream twin's standing state
+    # (codebook + corpus assignment seed) also rides the store
+    "strm_semantic_dedup",
 ]
 
 # Graph queries probe against a SEPARATE 100x corpus in which each
