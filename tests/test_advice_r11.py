@@ -104,3 +104,26 @@ def test_frame_relation_survives_clear_cache(spark):
     assert df2 is df and df2.count() == n
     app = spark.sparkContext.applicationId
     assert SF_SMOKE in _FRAME_STORE[app]
+
+
+def test_landing_refuses_compressed_parts(spark, tmp_path):
+    # r11 review finding: a session-level JSON codec changes the part
+    # extension; renaming .json.gz bytes into batch-NNN.json would
+    # make the downstream file stream source parse gzip as NDJSON.
+    # The helper must fail loudly instead.
+    import pytest
+
+    landing = str(tmp_path / "landing")
+    df = spark.range(6).selectExpr("id AS k")
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    hc.set("mapreduce.output.fileoutputformat.compress", "true")
+    hc.set(
+        "mapreduce.output.fileoutputformat.compress.codec",
+        "org.apache.hadoop.io.compress.GzipCodec",
+    )
+    try:
+        with pytest.raises(ValueError, match="uncompressed"):
+            land_ordered_ndjson(df, "k", landing, 2)
+    finally:
+        hc.unset("mapreduce.output.fileoutputformat.compress")
+        hc.unset("mapreduce.output.fileoutputformat.compress.codec")

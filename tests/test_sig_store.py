@@ -130,3 +130,13 @@ def test_codebook_store_serves_fresh_session(spark, tmp_path, monkeypatch):
     )
     assert _rows(coarse2) == c1 and _rows(fine2) == f1
     stores.clear_store_cache()
+
+
+def test_fingerprint_raises_on_missing_table(tmp_path):
+    # r11 review finding: a missing source table must FAIL, not
+    # fingerprint to a constant that would serve stale standing
+    # state forever.
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        stores.corpus_fingerprint(str(tmp_path), tables=("nope",))

@@ -54,11 +54,25 @@ def corpus_fingerprint(sf_dir: str, tables=("documents",)) -> str:
     h = hashlib.sha1(sf_dir.rstrip("/").encode())
     for tbl in tables:
         p = Path(sf_dir) / f"{tbl}.parquet"
-        files = sorted(p.rglob("*")) if p.is_dir() else ([p] if p.exists() else [])
+        files = [
+            f
+            for f in (sorted(p.rglob("*")) if p.is_dir() else [p])
+            if f.is_file()
+        ]
+        if not files:
+            # A missing source table must FAIL, not fingerprint to a
+            # constant: a constant fingerprint would let the first
+            # build win the persistent path forever and serve stale
+            # standing state on every corpus rewrite — the exact
+            # staleness the fingerprint exists to key out (r11
+            # review finding).
+            raise FileNotFoundError(
+                f"corpus_fingerprint: no files for table {tbl!r} "
+                f"under {sf_dir!r}"
+            )
         for f in files:
-            if f.is_file():
-                st = f.stat()
-                h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
+            st = f.stat()
+            h.update(f"{f.name}:{st.st_size}:{st.st_mtime_ns};".encode())
     return h.hexdigest()[:16]
 
 

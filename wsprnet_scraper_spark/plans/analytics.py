@@ -57,6 +57,15 @@ _H1 = 3600 * 1_000_000
 _FRAME_STORE: dict = {}
 
 
+def clear_frame_store() -> None:
+    """Drop all pinned frame relations (daemon session_maintenance
+    hook — r11 review finding: localCheckpoint blocks are immune to
+    spark.catalog.clearCache(), so a long-running daemon could pin an
+    events-sized relation per sf_dir forever; dropping the dict
+    reference lets GC + ContextCleaner reap the checkpoint RDDs)."""
+    _FRAME_STORE.clear()
+
+
 def _frame_relation(spark, sf_dir):
     from ..operators.frames import _halo_blocks
 

@@ -621,10 +621,12 @@ def graph_cc_incremental(spark, sf_dir):
             .distinct()
         )
 
+    # kind encodes the slice window too (stores.py contract; r11
+    # review finding): widening the month must key out the old labels
     slab = stores.materialized(
         spark,
         sf_dir,
-        f"gccinc_stand_mod10_r{_CC_ROUNDS}",
+        f"gccinc_stand_mod10_199501_r{_CC_ROUNDS}",
         lambda: connected_components(month_pairs(False), max_iter=_CC_ROUNDS),
         tables=("orders", "lineitem"),
     )

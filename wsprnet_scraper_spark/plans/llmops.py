@@ -2771,10 +2771,14 @@ def strm_semantic_dedup(spark, sf_dir):
         ).withColumn("n2", _norm2(F.col("v")))
         return assign(pre_corpus)
 
+    # kind encodes EVERY parameter the seed depends on (stores.py
+    # contract; r11 review finding): dispatch branch, k rule, AND the
+    # trainer's iteration count — a later iters tune must not be
+    # served a stale standing seed.
     seed_kind = (
-        f"semass_mod10_flat{max(8, corpus_n // 256)}"
+        f"semass_mod10_flat{max(8, corpus_n // 256)}_i2"
         if corpus_n <= similarity.FLAT_ASSIGN_MAX
-        else f"semass_mod10_2l{similarity._balanced_k(corpus_n, 256)}"
+        else f"semass_mod10_2l{similarity._balanced_k(corpus_n, 256)}_i2"
     )
     stores.materialized(
         spark, sf_dir, seed_kind, _build_seed, tables=("embeddings",)
@@ -3911,7 +3915,10 @@ def pipe_bpe_train(spark, sf_dir):
     )
 
 
-def _bpe_train_merges(d, rounds: int = _BPE_ROUNDS, checkpoint_every: int = 8) -> list:
+def _bpe_train_merges(
+    d, rounds: int = _BPE_ROUNDS, checkpoint_every: int = 8,
+    return_final: bool = False,
+):
     """The shared BPE training loop (pipe_bpe_train's engine,
     also the build phase of pipe_bpe_encode): returns the learned
     merge table as [(rn, a, b, merged, cnt)] — per-round winners as
@@ -3932,7 +3939,13 @@ def _bpe_train_merges(d, rounds: int = _BPE_ROUNDS, checkpoint_every: int = 8) -
     total cost is LINEAR in rounds with a bounded plan depth.
     Superseded checkpoints are released by GC (ContextCleaner);
     nothing holds rounds × vocab in memory the way the old per-round
-    persist chain did."""
+    persist chain did.
+
+    `return_final=True` returns (rows, final) where `final` is the
+    fully-merged encoded-vocab relation (enc, n) — pipe_bpe_vocab
+    reads the symbol vocabulary straight off it instead of
+    re-deriving the vocab and re-applying every merge (r11 review
+    finding)."""
     SL, SR = "\x1e", "\x1f"
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
     vocab = (
@@ -3983,7 +3996,7 @@ def _bpe_train_merges(d, rounds: int = _BPE_ROUNDS, checkpoint_every: int = 8) -
         )
         if r % checkpoint_every == 0 and r < rounds:
             cur = cur.localCheckpoint(eager=True)
-    return rows
+    return (rows, cur) if return_final else rows
 
 
 def _bpe_encode_oracle(rounds: int) -> str:
@@ -4112,26 +4125,11 @@ def pipe_bpe_vocab(spark, sf_dir):
     construction — the independent check is the pure-Python textbook
     BPE vocab on a crafted corpus)."""
     d = load(spark, sf_dir, "documents", parallel="always")
-    SL, SR = "\x1e", "\x1f"
-    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-    vocab = (
-        toks.filter(
-            (F.length("tok") >= 1)
-            & ~F.col("tok").contains(SL)
-            & ~F.col("tok").contains(SR)
-        )
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    )
-    enc = F.regexp_replace("tok", "(?s)(.)", f"{SL}$1{SR}")
-    for _, a, b, _, _ in _bpe_train_merges(d):
-        enc = F.replace(
-            enc, F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"), F.lit(f"{SL}{a}{b}{SR}")
-        )
+    _, final = _bpe_train_merges(d, return_final=True)
     return (
-        vocab.select(
+        final.select(
             F.explode(
-                F.regexp_extract_all(enc, F.lit(_BPE_SYM_RE), 1)
+                F.regexp_extract_all("enc", F.lit(_BPE_SYM_RE), 1)
             ).alias("symbol"),
             "n",
         )

@@ -69,12 +69,17 @@ def session_maintenance(spark) -> None:
     import gc
 
     from ..operators.stores import clear_store_cache
+    from ..plans.analytics import clear_frame_store
     from ..plans.graph_q import clear_edge_cache
     from ..plans.registry import clear_plan_cache
 
     clear_plan_cache()
     clear_edge_cache()
     clear_store_cache()
+    # localCheckpoint-pinned relations are immune to clearCache();
+    # dropping the store references is what lets the ContextCleaner
+    # reap their blocks (r11 review finding)
+    clear_frame_store()
     spark.catalog.clearCache()
     gc.collect()
 

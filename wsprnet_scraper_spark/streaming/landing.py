@@ -113,6 +113,18 @@ def land_ordered_ndjson(
             if not p.endswith((".crc", "._SUCCESS"))
         )
         assert parts, f"no part files under {d}"
+        # Refuse compressed parts LOUDLY (r11 review finding): the
+        # rename strips the codec extension, and the downstream file
+        # stream source infers codec by extension — moving .json.gz
+        # bytes into batch-NNN.json would silently parse gzip as
+        # NDJSON. The fixture contract is uncompressed NDJSON; a
+        # session-level codec must fail here, not corrupt the stream.
+        bad = [p for p in parts if not p.endswith(".json")]
+        if bad:
+            raise ValueError(
+                "land_ordered_ndjson requires uncompressed .json part"
+                f" files; a session-level codec produced {bad[:2]}"
+            )
         path = f"{landing_dir}/batch-{count:03d}.json"
         if len(parts) == 1:
             shutil.move(parts[0], path)
