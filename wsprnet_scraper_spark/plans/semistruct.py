@@ -247,7 +247,17 @@ def agg_approx_sketches(spark, sf_dir):
     value — the booleans (plus the exact counts) are what cross-engine
     comparison checks, since sketch internals legitimately differ
     between engines. These are the 100 TB cardinality/quantile tools:
-    one pass, fixed memory, mergeable partials."""
+    one pass, fixed memory, mergeable partials.
+
+    Scale note (r11 sweep): the SKETCHES are the product; the EXACT
+    median that judges the 5% contract is verification harness, and
+    `percentile()` buffers each l_returnflag group's values on one
+    reducer (the entry's 9.9 s at sf0.1 is almost entirely that
+    harness). At true 100 TB the harness side is the dial: judge the
+    sketch against the distributed exact-selection machinery
+    (operators/ranking.py's global-rank median, the
+    agg_weighted_median_blocked shape) or a held-out sample — the
+    sketch pass itself stays one fixed-memory scan."""
     li = load(spark, sf_dir, "lineitem")
     exact_nd = F.countDistinct("l_orderkey")
     approx_nd = F.approx_count_distinct("l_orderkey", rsd=0.02)
