@@ -87,3 +87,90 @@ def test_cc_incremental_crafted(spark):
         (12, 11, True, 1, "joins_standing"),
         (13, 11, False, 1, "joins_standing"),
     }
+
+
+def _uf_components(edges):
+    """Pure union-find reference: {node: min reachable id}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # root at the smaller id so the root IS the min label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_incremental_property_vs_union_find(spark):
+    # Property check (hypothesis): on random standing/batch edge
+    # splits, cc_incremental must agree with a pure union-find
+    # rendering of its spec — standing labels from standing edges,
+    # batch endpoints contracted to them, components of the
+    # contracted graph, per-node verdicts.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from wsprnet_scraper_spark.operators.graph import cc_incremental
+
+    edge = st.tuples(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        standing=st.lists(edge, min_size=0, max_size=8),
+        batch=st.lists(edge, min_size=1, max_size=6),
+    )
+    def check(standing, batch):
+        slab_ref = _uf_components(standing)  # node -> standing label
+        rep = lambda n: slab_ref.get(n, n)  # noqa: E731
+        contracted = [(rep(a), rep(b)) for a, b in batch]
+        ilab_ref = _uf_components(contracted)
+        nodes = sorted({n for e in batch for n in e})
+        expected = {}
+        # distinct standing labels per contracted component
+        comp_standing: dict = {}
+        for n in nodes:
+            c = ilab_ref.get(rep(n), rep(n))
+            if n in slab_ref:
+                comp_standing.setdefault(c, set()).add(rep(n))
+        for n in nodes:
+            c = ilab_ref.get(rep(n), rep(n))
+            ns = len(comp_standing.get(c, ()))
+            status = (
+                "bridges_standing" if ns >= 2
+                else "joins_standing" if ns == 1
+                else "new_component"
+            )
+            expected[n] = (c, n in slab_ref, ns, status)
+
+        slab_df = spark.createDataFrame(
+            list(slab_ref.items()) or [(0, 0)], "doc long, cluster long"
+        )
+        if not slab_ref:
+            slab_df = slab_df.filter("doc < 0")  # typed empty
+        got = {
+            r.nid: (r.cluster, r.was_standing, r.n_standing_comps, r.status)
+            for r in cc_incremental(
+                slab_df, _pairs(spark, batch)
+            ).collect()
+        }
+        assert got == expected
+
+    check()
