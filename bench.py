@@ -146,6 +146,8 @@ HEADLINE += [
     # r11 new entries (probe-tracked per the rule): tokenizer vocab,
     # incremental CC over the standing-store labels
     "pipe_bpe_vocab", "graph_cc_incremental",
+    # r12: join-based BPE encode serving twin (merge-depth-independent)
+    "pipe_bpe_encode_joined",
     # r10: the semantic stream twin joins the headline (its lexical
     # twin has been here since r8; both fixtures went distributed
     # this round and the cost should be visible round over round)

@@ -445,6 +445,84 @@ def test_bpe_encode_matches_python_reference(spark, tmp_path):
     assert got == {i: len(encode(t)) for i, t in enumerate(texts)}
 
 
+def test_bpe_encode_joined_bit_identical_to_chain(spark, tmp_path):
+    # Backs pipe_bpe_encode_joined: the join-based serving twin must
+    # reproduce the replace-chain form BIT for bit — full rows
+    # including the encoded md5, so the exact symbol sequence (not
+    # just counts) is pinned. The corpus stresses the decomposition
+    # identity: repeated merges inside a token ("abab" merging
+    # twice), consecutive/leading/trailing spaces (empty tokens), and
+    # tokens the training filter skips.
+    texts = [
+        "low lower lowest low low",
+        "abab ababab aabb abab",
+        " leading and  double  spaces ",
+        "new newer newest new",
+        "",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    chain = {
+        r["doc_id"]: (r["n_symbols"], r["encoded_md5"])
+        for r in QUERIES["pipe_bpe_encode"](spark, sf).collect()
+    }
+    joined = {
+        r["doc_id"]: (r["n_symbols"], r["encoded_md5"])
+        for r in QUERIES["pipe_bpe_encode_joined"](spark, sf).collect()
+    }
+    assert joined == chain and len(chain) == len(texts)
+
+
+def test_bpe_encode_joined_deep_merge_table(spark, tmp_path):
+    # The twin's reason to exist is merge-table depth: apply a
+    # 40-merge table (past the judged 10 and past one
+    # checkpoint_every=32 truncation boundary) through the iterative
+    # vocab loop and compare against the pure-Python encoder.
+    from wsprnet_scraper_spark.plans.llmops import (
+        _bpe_encode_vocab,
+        _bpe_train_merges,
+    )
+
+    texts = [
+        "abcdefgh ijklmnop qrstuvwx yzABCDEF",
+        "abcdefgh abcdefgh ijklmnop qrstuvwx",
+        "GHIJKLMN OPQRSTUV WXYZabcd efghijkl",
+        "mnopqrst uvwxyzAB CDEFGHIJ KLMNOPQR",
+    ]
+    sf = _write_documents(tmp_path, texts)
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    expected = _bpe_python_reference(counts, 40)
+
+    def encode(text):
+        syms = list(text)
+        for _, a, b, _, _ in expected:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    merges = _bpe_train_merges(d, rounds=40, checkpoint_every=8)
+    assert merges == expected
+    vocab = {
+        r["tok"]: r["enc"]
+        for r in _bpe_encode_vocab(d, merges).collect()
+    }
+    for tok in counts:
+        got = vocab[tok].replace("\x1e", "").replace("\x1f", "")
+        assert got == tok  # framing round-trips the token text
+        n = vocab[tok].count("\x1e")
+        assert n == len(encode(tok))
+
+
 def test_ppr_bucketed_bit_identical_to_broadcast(spark):
     # Backs graph_ppr_bucketed: the SHUFFLE_HASH serving strategy must
     # reproduce the broadcast walk bit for bit (graph_ppr's own

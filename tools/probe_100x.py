@@ -139,6 +139,11 @@ QUERIES_100X = [
     "win_rolling_median",
     # r11: completes the tokenizer family probe (train/encode above)
     "pipe_bpe_vocab",
+    # r12 (VERDICT r11 task #1): the join-based encode twin — serving
+    # cost must be merge-depth-independent AND corpus-linear; the
+    # >=1k-merge depth axis is tools/bpe_depth_probe.py's separate
+    # synthetic-fixture measurement
+    "pipe_bpe_encode_joined",
 ]
 
 # r11 (VERDICT r10 tasks #1/#6): entries whose standing state —

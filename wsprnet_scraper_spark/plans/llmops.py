@@ -4082,6 +4082,109 @@ def pipe_bpe_encode(spark, sf_dir):
     )
 
 
+def _bpe_encode_vocab(d, merges, checkpoint_every: int = 32):
+    """The joined encode's standing state: every DISTINCT token of the
+    corpus (unfiltered — encoding must cover tokens training skipped),
+    framed char-by-char, with the learned merges applied as an
+    ITERATIVE per-round projection whose lineage is truncated every
+    `checkpoint_every` rounds (the `_bpe_train_merges` precedent) —
+    so plan depth is bounded and per-merge cost is O(vocab), never
+    O(corpus), at ANY merge-table depth. Returns (tok, enc), pinned
+    with an eager localCheckpoint so every serve joins against the
+    materialized vocabulary instead of replaying the merge chain
+    (reliable checkpoint() on a cluster)."""
+    SL, SR = "\x1e", "\x1f"
+    cur = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .distinct()
+        .select(
+            "tok",
+            F.regexp_replace("tok", "(?s)(.)", f"{SL}$1{SR}").alias("enc"),
+        )
+    )
+    for i, (_, a, b, _, _) in enumerate(merges, start=1):
+        cur = cur.select(
+            "tok",
+            F.replace(
+                F.col("enc"),
+                F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"),
+                F.lit(f"{SL}{a}{b}{SR}"),
+            ).alias("enc"),
+        )
+        if i % checkpoint_every == 0 and i < len(merges):
+            cur = cur.localCheckpoint(eager=True)
+    return cur.localCheckpoint(eager=True)
+
+
+@register(
+    "pipe_bpe_encode_joined",
+    _bpe_encode_oracle(_BPE_ROUNDS),
+    oracle_style="mirrored",
+    semantic_check="tests/test_semantic_refs.py::test_bpe_encode_joined_bit_identical_to_chain",
+)
+def pipe_bpe_encode_joined(spark, sf_dir):
+    """BPE ENCODING, join-based serving twin of pipe_bpe_encode
+    (VERDICT r11 task #1): the replace-CHAIN form compiles one merge
+    per expression-tree level, so its plan build/codegen cost grows
+    with the merge count and real tokenizers replay 10k-50k merges —
+    far past where a 10k-deep Column tree is buildable. This twin
+    moves the merge replay off the corpus entirely:
+
+    1. the DISTINCT token vocabulary is framed and merged ONCE via an
+       iterative lineage-truncated loop (`_bpe_encode_vocab`:
+       per-merge cost O(vocab), bounded plan depth — linear in merge
+       count at any depth, measured to 1000 merges in
+       tools/bpe_depth_probe.py);
+    2. serving is merge-depth-INDEPENDENT: split each document on
+       spaces, join token -> encoded-token against the standing
+       vocabulary (one corpus-token-sized shuffle), and reassemble in
+       position order with the framed-space separator.
+
+    Reassembly is bit-exact to the chain form because no merge
+    pattern can contain or cross the framed space symbol (learned
+    pairs come from space-split tokens), so leftmost-non-overlapping
+    replacement over the whole framed document decomposes exactly
+    into independent per-token replacements joined by \\x1e \\x1f —
+    the same identity that makes the chain form word-boundary-
+    respecting makes this form correct. Output and oracle are
+    pipe_bpe_encode's verbatim; the semantic check pins the two forms
+    bit-identical on a crafted corpus and the gate proves the judged
+    10-merge setting against DuckDB.
+
+    Scale: training is pipe_bpe_train's build phase; the standing
+    vocab build is vocabulary-sized x merges/checkpoint_every narrow
+    scans; the serve path is one explode + one equi-join on token +
+    one per-doc ordered reassembly (group-by doc_id, docs are
+    row-bounded) — at 100 TB the join shuffles (token, pos) pairs,
+    never merge-count-many corpus scans."""
+    d = load(spark, sf_dir, "documents", parallel="always")
+    SL, SR = "\x1e", "\x1f"
+    vocab = _bpe_encode_vocab(d, _bpe_train_merges(d))
+    parts = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    return (
+        parts.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "enc"))),
+                    lambda s: s["enc"],
+                ),
+                f"{SL} {SR}",
+            ).alias("enc")
+        )
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("enc", F.lit(_BPE_SYM_RE), 1))
+            .cast("bigint")
+            .alias("n_symbols"),
+            F.md5("enc").alias("encoded_md5"),
+        )
+    )
+
+
 def _bpe_vocab_oracle(rounds: int) -> str:
     """pipe_bpe_train's unrolled training CTEs + the final symbol
     vocabulary: every symbol of the fully-merged vocab encoding,
