@@ -148,6 +148,11 @@ HEADLINE += [
     "pipe_bpe_vocab", "graph_cc_incremental",
     # r12: join-based BPE encode serving twin (merge-depth-independent)
     "pipe_bpe_encode_joined",
+    # r12 (VERDICT r11 task #3): the full-registry sweep tail joins
+    # the probe, so per the membership rule it joins the headline too
+    "strm_stream_join", "strm_dedup_watermark", "pipe_dedup_e2e",
+    "dedup_editdist", "dedup_minhash_estimate", "sim_pq",
+    "graph_clustering_coeff", "agg_approx_sketches", "join_range",
     # r10: the semantic stream twin joins the headline (its lexical
     # twin has been here since r8; both fixtures went distributed
     # this round and the cost should be visible round over round)

@@ -30,8 +30,10 @@ def _headline() -> set[str]:
 
 def _probed() -> set[str]:
     src = (ROOT / "tools" / "probe_100x.py").read_text()
-    return set(_names(src, "QUERIES_100X")) | set(
-        _names(src, "GRAPH_QUERIES_100X")
+    return (
+        set(_names(src, "QUERIES_100X"))
+        | set(_names(src, "GRAPH_QUERIES_100X"))
+        | set(_names(src, "LINEITEM_100X"))
     )
 
 

@@ -144,6 +144,34 @@ QUERIES_100X = [
     # >=1k-merge depth axis is tools/bpe_depth_probe.py's separate
     # synthetic-fixture measurement
     "pipe_bpe_encode_joined",
+    # r12 (VERDICT r11 task #3): 100x membership for the r11
+    # full-registry sweep's tail — every >~2.5s non-headline entry
+    # whose sources this corpus grows (events/documents/embeddings).
+    # Excluded with reasons, so the cap is loud: src_pyds_queue /
+    # strm_ingest_e2e / strm_rate_limited / strm_cdc_apply are
+    # transport-fixture entries whose sweep time is fixture setup,
+    # not corpus-proportional work; src_partitioned_prune /
+    # snk_dynamic_partition_overwrite / join_dpp_partitioned /
+    # join_bucketed_colocated are layout fixtures that WRITE their
+    # own partitioned/bucketed copies (layout build is measured by
+    # test_bucketing/test_partition_pruning, and growing it 100x
+    # measures the fixture write). lineitem readers ride the graph
+    # corpus below (@grownli).
+    "strm_stream_join",
+    "strm_dedup_watermark",
+    "pipe_dedup_e2e",
+    "dedup_editdist",
+    "dedup_minhash_estimate",
+    "sim_pq",
+]
+
+# r12 tail entries reading LINEITEM, probed against the graph corpus
+# (the only 100x corpus that grows lineitem/orders — id-offset copies
+# with value columns duplicated, which is the right shape for
+# volume-scaling aggregates). Keys land as "<name>@grownli".
+LINEITEM_100X = [
+    "agg_approx_sketches",
+    "join_range",
 ]
 
 # r11 (VERDICT r10 tasks #1/#6): entries whose standing state —
@@ -191,6 +219,10 @@ GRAPH_QUERIES_100X = [
     # store (warm-serve numbers; the standing build is the
     # @storesplit discipline's cold share)
     "graph_cc_incremental",
+    # r12 (VERDICT r11 task #3): the sweep-tail entry whose 8.9 s is
+    # the copurchase self-join edge build — store-amortized here, so
+    # its probe number is the honest steady-state serve
+    "graph_clustering_coeff",
 ]
 GRAPH_ID_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
@@ -203,7 +235,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
-    ap.add_argument("--json-out", default="tools/probe_results_r11_100x.json")
+    ap.add_argument("--json-out", default="tools/probe_results_r12_100x.json")
     args = ap.parse_args()
 
     import tools.scaling_probe as sp
@@ -329,6 +361,29 @@ def main() -> None:
         }
         print(name, results[name], file=sys.stderr, flush=True)
         # write after every query so a timeout loses nothing
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+
+    # ---- lineitem readers against the grown-lineitem corpus -------
+    # (VERDICT r11 task #3): the graph corpus is the one 100x corpus
+    # that grows lineitem/orders; volume-scaling lineitem aggregates
+    # ride it under the main loop's min-of-2 protocol.
+    for name in LINEITEM_100X:
+        key = f"{name}@grownli"
+        if name not in QUERIES or key in results:
+            continue
+        run(name, args.base)  # warm the plan shape
+        base_t = min(run(name, args.base), run(name, args.base))
+        big_t = run(name, str(gout))
+        if big_t < 120:
+            big_t = min(big_t, run(name, str(gout)))
+        results[key] = {
+            "sf0.1_sec": round(base_t, 3),
+            "x100_sec": round(big_t, 3),
+            "slope100": round(big_t / base_t, 1) if base_t > 0 else None,
+            "note": "100x = graph corpus (grows lineitem/orders; "
+            "dims fixed)",
+        }
+        print(key, results[key], file=sys.stderr, flush=True)
         out_path.write_text(json.dumps(results, indent=1) + "\n")
 
     # ---- standing-store cold/warm split (VERDICT r10 #1/#6) -------

@@ -31,6 +31,7 @@ def pagerank_quantized(
     strategy: str = "broadcast",
     checkpoint_every: int = 3,
     sources: list[int] | None = None,
+    prune_zero: bool | None = None,
 ) -> DataFrame:
     """Damped PageRank, `iterations` unrolled rounds, integer math.
 
@@ -94,9 +95,31 @@ def pagerank_quantized(
     The eager materialization makes this builder EAGER — its registry
     entries must opt out of plan caching (cache_plans=False) so timed
     re-runs do not serve pre-built state.
+
+    `prune_zero` (default: True for personalized walks, False for
+    global PageRank — r12, VERDICT r11 task #6) is the FORWARD-PUSH
+    serving shape: each round's rank side drops r = 0 rows before
+    the edge join, so the join output and the groupBy(dst) shuffle
+    are FRONTIER-sized (nodes within i hops of the source set),
+    not graph-sized — personalized serving runs many source sets
+    against one standing graph, and a 2-source walk on a
+    billion-node graph should shuffle a neighborhood, not the graph.
+    EXACT by construction: a dropped row contributes `0 div deg = 0`
+    to every sum, so surviving dsts are unchanged; a dst losing ALL
+    its rows had s = 0 and therefore r = teleport(dst), which is 0
+    for non-sources (absent from the r > 0 judged relation either
+    way) while sources always survive through the src_zero seed.
+    The only observable difference is that intermediate/final zero-
+    rank rows are absent from the RAW relation — callers that judge
+    the walk filter r > 0 already; global PageRank keeps every row
+    (prune_zero=False) since its teleport term is nonzero
+    everywhere. Pinned bit-exact against the unpruned recurrence by
+    tests/test_verdict_r12.py.
     """
     if strategy not in ("broadcast", "bucketed"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    if prune_zero is None:
+        prune_zero = sources is not None
     if persist_edges:
         # one materialization of the (possibly expensive) edge
         # derivation; everything below reads the cache
@@ -158,11 +181,12 @@ def pagerank_quantized(
 
     ranks = deg.select(F.col("src").alias("nid"), init_r.alias("r"))
     for i in range(iterations):
+        live = ranks.filter(F.col("r") > 0) if prune_zero else ranks
         rank_side = (
-            F.broadcast(ranks) if strategy == "broadcast" else ranks.hint("shuffle_hash")
+            F.broadcast(live) if strategy == "broadcast" else live.hint("shuffle_hash")
         )
         contribs = (
-            ed.join(rank_side, ed.src == ranks.nid)
+            ed.join(rank_side, ed.src == live.nid)
             .select("dst", F.expr("r div deg").alias("contrib"))
         )
         if sources is not None:

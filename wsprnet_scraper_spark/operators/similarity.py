@@ -474,7 +474,14 @@ def _codebook_store_path(cache_key, params: tuple):
         return None
     from .stores import corpus_fingerprint
 
-    fp = corpus_fingerprint(corpus_dir, ("embeddings",))
+    try:
+        fp = corpus_fingerprint(corpus_dir, ("embeddings",))
+    except FileNotFoundError:
+        # ADVICE r11: a resolvable dir without an embeddings table
+        # (custom fixtures train on in-memory frames) must mean "no
+        # persistent tier", not a crash — the trainer falls back to
+        # in-run training exactly as it does with the env var unset.
+        return None
     h = hashlib.sha1(
         "|".join([str(cache_key)] + [str(p) for p in params]).encode()
     ).hexdigest()[:12]

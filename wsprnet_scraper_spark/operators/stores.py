@@ -13,11 +13,16 @@ amortizes it across every ingest batch.
 
 Two tiers, exactly the edge-store contract:
 
-- default: per-application scratch tempdir, write-once within the
-  application, deleted by `clear_store_cache()` (safe under
-  concurrent applications — no shared paths). Steady-state runs in
-  one session serve from the standing parquet; the first call pays
-  the build.
+- default: per-application scratch root (process-private tempdir),
+  fingerprint-keyed and _SUCCESS-gated exactly like the persistent
+  tier, deleted at process exit (safe under concurrent applications
+  — no shared paths). Steady-state runs in one session serve from
+  the standing parquet; the first call pays the build. r12: a
+  maintenance pass (`clear_store_cache()`) drops only the in-memory
+  HANDLES — the standing parquet survives, so a daemon's periodic
+  reclaim costs a parquet re-open, not a standing-state rebuild
+  (VERDICT r11 task #5; the probe's cold-minus-warm split measures
+  exactly the rebuild this avoids).
 - SPARK_GRAFT_SIG_STORE=<dir> (opt-in): the relation persists ACROSS
   sessions under <dir>/<kind>_<corpus-fingerprint>/ — a fresh session
   reuses the standing parquet instead of re-paying the derivation.
@@ -76,14 +81,64 @@ def corpus_fingerprint(sf_dir: str, tables=("documents",)) -> str:
     return h.hexdigest()[:16]
 
 
-def clear_store_cache() -> None:
-    """Drop all in-memory handles; delete scratch-tier directories
-    (persistent-tier parquet survives — that is the point)."""
-    for bucket in _STORE_CACHE.values():
-        for _df, path, persistent in bucket.values():
-            if not persistent:
-                shutil.rmtree(path, ignore_errors=True)
+# app -> scratch-tier root dir (fingerprint-keyed like the
+# persistent tier, but process-private; deleted at process exit)
+_SCRATCH_ROOTS: dict = {}
+
+
+def clear_store_cache(drop_files: bool = False) -> None:
+    """Drop all in-memory handles. Scratch-tier PARQUET survives by
+    default (r12, VERDICT r11 task #5): the daemon's
+    session_maintenance calls this to reclaim JVM leases — plan
+    trees, cached relations — and the standing parquet on local disk
+    pins no JVM memory at all, so deleting it would convert every
+    post-maintenance store access into a full standing-state REBUILD
+    where a parquet re-open suffices (measured: the probe's
+    cold-minus-warm split IS that rebuild cost — e.g. 18.8 s of
+    dedup_minhash_cluster_incremental's 28.0 s cold at 100×).
+    `drop_files=True` deletes the scratch dirs too (tests / explicit
+    disk reclamation); process exit always cleans up via atexit."""
     _STORE_CACHE.clear()
+    if drop_files:
+        for root in _SCRATCH_ROOTS.values():
+            shutil.rmtree(root, ignore_errors=True)
+        _SCRATCH_ROOTS.clear()
+
+
+def _land(store_root: str, kind: str, path: str, build) -> None:
+    """Build into a unique temp subdir of `store_root` and atomically
+    rename into `path` (ADVICE r11: check-then-write was a TOCTOU —
+    two sessions sharing the persistent store could interleave
+    overwrite-deletes with writes on the same path). A rename
+    collision means another writer finished the same fingerprint
+    first; their relation is bit-identical by construction, so ours
+    is discarded."""
+    os.makedirs(store_root, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{kind}_wip_", dir=store_root)
+    build().write.mode("overwrite").parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        if os.path.isfile(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # stale partial write from a crashed session holds the
+            # path: replace it (best-effort — a concurrent writer
+            # racing this same branch still converges to ONE
+            # complete relation, whichever rename lands last)
+            shutil.rmtree(path, ignore_errors=True)
+            os.rename(tmp, path)
+
+
+def _scratch_root(app: str) -> str:
+    root = _SCRATCH_ROOTS.get(app)
+    if root is None or not os.path.isdir(root):
+        import atexit
+
+        root = tempfile.mkdtemp(prefix=f"wspr_store_{app}_")
+        _SCRATCH_ROOTS[app] = root
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 def materialized(spark, sf_dir: str, kind: str, build, tables=("documents",)):
@@ -94,27 +149,30 @@ def materialized(spark, sf_dir: str, kind: str, build, tables=("documents",)):
     no standing parquet exists. `kind` must encode every parameter
     the relation depends on (shingle n, hash count, batch predicate,
     codebook k/iters, ...) — two configurations must never share a
-    path."""
+    path.
+
+    Both tiers are fingerprint-keyed and _SUCCESS-gated (r12): the
+    scratch tier lives under a process-private root, so a daemon's
+    periodic session_maintenance (clear_store_cache) drops only the
+    HANDLES — the next access re-opens the standing parquet instead
+    of re-paying the build (tests/test_advice_r12.py pins build()
+    called once across a maintenance cycle)."""
     app = spark.sparkContext.applicationId
     bucket = _STORE_CACHE.get(app)
     if bucket is None:
-        clear_store_cache()  # relations (and files) of stopped apps
+        _STORE_CACHE.clear()  # handles of stopped applications
         bucket = _STORE_CACHE.setdefault(app, {})
     key = (kind, sf_dir.rstrip("/"))
     ent = bucket.get(key)
     if ent is None:
         store = os.environ.get(ENV_VAR)
-        if store:
-            path = os.path.join(
-                store, f"{kind}_{corpus_fingerprint(sf_dir, tables)}"
-            )
-            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-                os.makedirs(store, exist_ok=True)
-                build().write.mode("overwrite").parquet(path)
-            ent = (spark.read.parquet(path), path, True)
-        else:
-            path = tempfile.mkdtemp(prefix=f"wspr_store_{kind}_")
-            build().write.mode("overwrite").parquet(path)
-            ent = (spark.read.parquet(path), path, False)
+        persistent = bool(store)
+        root = store if store else _scratch_root(app)
+        path = os.path.join(
+            root, f"{kind}_{corpus_fingerprint(sf_dir, tables)}"
+        )
+        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+            _land(root, kind, path, build)
+        ent = (spark.read.parquet(path), path, persistent)
         bucket[key] = ent
     return ent[0]

@@ -54,6 +54,19 @@ _H1 = 3600 * 1_000_000
 # application are dropped on first access from the next one; their
 # checkpoint blocks died with that application's context, and the
 # cleared references let the ContextCleaner reap any remainder.
+#
+# FAULT-TOLERANCE TRADE (ADVICE r11): localCheckpoint blocks cannot
+# be recomputed — persist() would transparently rebuild lost
+# partitions, the checkpoint cannot. In LOCAL mode (this harness)
+# executor loss is process death, so the trade is free; on a CLUSTER
+# deployment an executor loss makes every win_* consumer fail with a
+# block-fetch error until the pin is dropped. The deployment answers
+# are (a) call clear_frame_store() from the driver's executor-loss /
+# task-retry handler — the next query rebuilds the one shared pass —
+# or (b) switch the pin to reliable checkpoint() on HDFS/object
+# storage, which survives executor loss at the cost of one write.
+# The scratch pin stays the default because clearCache-immunity is
+# what the probe's isolation protocol requires.
 _FRAME_STORE: dict = {}
 
 
@@ -1250,12 +1263,9 @@ FROM t
 def win_rolling_median(spark, sf_dir):
     """Exact rolling median (trailing 10 rows per event type) — the
     robust-smoothing window the mean-based rollups can't express.
-    Spark's `percentile` aggregate runs as a window function over the
-    ROWS frame; at p=0.5 its linear interpolation is the same
-    (a+b)/2 on the two middle doubles as DuckDB's `median`, and both
-    operate on the identical 10-value multiset (frame fixed by the
-    (us, event_id) total order), so the doubles are bit-identical —
-    no rounding tolerance needed.
+    Both engines operate on the identical 10-value multiset (frame
+    fixed by the (us, event_id) total order), so the doubles are
+    bit-identical — no rounding tolerance needed.
 
     Scale (r11): the frame runs BLOCK-PARALLEL through the halo-block
     machinery (operators/frames._halo_blocks, k=9) — the r10 bench
@@ -1266,7 +1276,19 @@ def win_rolling_median(spark, sf_dir):
     multiset per row is identical (halo rows make each block
     self-sufficient, dropped from output), so the medians are
     bit-identical — the same fix the WMA/EWMA family shipped in r9.
-    """
+
+    r12 (VERDICT r11 task #4, second attempt at the per-row-cost
+    dial): the frame median is now `_percentile_of_sorted_array` over
+    collect_list + array_sort instead of the `percentile` window
+    aggregate. The r11 attempt was rejected for last-ulp divergence
+    because it interpolated differently from Percentile.scala; this
+    form replicates Spark's ACTUAL arithmetic — `(higher - position)
+    * lowerKey + (position - lower) * higherKey`, not the
+    `lower + (higher - lower) * frac` form SCALE.md's r11 note
+    guessed — and `tests/test_verdict_r12.py::
+    test_percentile_of_sorted_array_bit_identical` pins it against
+    the percentile aggregate on adversarial random frames bit for
+    bit."""
     from ..operators.frames import _halo_blocks
 
     ev = load_events(spark, sf_dir)
@@ -1279,15 +1301,112 @@ def win_rolling_median(spark, sf_dir):
     both, wf9 = _halo_blocks(
         t, "event_type", "us", "event_id", "v", 9, 6 * 3600 * 1_000_000
     )
+    med = _percentile_of_sorted_array(
+        F.array_sort(F.collect_list("v").over(wf9)), 0.5
+    )
     return (
-        both.select(
-            "event_id",
-            F.percentile(F.col("v"), F.lit(0.5)).over(wf9).alias("med10"),
-            "_halo",
-        )
+        both.select("event_id", med.alias("med10"), "_halo")
         .where(~F.col("_halo"))
         .drop("_halo")
     )
+
+
+def _percentile_of_sorted_array(arr, p: float):
+    """Exact percentile over a SORTED array column, replicating
+    Percentile.scala's interpolation arithmetic bit for bit:
+    position = p * (n - 1); if the bracketing values coincide return
+    the lower one, else `(higher - position) * v_lo +
+    (position - lower) * v_hi` — two multiplies and one add in that
+    order, which is NOT equivalent in IEEE arithmetic to the
+    `lower + span * frac` form (the r11 rolling-median attempt
+    diverged at the last ulp on ~19k of 100M rows for exactly this
+    reason). All position arithmetic is fp-exact for any frame that
+    fits an executor (n < 2^52), so the only inexact ops are the
+    same two multiplies and one add Spark itself performs."""
+    n = F.size(arr)
+    pos = F.lit(float(p)) * (n - 1).cast("double")
+    lower = F.floor(pos)
+    higher = F.ceil(pos)
+    v_lo = F.element_at(arr, (lower + 1).cast("int"))
+    v_hi = F.element_at(arr, (higher + 1).cast("int"))
+    return F.when(n == 0, F.lit(None).cast("double")).otherwise(
+        F.when((lower == higher) | (v_lo == v_hi), v_lo).otherwise(
+            (higher.cast("double") - pos) * v_lo
+            + (pos - lower.cast("double")) * v_hi
+        )
+    )
+
+
+def _exact_median_by_key(df, key, value, block_width: float = 1000.0):
+    """Per-key EXACT median, equal to `percentile(value, 0.5)` bit
+    for bit, without buffering any key's values on one reducer — the
+    agg_weighted_median_blocked shape applied to plain counts
+    (VERDICT r11 task #2):
+
+    1. pre-aggregate row counts by (key, value) — fully parallel,
+       map-side-combinable; for domain-bounded value columns the
+       reduced relation stops growing with the corpus;
+    2. block the prefix sum by value range: block-local cumulative
+       counts run at keys x blocks parallelism, per-block totals
+       form the tiny audit-sanctioned summary window, and global
+       cumulative count = block offset + local cumsum (exact —
+       integer arithmetic);
+    3. the two bracketing order statistics at position 0.5 * (n - 1)
+       are min-value selections over the cumulative relation, and
+       the interpolation replicates Percentile.scala's
+       `(higher - position) * v_lo + (position - lower) * v_hi`
+       arithmetic exactly (see _percentile_of_sorted_array).
+
+    Returns a small DataFrame (key AS flag, exact_med) — one row per
+    key, broadcastable."""
+    pp = (
+        df.groupBy(key, value)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        .toDF("flag", "price", "_cnt")
+        .withColumn(
+            "_blk", F.floor(F.col("price") / F.lit(block_width)).cast("bigint")
+        )
+    )
+    wl = (
+        W.partitionBy("flag", "_blk")
+        .orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = pp.withColumn("_lcw", F.sum("_cnt").over(wl))
+    blk = pp.groupBy("flag", "_blk").agg(F.sum("_cnt").alias("_bc"))
+    ws = W.partitionBy("flag").orderBy("_blk")
+    offsets = blk.select(
+        "flag",
+        "_blk",
+        F.coalesce(
+            F.sum("_bc").over(ws.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("_off"),
+        F.sum("_bc").over(W.partitionBy("flag")).cast("bigint").alias("_tot"),
+    )
+    cum = local.join(F.broadcast(offsets), ["flag", "_blk"]).select(
+        "flag",
+        "price",
+        (F.col("_off") + F.col("_lcw")).cast("bigint").alias("_cw"),
+        "_tot",
+    )
+    pos = F.lit(0.5) * (F.col("_tot") - 1).cast("double")
+    v_lo = cum.where(F.col("_cw") >= F.floor(pos) + 1).groupBy("flag").agg(
+        F.min("price").alias("_vlo"), F.min("_tot").alias("_tot")
+    )
+    v_hi = cum.where(F.col("_cw") >= F.ceil(pos) + 1).groupBy("flag").agg(
+        F.min("price").alias("_vhi")
+    )
+    j = v_lo.join(v_hi, "flag")
+    pos2 = F.lit(0.5) * (F.col("_tot") - 1).cast("double")
+    lower, higher = F.floor(pos2), F.ceil(pos2)
+    med = F.when(
+        (lower == higher) | (F.col("_vlo") == F.col("_vhi")), F.col("_vlo")
+    ).otherwise(
+        (higher.cast("double") - pos2) * F.col("_vlo")
+        + (pos2 - lower.cast("double")) * F.col("_vhi")
+    )
+    return j.select("flag", med.alias("exact_med"))
 
 
 @register(

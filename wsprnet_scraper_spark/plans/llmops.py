@@ -2710,9 +2710,17 @@ def strm_semantic_dedup(spark, sf_dir):
     is_batch = F.col("vec_id") % 10 == 0
     corpus, batch = emb.filter(~is_batch), emb.filter(is_batch)
     corpus_n = corpus.count()
+    # k and iters computed ONCE, shared by the trainer calls below
+    # AND the standing-seed kind string (ADVICE r11: the kind
+    # re-derived them as separate literals, so a future tune at the
+    # call site that missed the string would silently serve a stale
+    # standing seed).
+    trainer_iters = 2
     if corpus_n <= similarity.FLAT_ASSIGN_MAX:
+        k_flat = max(8, corpus_n // 256)
+        seed_kind = f"semass_mod10_flat{k_flat}_i{trainer_iters}"
         cents = train_kmeans_df(
-            corpus, max(8, corpus_n // 256), 2, f"{sf_dir}:strm_inc"
+            corpus, k_flat, trainer_iters, f"{sf_dir}:strm_inc"
         )
 
         def assign(pre):
@@ -2720,8 +2728,9 @@ def strm_semantic_dedup(spark, sf_dir):
 
     else:  # two-level composite cells — the batch twin's scale branch
         kb = similarity._balanced_k(corpus_n, 256)
+        seed_kind = f"semass_mod10_2l{kb}_i{trainer_iters}"
         coarse, fine = similarity.train_twolevel_df(
-            corpus, kb, kb, 2, f"{sf_dir}:strm_inc2l"
+            corpus, kb, kb, trainer_iters, f"{sf_dir}:strm_inc2l"
         )
         books = similarity._fine_books(fine)
 
@@ -2771,15 +2780,9 @@ def strm_semantic_dedup(spark, sf_dir):
         ).withColumn("n2", _norm2(F.col("v")))
         return assign(pre_corpus)
 
-    # kind encodes EVERY parameter the seed depends on (stores.py
-    # contract; r11 review finding): dispatch branch, k rule, AND the
-    # trainer's iteration count — a later iters tune must not be
-    # served a stale standing seed.
-    seed_kind = (
-        f"semass_mod10_flat{max(8, corpus_n // 256)}_i2"
-        if corpus_n <= similarity.FLAT_ASSIGN_MAX
-        else f"semass_mod10_2l{similarity._balanced_k(corpus_n, 256)}_i2"
-    )
+    # seed_kind (computed beside the trainer calls above) encodes
+    # EVERY parameter the seed depends on (stores.py contract):
+    # dispatch branch, k, and the trainer's iteration count.
     stores.materialized(
         spark, sf_dir, seed_kind, _build_seed, tables=("embeddings",)
     ).withColumn(

@@ -249,24 +249,46 @@ def agg_approx_sketches(spark, sf_dir):
     between engines. These are the 100 TB cardinality/quantile tools:
     one pass, fixed memory, mergeable partials.
 
-    Scale note (r11 sweep): the SKETCHES are the product; the EXACT
-    median that judges the 5% contract is verification harness, and
-    `percentile()` buffers each l_returnflag group's values on one
-    reducer (the entry's 9.9 s at sf0.1 is almost entirely that
-    harness). At true 100 TB the harness side is the dial: judge the
-    sketch against the distributed exact-selection machinery
-    (operators/ranking.py's global-rank median, the
-    agg_weighted_median_blocked shape) or a held-out sample — the
-    sketch pass itself stays one fixed-memory scan."""
+    r12 (VERDICT r11 task #2 — the documented dial, implemented):
+    the exact median judging the 5% contract no longer runs
+    `percentile()` (which buffers each l_returnflag group's values on
+    ONE reducer — the whole of the entry's former 9.9 s at sf0.1, and
+    a genuine single-reducer death at 100 TB). It now computes the
+    identical number distributed, the agg_weighted_median_blocked
+    shape: pre-aggregate counts by (flag, price) — fully parallel,
+    map-side-combinable, and DOMAIN-bounded (l_extendedprice draws
+    from the fixed TPC-H price domain, so the reduced relation stops
+    growing with the corpus) — then a price-blocked prefix sum
+    reconstructs the exact global cumulative count, the two
+    bracketing order statistics are min-price selections over the
+    cumulative relation, and `_percentile_of_two` replicates
+    Percentile.scala's interpolation arithmetic bit for bit
+    (tests/test_verdict_r12.py pins distributed == percentile() on
+    random multisets). The sketch pass itself is unchanged: one
+    fixed-memory scan with mergeable partials."""
+    from .analytics import _exact_median_by_key
+
     li = load(spark, sf_dir, "lineitem")
     exact_nd = F.countDistinct("l_orderkey")
     approx_nd = F.approx_count_distinct("l_orderkey", rsd=0.02)
-    exact_med = F.expr("percentile(l_extendedprice, 0.5)")
     approx_med = F.expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-    return li.groupBy("l_returnflag").agg(
+    sk = li.groupBy("l_returnflag").agg(
         exact_nd.alias("exact_nd"),
         (F.abs(approx_nd - exact_nd) <= 0.05 * exact_nd).alias("hll_ok"),
-        (F.abs(approx_med - exact_med) <= 0.05 * exact_med).alias("q50_ok"),
+        approx_med.alias("_amed"),
+    )
+    med = _exact_median_by_key(
+        li, F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    return sk.join(
+        F.broadcast(med), sk.l_returnflag == med.flag
+    ).select(
+        "l_returnflag",
+        "exact_nd",
+        "hll_ok",
+        (F.abs(F.col("_amed") - F.col("exact_med"))
+         <= 0.05 * F.col("exact_med")).alias("q50_ok"),
     )
 
 

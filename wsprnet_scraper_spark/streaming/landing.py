@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame
@@ -125,6 +126,20 @@ def land_ordered_ndjson(
                 "land_ordered_ndjson requires uncompressed .json part"
                 f" files; a session-level codec produced {bad[:2]}"
             )
+        # All parts must come from ONE task (ADVICE r11): lexicographic
+        # part order equals row order only for a single task's
+        # maxRecordsPerFile splits (c000 < c001 share the
+        # part-NNNNN-uuid prefix). Parts from multiple tasks would
+        # concatenate in task-id order, silently mis-ordering rows —
+        # fail loudly like the pre-r11 one-part assert did.
+        prefixes = {
+            re.sub(r"[-.]c\d+$", "", os.path.basename(p)[: -len(".json")])
+            for p in parts
+        }
+        assert len(prefixes) == 1, (
+            f"fid dir {d} holds parts from {len(prefixes)} tasks; "
+            "row order across tasks is undefined"
+        )
         path = f"{landing_dir}/batch-{count:03d}.json"
         if len(parts) == 1:
             shutil.move(parts[0], path)
