@@ -115,28 +115,34 @@ def main() -> None:
         sub = merges[:depth]
 
         # ---- chain form: d-deep Column expression ----
+        chain_err, chain_exec, chain_check = None, None, None
         t0 = time.perf_counter()
-        enc = F.regexp_replace("text", "(?s)(.)", f"{SL}$1{SR}")
-        for _, a, b, _, _ in sub:
-            enc = F.replace(
-                enc, F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"), F.lit(f"{SL}{a}{b}{SR}")
-            )
-        chain_df = d.select(
-            "doc_id",
-            F.size(F.regexp_extract_all(enc, F.lit(_BPE_SYM_RE), 1))
-            .cast("bigint")
-            .alias("n_symbols"),
-            F.md5(enc).alias("encoded_md5"),
-        )
-        chain_build = time.perf_counter() - t0
-        chain_err = None
         try:
+            enc = F.regexp_replace("text", "(?s)(.)", f"{SL}$1{SR}")
+            for _, a, b, _, _ in sub:
+                enc = F.replace(
+                    enc,
+                    F.lit(f"{SL}{a}{SR}{SL}{b}{SR}"),
+                    F.lit(f"{SL}{a}{b}{SR}"),
+                )
+            chain_df = d.select(
+                "doc_id",
+                F.size(F.regexp_extract_all(enc, F.lit(_BPE_SYM_RE), 1))
+                .cast("bigint")
+                .alias("n_symbols"),
+                F.md5(enc).alias("encoded_md5"),
+            )
+            chain_build = time.perf_counter() - t0
             t0 = time.perf_counter()
             chain_check = finish(chain_df)
             chain_exec = time.perf_counter() - t0
-        except Exception as e:  # codegen/analyzer depth limits are a finding
-            chain_exec, chain_check = None, None
-            chain_err = f"{type(e).__name__}: {str(e)[:200]}"
+        except Exception as e:
+            # plan-build/analyzer/codegen depth limits ARE the
+            # finding this probe exists to measure (the 1000-merge
+            # chain dies in ColumnNode->Expression conversion with a
+            # JVM StackOverflowError before any data is touched)
+            chain_build = time.perf_counter() - t0
+            chain_err = f"{type(e).__name__}: {str(e)[:160]}"
 
         # ---- joined form: vocab merge (standing build) + serve ----
         t0 = time.perf_counter()

@@ -486,7 +486,11 @@ def main() -> None:
         for n in GRAPH_QUERIES_100X
         if n in QUERIES and f"{n}@grownodes" not in results
     ]
-    if gpend or "graph_edge_build@grownodes" not in results:
+    if (
+        gpend
+        or "graph_edge_build@grownodes" not in results
+        or "graph_ppr@storesplit" not in results
+    ):
         spark.stop()
         os.environ["SPARK_GRAFT_EDGE_STORE"] = str(out) + "_edgestore"
         spark = get_session("probe-100x-graph")
@@ -544,6 +548,48 @@ def main() -> None:
             }
             print(
                 f"{name}@grownodes", results[f"{name}@grownodes"],
+                file=sys.stderr, flush=True,
+            )
+            out_path.write_text(json.dumps(results, indent=1) + "\n")
+
+        # ---- PPR cold/warm split (VERDICT r11 task #6) ------------
+        # The @grownodes numbers above are the warm serve (standing
+        # edge parquet + in-session handles). Publish the full
+        # standing-build share explicitly, @storesplit-style: cold =
+        # edge store EMPTIED (new corpus version: edge derivation +
+        # serve), warm = fresh-session serve (handles dropped,
+        # standing parquet intact). With the r12 frontier push the
+        # warm serve scales with the source neighborhood, not the
+        # graph.
+        import shutil as _sh
+
+        if "graph_ppr@storesplit" not in results:
+            estore = os.environ["SPARK_GRAFT_EDGE_STORE"]
+            _sh.rmtree(estore, ignore_errors=True)
+            graph_q.clear_edge_cache()
+            cold = run("graph_ppr", str(gout))
+
+            def _warm_ppr() -> float:
+                graph_q._EDGE_CACHE.clear()  # handles only
+                from wsprnet_scraper_spark.plans.registry import (
+                    clear_plan_cache,
+                )
+
+                clear_plan_cache()
+                return run("graph_ppr", str(gout))
+
+            warm = min(_warm_ppr(), _warm_ppr())
+            results["graph_ppr@storesplit"] = {
+                "cold100x_sec": round(cold, 3),
+                "warm100x_sec": round(warm, 3),
+                "standing_build_share_sec": round(cold - warm, 3),
+                "note": "cold = edge store emptied (new corpus "
+                "version: full edge derivation + serve); warm = "
+                "fresh-session frontier-push serve from the standing "
+                "edge parquet",
+            }
+            print(
+                "graph_ppr@storesplit", results["graph_ppr@storesplit"],
                 file=sys.stderr, flush=True,
             )
             out_path.write_text(json.dumps(results, indent=1) + "\n")
