@@ -231,8 +231,20 @@ def strm_dedup_watermark(spark, sf_dir):
     strm_atleastonce_queue): state for a key is dropped once the
     watermark passes, so the dedup map can't grow with the stream.
     Output is the key set only, so the result is deterministic
-    regardless of which copy survives."""
-    from pyspark.sql import types as T
+    regardless of which copy survives.
+
+    Scale (r12 — the first @100x probe run OOM'd an 8g driver on this
+    entry and both causes were harness shape, not the operator): the
+    sink is a parquet FILE sink (the memory sink materializes every
+    output row on the driver — fine at sf0.01, 100M rows at the
+    probe corpus), and the dedup state runs on the RocksDB state
+    store provider (the HDFS-backed default holds the key map in JVM
+    heap; RocksDB spills state to local disk — the configuration a
+    100 TB streaming dedup actually deploys). Conf is set for the
+    query start and restored after."""
+    import atexit
+    import shutil
+    import tempfile
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -249,16 +261,32 @@ def strm_dedup_watermark(spark, sf_dir):
     dd = merged.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = f"strm_dedup_wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    work = tempfile.mkdtemp(prefix="wspr_dedup_wm_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
-    q.awaitTermination()
-    return spark.table(name).select("event_id")
+    try:
+        q = (
+            dd.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, prev)
+    return spark.read.parquet(f"{work}/out").select("event_id")
 
 
 def _ingest_oracle() -> str:
