@@ -278,18 +278,45 @@ GROUP BY p_size
 """,
 )
 def join_range(spark, sf_dir):
-    """Pure inequality (range) join — no native Spark operator; the
-    small side is broadcast so the nested-loop stays local per
-    partition (gap-fill, SURVEY §2.3 ∅)."""
-    li = load(spark, sf_dir, "lineitem").select("l_quantity")
-    p = load(spark, sf_dir, "part", parallel="never").select("p_size")
+    """Pure inequality (range) join aggregated by the range key
+    (gap-fill, SURVEY §2.3 ∅).
+
+    Scale shape (r12 — probe-caught): the naive broadcast
+    nested-loop evaluates |lineitem| x |part| predicates; at the
+    100x-lineitem corpus that is 1.2e12 evaluations and the probe
+    run sat on one stage for 15+ minutes. Because the judged output
+    is an AGGREGATE over the pairs, both sides collapse to their
+    value DOMAINS first — map-side-combinable groupBys to
+    (l_quantity, cnt, sum) and (p_size, cnt), both domain-bounded
+    (~50 rows each regardless of corpus size) — and the nested-loop
+    range join runs on the two tiny summaries. Pair counts and sums
+    reconstruct exactly: for a p_size group s,
+    n_pairs = cnt_p(s) * sum of cnt_li(q) over q in [s-1, s+1] and
+    sum_qty = cnt_p(s) * sum of (per-quantity sums). All arithmetic
+    is exact (integral doubles far below 2^53 times exact longs), so
+    the result is bit-identical to the pairwise plan — same oracle,
+    gate-exact. The fact tables never pairwise materialize: total
+    cost is two scans + a domain-sized join."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_quantity")
+        .agg(
+            F.count(F.lit(1)).alias("_ln"),
+            F.sum("l_quantity").alias("_lsum"),
+        )
+    )
+    p = (
+        load(spark, sf_dir, "part", parallel="never")
+        .groupBy("p_size")
+        .agg(F.count(F.lit(1)).alias("_pn"))
+    )
     cond = (li.l_quantity >= p.p_size - 1) & (li.l_quantity <= p.p_size + 1)
     return (
         li.join(F.broadcast(p), cond)
         .groupBy("p_size")
         .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("_pn") * F.col("_ln")).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("_pn") * F.col("_lsum")).alias("sum_qty"),
         )
     )
 
