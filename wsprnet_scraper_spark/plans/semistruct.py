@@ -273,31 +273,45 @@ def agg_approx_sketches(spark, sf_dir):
     approx_nd = F.approx_count_distinct("l_orderkey", rsd=0.02)
     # accuracy=1000 (r12, probe-caught): the digest's guarantee is a
     # RANK error of 1/accuracy — 0.1% of rank at 1000, orders of
-    # magnitude inside the 5% VALUE contract judged here. At
-    # accuracy=10000 the QuantileSummaries compress/merge cost
-    # dominated the whole entry at the 100x corpus (a thread dump
-    # showed every executor thread inside PercentileDigest.merge/
-    # compressImmut; the stage sat 20+ minutes on 60M rows). Sketch
-    # accuracy is the textbook cost dial: fixed memory either way,
-    # merge cost linear in the dial.
+    # magnitude inside the 5% VALUE contract judged here; merge cost
+    # is linear in the dial.
     approx_med = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
-    sk = li.groupBy("l_returnflag").agg(
-        exact_nd.alias("exact_nd"),
-        (F.abs(approx_nd - exact_nd) <= 0.05 * exact_nd).alias("hll_ok"),
-        approx_med.alias("_amed"),
+    # The quantile digest runs in its OWN aggregation (r12, the
+    # second probe catch on this entry): countDistinct in the same
+    # GROUP BY forces Spark's distinct-expand rewrite, under which
+    # the ObjectHashAggregate allocates one PercentileDigest buffer
+    # PER (flag, l_orderkey) expanded group — millions of digests at
+    # the 100x corpus, and a thread dump showed every executor pinned
+    # in PercentileDigest.merge. Split, the digest aggregates
+    # per-partition partials into |flags| groups (3), and the
+    # distinct rewrite keeps its plain hash-agg plan. The 3-row
+    # results join back by flag — two broadcast joins of scalar
+    # relations.
+    # ... and the EXACT distinct runs alone too: mixed with any
+    # non-distinct aggregate, the distinct rewrite expands every row
+    # once per aggregate group (measured 82.5 s of the entry's 97.8 s
+    # at 100x); alone, it plans the clean two-phase
+    # (flag, l_orderkey) partial -> flag count with no Expand. Both
+    # SKETCHES share one simple single-pass aggregation.
+    sk = li.groupBy("l_returnflag").agg(exact_nd.alias("exact_nd"))
+    qd = li.groupBy(F.col("l_returnflag").alias("_qflag")).agg(
+        approx_nd.alias("_and"), approx_med.alias("_amed")
     )
     med = _exact_median_by_key(
         li, F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
     )
-    return sk.join(
-        F.broadcast(med), sk.l_returnflag == med.flag
-    ).select(
-        "l_returnflag",
-        "exact_nd",
-        "hll_ok",
-        (F.abs(F.col("_amed") - F.col("exact_med"))
-         <= 0.05 * F.col("exact_med")).alias("q50_ok"),
+    return (
+        sk.join(F.broadcast(qd), sk.l_returnflag == qd._qflag)
+        .join(F.broadcast(med), sk.l_returnflag == med.flag)
+        .select(
+            "l_returnflag",
+            "exact_nd",
+            (F.abs(F.col("_and") - F.col("exact_nd"))
+             <= 0.05 * F.col("exact_nd")).alias("hll_ok"),
+            (F.abs(F.col("_amed") - F.col("exact_med"))
+             <= 0.05 * F.col("exact_med")).alias("q50_ok"),
+        )
     )
 
 
