@@ -1278,17 +1278,19 @@ def win_rolling_median(spark, sf_dir):
     bit-identical — the same fix the WMA/EWMA family shipped in r9.
 
     r12 (VERDICT r11 task #4, second attempt at the per-row-cost
-    dial): the frame median is now `_percentile_of_sorted_array` over
-    collect_list + array_sort instead of the `percentile` window
-    aggregate. The r11 attempt was rejected for last-ulp divergence
-    because it interpolated differently from Percentile.scala; this
-    form replicates Spark's ACTUAL arithmetic — `(higher - position)
-    * lowerKey + (position - lower) * higherKey`, not the
-    `lower + (higher - lower) * frac` form SCALE.md's r11 note
-    guessed — and `tests/test_verdict_r12.py::
-    test_percentile_of_sorted_array_bit_identical` pins it against
-    the percentile aggregate on adversarial random frames bit for
-    bit."""
+    dial — MEASURED AND REVERTED): the r11 rejection's root cause
+    was a wrong guess at percentile's interpolation; Spark actually
+    computes `(higher - position) * lowerKey + (position - lower) *
+    higherKey` (Percentile.scala), and `_percentile_of_sorted_array`
+    replicates it BIT-EXACTLY over collect_list + array_sort
+    (2400-frame adversarial pin, tests/test_verdict_r12.py). But the
+    exact arithmetic erases the speed win the sloppy form had shown:
+    array form 3.04 s vs 1.38 s at sf0.1 (bench, non-overlapping
+    spread) and 9.27 vs 9.67 s at 100× (probe) — a 2.2× base-scale
+    cost for a 4% scale gain. The percentile window aggregate stays
+    the serving form; the helper and its bit-identity pin remain as
+    the formula's documentation (and the distributed exact-median
+    harness uses the same arithmetic)."""
     from ..operators.frames import _halo_blocks
 
     ev = load_events(spark, sf_dir)
@@ -1301,11 +1303,12 @@ def win_rolling_median(spark, sf_dir):
     both, wf9 = _halo_blocks(
         t, "event_type", "us", "event_id", "v", 9, 6 * 3600 * 1_000_000
     )
-    med = _percentile_of_sorted_array(
-        F.array_sort(F.collect_list("v").over(wf9)), 0.5
-    )
     return (
-        both.select("event_id", med.alias("med10"), "_halo")
+        both.select(
+            "event_id",
+            F.percentile(F.col("v"), F.lit(0.5)).over(wf9).alias("med10"),
+            "_halo",
+        )
         .where(~F.col("_halo"))
         .drop("_halo")
     )
