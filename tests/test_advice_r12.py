@@ -98,6 +98,101 @@ def test_materialized_complete_write_not_rebuilt(
         stores.clear_store_cache()
 
 
+def test_materialized_fallback_race_converges(spark, tmp_path, monkeypatch):
+    # r12 review finding: the stale-partial fallback's own rename can
+    # ALSO collide (another session completes between our rmtree and
+    # rename) — the loser must serve the winner's relation instead of
+    # crashing with OSError.
+    store = tmp_path / "store"
+    monkeypatch.setenv(stores.ENV_VAR, str(store))
+    sf = _mk_corpus(tmp_path)
+    fp = stores.corpus_fingerprint(sf, ("documents",))
+    path = store / f"k4_{fp}"
+    path.mkdir(parents=True)
+    (path / "junk").write_text("partial")  # stale write, no _SUCCESS
+
+    def winner():
+        return spark.range(7).select(F.col("id").alias("v"))
+
+    real_rename = os.rename
+    state = {"n": 0}
+
+    def racing_rename(src, dst):
+        if str(dst) == str(path):
+            state["n"] += 1
+            if state["n"] == 2 and not path.exists():
+                # winner lands between the loser's rmtree and rename
+                winner().write.mode("overwrite").parquet(str(path))
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    stores.clear_store_cache()
+    try:
+        got = stores.materialized(
+            spark, sf, "k4",
+            lambda: spark.range(99).select(F.col("id").alias("v")),
+        )
+        assert got.count() == 7  # the winner's relation
+        assert [p for p in os.listdir(store) if p.startswith(".k4_wip_")] == []
+    finally:
+        monkeypatch.setattr(os, "rename", real_rename)
+        stores.clear_store_cache()
+
+
+def test_exact_median_by_key_ignores_nulls_like_percentile(spark):
+    # r12 review finding: NULL values must be excluded exactly as
+    # percentile() excludes them.
+    from wsprnet_scraper_spark.plans.analytics import _exact_median_by_key
+
+    rows = [("a", 1.0), ("a", None), ("a", 3.0), ("a", None), ("a", 10.0),
+            ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "k string, val double")
+    got = {
+        r["flag"]: r["exact_med"]
+        for r in _exact_median_by_key(
+            df, F.col("k").alias("flag"), F.col("val").alias("price")
+        ).collect()
+    }
+    assert got == {"a": 3.0}  # nulls ignored; all-null key absent
+
+
+def test_bpe_encode_joined_null_text_row_survives(spark, tmp_path):
+    # r12 review finding: a NULL text must keep its row with NULL
+    # outputs, exactly like the chain form.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wsprnet_scraper_spark.plans import QUERIES
+
+    texts = ["low lower low", None, "new newer new"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    chain = {
+        r["doc_id"]: (r["n_symbols"], r["encoded_md5"])
+        for r in QUERIES["pipe_bpe_encode"](spark, str(tmp_path)).collect()
+    }
+    joined = {
+        r["doc_id"]: (r["n_symbols"], r["encoded_md5"])
+        for r in QUERIES["pipe_bpe_encode_joined"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert joined == chain and len(chain) == 3
+    # the contract is joined == chain on the NULL row, whatever the
+    # session's size(NULL) convention is (-1 under legacy sizeOfNull)
+    assert chain[1][1] is None and chain[1][0] in (None, -1)
+
+
 def test_materialized_rename_collision_keeps_winner(
     spark, tmp_path, monkeypatch
 ):

@@ -123,11 +123,21 @@ def _land(store_root: str, kind: str, path: str, build) -> None:
             shutil.rmtree(tmp, ignore_errors=True)
         else:
             # stale partial write from a crashed session holds the
-            # path: replace it (best-effort — a concurrent writer
-            # racing this same branch still converges to ONE
-            # complete relation, whichever rename lands last)
+            # path: replace it. Two sessions can race THIS branch
+            # too (r12 review finding: an unguarded second rename
+            # crashed the loser instead of converging), so the
+            # second rename is guarded the same way — if it fails
+            # because the other racer's complete relation landed,
+            # serve theirs; anything else is a genuinely broken
+            # store and propagates.
             shutil.rmtree(path, ignore_errors=True)
-            os.rename(tmp, path)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _scratch_root(app: str) -> str:

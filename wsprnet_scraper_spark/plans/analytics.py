@@ -1361,11 +1361,18 @@ def _exact_median_by_key(df, key, value, block_width: float = 1000.0):
        arithmetic exactly (see _percentile_of_sorted_array).
 
     Returns a small DataFrame (key AS flag, exact_med) — one row per
-    key, broadcastable."""
+    key, broadcastable. NULL values are excluded exactly as
+    percentile() excludes them (r12 review: counting them into the
+    cumulative ranks shifted both bracketing selections); a key
+    whose values are ALL null is absent from the output, where
+    percentile() would return one NULL row — callers join by key, so
+    the distinction only matters to a caller that needs the NULL row
+    itself."""
     pp = (
         df.groupBy(key, value)
         .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
         .toDF("flag", "price", "_cnt")
+        .filter(F.col("price").isNotNull())
         .withColumn(
             "_blk", F.floor(F.col("price") / F.lit(block_width)).cast("bigint")
         )

@@ -4166,7 +4166,7 @@ def pipe_bpe_encode_joined(spark, sf_dir):
     parts = d.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
     )
-    return (
+    assembled = (
         parts.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
@@ -4178,6 +4178,16 @@ def pipe_bpe_encode_joined(spark, sf_dir):
                 f"{SL} {SR}",
             ).alias("enc")
         )
+    )
+    # LEFT join from the documents key set (r12 review): a NULL text
+    # never reaches posexplode (split(NULL) is NULL), so without the
+    # re-join the doc would vanish where the chain form keeps the
+    # row with NULL outputs — enc stays NULL here, and the
+    # size/md5 projections below propagate NULL exactly like the
+    # chain's expressions over a NULL framed text.
+    return (
+        d.select("doc_id")
+        .join(assembled, "doc_id", "left")
         .select(
             "doc_id",
             F.size(F.regexp_extract_all("enc", F.lit(_BPE_SYM_RE), 1))

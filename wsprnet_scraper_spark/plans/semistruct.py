@@ -261,8 +261,10 @@ def agg_approx_sketches(spark, sf_dir):
     growing with the corpus) — then a price-blocked prefix sum
     reconstructs the exact global cumulative count, the two
     bracketing order statistics are min-price selections over the
-    cumulative relation, and `_percentile_of_two` replicates
-    Percentile.scala's interpolation arithmetic bit for bit
+    cumulative relation, and the interpolation (inline in
+    `_exact_median_by_key`, same arithmetic as
+    `_percentile_of_sorted_array`) replicates Percentile.scala bit
+    for bit
     (tests/test_verdict_r12.py pins distributed == percentile() on
     random multisets). The sketch pass itself is unchanged: one
     fixed-memory scan with mergeable partials."""

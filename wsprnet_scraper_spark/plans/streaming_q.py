@@ -20,6 +20,22 @@ from pyspark.sql import functions as F
 from ..sources import load_events
 from .registry import register
 
+# strm_dedup_watermark's current workdir: reclaimed on the next
+# invocation, and at process exit (registered once below).
+_WM_WORK: str | None = None
+
+
+def _wm_cleanup_at_exit() -> None:
+    import shutil
+
+    if _WM_WORK is not None:
+        shutil.rmtree(_WM_WORK, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_wm_cleanup_at_exit)
+
 _money = "CAST(value AS DECIMAL(12,2))"
 
 
@@ -242,7 +258,6 @@ def strm_dedup_watermark(spark, sf_dir):
     heap; RocksDB spills state to local disk — the configuration a
     100 TB streaming dedup actually deploys). Conf is set for the
     query start and restored after."""
-    import atexit
     import shutil
     import tempfile
 
@@ -261,8 +276,17 @@ def strm_dedup_watermark(spark, sf_dir):
     dd = merged.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+    # One workdir per builder invocation, previous one reclaimed on
+    # re-entry (r12 review): bench/probe protocols run this builder
+    # 3-5 times per entry, and at the 100x corpus each run writes a
+    # ~100M-row output + a RocksDB checkpoint — atexit-only cleanup
+    # accumulated gigabytes of dead output for the life of the
+    # process. The LAST workdir is reclaimed at exit.
+    global _WM_WORK
+    if _WM_WORK is not None:
+        shutil.rmtree(_WM_WORK, ignore_errors=True)
     work = tempfile.mkdtemp(prefix="wspr_dedup_wm_")
-    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    _WM_WORK = work
     prov_key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(prov_key, None)
     spark.conf.set(

@@ -136,10 +136,13 @@ def land_ordered_ndjson(
             re.sub(r"[-.]c\d+$", "", os.path.basename(p)[: -len(".json")])
             for p in parts
         }
-        assert len(prefixes) == 1, (
-            f"fid dir {d} holds parts from {len(prefixes)} tasks; "
-            "row order across tasks is undefined"
-        )
+        if len(prefixes) != 1:  # ValueError, not assert: the guard
+            # must survive python -O (r12 review) — it exists to stop
+            # SILENT row mis-ordering, same class as the codec guard
+            raise ValueError(
+                f"fid dir {d} holds parts from {len(prefixes)} tasks; "
+                "row order across tasks is undefined"
+            )
         path = f"{landing_dir}/batch-{count:03d}.json"
         if len(parts) == 1:
             shutil.move(parts[0], path)
