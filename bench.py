@@ -157,6 +157,10 @@ HEADLINE += [
     # twin has been here since r8; both fixtures went distributed
     # this round and the cost should be visible round over round)
     "strm_semantic_dedup",
+    # r13 (VERDICT r12 task #3): the multi-batch stream-join twin —
+    # watermark eviction actually exercised; its sf0.1 latency is
+    # the landing sort + a 4-batch drain
+    "strm_stream_join_multibatch",
 ]
 
 

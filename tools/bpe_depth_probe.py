@@ -1,5 +1,7 @@
 #!/usr/bin/env python3
-"""BPE merge-table DEPTH measurement (VERDICT r11 task #1).
+"""BPE merge-table DEPTH measurement (VERDICT r11 task #1;
+r13 extends the axis one decade to 10k merges, VERDICT r12 task #2 —
+the real-tokenizer regime).
 
 The judged `pipe_bpe_encode*` entries run the 10-merge setting, and
 the sf0.1 corpus's vocabulary exhausts at 89 merges — so the claim
@@ -20,7 +22,7 @@ deterministic seed) that supports >=1000 learnable merges:
     explode + join + reassemble serve), cross-checking that both
     forms return identical (n_symbols, md5) aggregates.
 
-Writes tools/bpe_depth_r12.json (resume: existing keys are kept).
+Writes tools/bpe_depth_r13.json (resume: existing keys are kept).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-DEPTHS = [10, 100, 1000]
+DEPTHS = [10, 100, 1000, 10000]
 SEED = 20260816
 ALPHABET = (
     "abcdefghijklmnopqrstuvwxyz"
@@ -75,8 +77,14 @@ def main() -> None:
     )
     from wsprnet_scraper_spark.session import get_session
 
-    out_path = Path(__file__).resolve().parent / "bpe_depth_r12.json"
+    out_path = Path(__file__).resolve().parent / "bpe_depth_r13.json"
     results = json.loads(out_path.read_text()) if out_path.is_file() else {}
+
+    if all(f"depth_{dd}" in results for dd in DEPTHS) and any(
+        k.startswith("train_") for k in results
+    ):
+        print("all depth keys present — nothing to do", file=sys.stderr)
+        return
 
     spark = get_session("bpe-depth-probe")
     d = synth_docs(spark)
@@ -90,12 +98,12 @@ def main() -> None:
         raise SystemExit(
             f"fixture exhausted at {len(merges)} merges — widen the corpus"
         )
-    results["train_1000"] = {
+    results[f"train_{DEPTHS[-1]}"] = {
         "total_sec": round(train_sec, 2),
         "per_round_sec": round(train_sec / len(merges), 4),
         "rounds": len(merges),
     }
-    print("train_1000", results["train_1000"], file=sys.stderr, flush=True)
+    print(f"train_{DEPTHS[-1]}", results[f"train_{DEPTHS[-1]}"], file=sys.stderr, flush=True)
     out_path.write_text(json.dumps(results, indent=1) + "\n")
 
     def finish(enc_df):

@@ -163,6 +163,20 @@ QUERIES_100X = [
     "dedup_editdist",
     "dedup_minhash_estimate",
     "sim_pq",
+    # r13 (VERDICT r12 task #5): membership for the remaining sweep
+    # tail — every unprobed entry >=1 s at sf0.1 or with a driver
+    # sf0.01->sf0.1 slope >= ~5 whose sources this corpus grows.
+    # Excluded with reasons: diag_t_closeness reads the ungrown
+    # customer dim; win_gap_lag / pipe_token_budget_mix /
+    # sub_min_cost_supplier are sub-second with slopes <= ~3.8
+    # (fixed-cost amortization band); lineitem readers ride @grownli.
+    "pipe_bloom_decontam",
+    "evt_rfm_segments",
+    "sim_ivfpq",
+    "win_time_range_avg",
+    "agg_hll_distinct",
+    "dedup_incremental",
+    "pipe_train_ready_e2e",
 ]
 
 # r12 tail entries reading LINEITEM, probed against the graph corpus
@@ -172,6 +186,13 @@ QUERIES_100X = [
 LINEITEM_100X = [
     "agg_approx_sketches",
     "join_range",
+    # r13 (VERDICT r12 task #5): the unprobed lineitem tail — the
+    # exact-weighted-median pair (the blocked entry IS the scale
+    # dial; measuring both here tests it directly) and the highest-
+    # slope unprobed lineitem join
+    "agg_weighted_median",
+    "agg_weighted_median_blocked",
+    "join_nation_volume",
 ]
 
 # r11 (VERDICT r10 tasks #1/#6): entries whose standing state —
@@ -235,7 +256,7 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
-    ap.add_argument("--json-out", default="tools/probe_results_r12_100x.json")
+    ap.add_argument("--json-out", default="tools/probe_results_r13_100x.json")
     args = ap.parse_args()
 
     import tools.scaling_probe as sp
@@ -361,6 +382,56 @@ def main() -> None:
         }
         print(name, results[name], file=sys.stderr, flush=True)
         # write after every query so a timeout loses nothing
+        out_path.write_text(json.dumps(results, indent=1) + "\n")
+
+    # ---- stream-join setup/join decomposition (VERDICT r12 #3) ----
+    # strm_stream_join's one probe number conflates reading+filtering
+    # two full 100M-event streams with the join/state cost. The
+    # storesplit reporting shape, applied here: drain_only = both
+    # watermarked sides drained through a noop streaming sink with NO
+    # join (the fixture/setup share); full = the judged entry; the
+    # difference is the stream-stream join + state machinery itself.
+    if "strm_stream_join@split" not in results:
+        from wsprnet_scraper_spark.plans.streaming_q import (
+            _stream_join_side,
+        )
+
+        def drain_only(at: str) -> float:
+            spark.catalog.clearCache()
+            raw_schema = spark.read.parquet(f"{at}/events.parquet").schema
+            t0 = time.perf_counter()
+            for et, pre in (("click", "click"), ("error", "error")):
+                side = _stream_join_side(
+                    spark, f"{at}/events.parque[t]", raw_schema, et, pre
+                )
+                q = (
+                    side.writeStream.format("noop")
+                    .option(
+                        "checkpointLocation",
+                        f"/tmp/ssj_split_ckpt_{et}_{time.time_ns()}",
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            return time.perf_counter() - t0
+
+        run("strm_stream_join", args.base)  # plan/JIT warm-up
+        drain = min(drain_only(str(out)), drain_only(str(out)))
+        full = run("strm_stream_join", str(out))
+        results["strm_stream_join@split"] = {
+            "drain_only100x_sec": round(drain, 3),
+            "full100x_sec": round(full, 3),
+            "join_state_share_sec": round(full - drain, 3),
+            "note": "drain_only = both filtered+watermarked sides "
+            "drained (no join): the stream-fixture setup share; "
+            "full = the judged single-batch entry; difference = "
+            "stream-stream join + state cost",
+        }
+        print(
+            "strm_stream_join@split", results["strm_stream_join@split"],
+            file=sys.stderr, flush=True,
+        )
         out_path.write_text(json.dumps(results, indent=1) + "\n")
 
     # ---- lineitem readers against the grown-lineitem corpus -------

@@ -115,7 +115,13 @@ def _land(store_root: str, kind: str, path: str, build) -> None:
     is discarded."""
     os.makedirs(store_root, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".{kind}_wip_", dir=store_root)
-    build().write.mode("overwrite").parquet(tmp)
+    try:
+        build().write.mode("overwrite").parquet(tmp)
+    except BaseException:
+        # ADVICE r12: a failed build must not leak its wip dir into a
+        # shared persistent store (atexit only covers scratch roots).
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, path)
     except OSError:
@@ -178,11 +184,26 @@ def materialized(spark, sf_dir: str, kind: str, build, tables=("documents",)):
         store = os.environ.get(ENV_VAR)
         persistent = bool(store)
         root = store if store else _scratch_root(app)
-        path = os.path.join(
-            root, f"{kind}_{corpus_fingerprint(sf_dir, tables)}"
-        )
-        if not os.path.isfile(os.path.join(path, "_SUCCESS")):
-            _land(root, kind, path, build)
+        try:
+            fp = corpus_fingerprint(sf_dir, tables)
+        except FileNotFoundError:
+            # ADVICE r12: a build() whose source never touches the
+            # named table on disk (synthesized corpus) has nothing to
+            # fingerprint. In the persistent tier that must still
+            # fail — a constant key would serve stale state across
+            # corpus rewrites — but the scratch tier is
+            # process-private, so fall back to an unkeyed one-shot
+            # build (the pre-r12 behavior for exactly this case).
+            if persistent:
+                raise
+            fp = None
+        if fp is None:
+            path = tempfile.mkdtemp(prefix=f"{kind}_oneshot_", dir=root)
+            build().write.mode("overwrite").parquet(path)
+        else:
+            path = os.path.join(root, f"{kind}_{fp}")
+            if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+                _land(root, kind, path, build)
         ent = (spark.read.parquet(path), path, persistent)
         bucket[key] = ent
     return ent[0]

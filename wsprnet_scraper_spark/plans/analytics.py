@@ -60,13 +60,18 @@ _H1 = 3600 * 1_000_000
 # partitions, the checkpoint cannot. In LOCAL mode (this harness)
 # executor loss is process death, so the trade is free; on a CLUSTER
 # deployment an executor loss makes every win_* consumer fail with a
-# block-fetch error until the pin is dropped. The deployment answers
-# are (a) call clear_frame_store() from the driver's executor-loss /
-# task-retry handler — the next query rebuilds the one shared pass —
-# or (b) switch the pin to reliable checkpoint() on HDFS/object
-# storage, which survives executor loss at the cost of one write.
-# The scratch pin stays the default because clearCache-immunity is
-# what the probe's isolation protocol requires.
+# block-fetch error until the pin is dropped. SHIPPED recovery (r13,
+# VERDICT r12 task #4): `streaming.daemon.run_with_state_recovery`
+# wraps a query-building thunk, recognizes the lost-block failure
+# signatures, drops every pinned handle (session_maintenance — this
+# store included), and retries once, rebuilding the one shared pass
+# (tests/test_verdict_r13.py unpersists the checkpoint blocks under
+# a live consumer to pin the behavior). The remaining alternative —
+# reliable checkpoint() on HDFS/object storage, surviving executor
+# loss at the cost of one write — stays available for deployments
+# that prefer never re-running the pass. The scratch pin stays the
+# default because clearCache-immunity is what the probe's isolation
+# protocol requires.
 _FRAME_STORE: dict = {}
 
 

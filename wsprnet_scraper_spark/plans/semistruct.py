@@ -303,9 +303,14 @@ def agg_approx_sketches(spark, sf_dir):
         li, F.col("l_returnflag").alias("flag"),
         F.col("l_extendedprice").alias("price"),
     )
+    # LEFT + null-safe joins (ADVICE r12): a group whose prices are
+    # all NULL has no exact-median row, and a NULL flag group fails a
+    # null-unsafe equi-join — either would silently drop the group
+    # where the oracle's single GROUP BY keeps it with NULL q50_ok.
+    # Degenerate-corpus-only on TPC-H, but shape must match.
     return (
-        sk.join(F.broadcast(qd), sk.l_returnflag == qd._qflag)
-        .join(F.broadcast(med), sk.l_returnflag == med.flag)
+        sk.join(F.broadcast(qd), sk.l_returnflag.eqNullSafe(qd._qflag), "left")
+        .join(F.broadcast(med), sk.l_returnflag.eqNullSafe(med.flag), "left")
         .select(
             "l_returnflag",
             "exact_nd",

@@ -276,15 +276,19 @@ def strm_dedup_watermark(spark, sf_dir):
     dd = merged.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    # One workdir per builder invocation, previous one reclaimed on
-    # re-entry (r12 review): bench/probe protocols run this builder
-    # 3-5 times per entry, and at the 100x corpus each run writes a
-    # ~100M-row output + a RocksDB checkpoint — atexit-only cleanup
-    # accumulated gigabytes of dead output for the life of the
-    # process. The LAST workdir is reclaimed at exit.
+    # One workdir per builder invocation, the PREVIOUS generation
+    # reclaimed only after this invocation's query has finished
+    # (ADVICE r12: reclaiming on re-entry invalidated a prior
+    # invocation's returned DataFrame for the whole of this run's
+    # stream execution; deferring keeps generation N readable until
+    # generation N+1 can actually be handed out). Rationale for
+    # reclaiming at all (r12 review): bench/probe protocols run this
+    # builder 3-5 times per entry, and at the 100x corpus each run
+    # writes a ~100M-row output + a RocksDB checkpoint — atexit-only
+    # cleanup accumulated gigabytes of dead output for the life of
+    # the process. The LAST workdir is reclaimed at exit.
     global _WM_WORK
-    if _WM_WORK is not None:
-        shutil.rmtree(_WM_WORK, ignore_errors=True)
+    prev_work = _WM_WORK
     work = tempfile.mkdtemp(prefix="wspr_dedup_wm_")
     _WM_WORK = work
     prov_key = "spark.sql.streaming.stateStore.providerClass"
@@ -310,6 +314,13 @@ def strm_dedup_watermark(spark, sf_dir):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+    # this run succeeded: generation N-1's parquet is now superseded.
+    # Contract: the returned DataFrame reads THIS generation's files
+    # and stays valid only until the builder runs again (single-
+    # generation lifetime; the sequential gate/bench protocols never
+    # hold a result across a rebuild).
+    if prev_work is not None:
+        shutil.rmtree(prev_work, ignore_errors=True)
     return spark.read.parquet(f"{work}/out").select("event_id")
 
 
@@ -384,9 +395,7 @@ def strm_atleastonce_dedup(spark, sf_dir):
     return ev.unionAll(ev).groupBy("event_id").agg(F.min("value").alias("value"))
 
 
-@register(
-    "strm_stream_join",
-    """
+_STREAM_JOIN_ORACLE = """
 SELECT c.event_id AS click_id, e.event_id AS error_id,
   c.user_id AS user_id,
   CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us
@@ -394,8 +403,44 @@ FROM events c JOIN events e
   ON e.user_id = c.user_id
  AND c.event_type = 'click' AND e.event_type = 'error'
  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 120 MINUTE
-""",
-)
+"""
+
+
+def _stream_join_side(
+    spark, path, raw_schema, event_type, prefix, max_files_per_trigger=None
+):
+    """One filtered, watermarked side of the click->error stream join
+    (shared by strm_stream_join, its multi-batch twin, and the 100x
+    probe's drain-only decomposition run)."""
+    r = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    s = _norm_ts(r.parquet(path), raw_schema)
+    return (
+        s.filter(F.col("event_type") == event_type)
+        .select(
+            F.col("event_id").alias(f"{prefix}_id"),
+            F.col("user_id").alias(f"{prefix}_user"),
+            F.col("ts").alias(f"{prefix}_ts"),
+        )
+        .withWatermark(f"{prefix}_ts", "3 hours")
+    )
+
+
+def _stream_join_joined(clicks, errors):
+    return clicks.join(
+        errors,
+        F.expr(
+            """
+            click_user = error_user
+            AND error_ts >= click_ts
+            AND error_ts <= click_ts + INTERVAL 120 MINUTES
+            """
+        ),
+    )
+
+
+@register("strm_stream_join", _STREAM_JOIN_ORACLE)
 def strm_stream_join(spark, sf_dir):
     """Stream-stream inner join with event-time range bounds — clicks
     joined to the errors that follow them within two hours for the
@@ -410,37 +455,12 @@ def strm_stream_join(spark, sf_dir):
     nothing is yet watermark-dropped, so the result must equal the
     batch oracle join exactly.
     """
-    from pyspark.sql import types as T
-
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def side(event_type, prefix):
-        # [t] glob: see strm_microbatch (basePath must stay the parent)
-        s = spark.readStream.schema(raw_schema).parquet(
-            f"{sf_dir}/events.parque[t]"
-        )
-        s = _norm_ts(s, raw_schema)
-        return (
-            s.filter(F.col("event_type") == event_type)
-            .select(
-                F.col("event_id").alias(f"{prefix}_id"),
-                F.col("user_id").alias(f"{prefix}_user"),
-                F.col("ts").alias(f"{prefix}_ts"),
-            )
-            .withWatermark(f"{prefix}_ts", "3 hours")
-        )
-
-    clicks, errors = side("click", "click"), side("error", "error")
-    joined = clicks.join(
-        errors,
-        F.expr(
-            """
-            click_user = error_user
-            AND error_ts >= click_ts
-            AND error_ts <= click_ts + INTERVAL 120 MINUTES
-            """
-        ),
-    )
+    # [t] glob: see strm_microbatch (basePath must stay the parent)
+    path = f"{sf_dir}/events.parque[t]"
+    clicks = _stream_join_side(spark, path, raw_schema, "click", "click")
+    errors = _stream_join_side(spark, path, raw_schema, "error", "error")
+    joined = _stream_join_joined(clicks, errors)
     name = f"strm_stream_join_{uuid.uuid4().hex[:8]}"
     q = (
         joined.writeStream.format("memory")
@@ -451,6 +471,75 @@ def strm_stream_join(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name).select(
+        F.col("click_id"),
+        F.col("error_id").alias("error_id"),
+        F.col("click_user").alias("user_id"),
+        (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+
+
+@register("strm_stream_join_multibatch", _STREAM_JOIN_ORACLE)
+def strm_stream_join_multibatch(spark, sf_dir):
+    """The stream-stream join under a MULTI-BATCH drain — the real
+    deployment shape strm_stream_join's single-batch availableNow
+    drain never exercises (VERDICT r12 task #3): with
+    `maxFilesPerTrigger` bounding each micro-batch, join state is
+    built, probed, AND watermark-evicted across batches, and
+    per-batch memory is bounded by (files/trigger x file size + live
+    state), not the whole stream.
+
+    Correctness under eviction: events are landed TIME-ORDERED first
+    — range-partitioned by ts into sequentially-numbered files whose
+    mtimes are stamped in range order, so the file source (oldest
+    first) replays them in event-time order, exactly the arrival
+    order a real landing dir has. Batch k+1's rows all carry ts >=
+    batch k's, so with the 3 h watermark delay strictly greater than
+    the 2 h join window no row is ever late, evicted state is state
+    that could never match again, and the multi-batch result equals
+    the single-batch drain and the batch oracle row-for-row (the
+    gate proves it). Parquet file sink + checkpoint (the
+    strm_dedup_watermark discipline — a memory sink would
+    materialize the join output on the driver)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    work = tempfile.mkdtemp(prefix="wspr_ssj_mb_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing = f"{work}/landing"
+    (
+        raw.select("event_id", "user_id", "event_type", "ts")
+        .repartitionByRange(16, "ts")
+        .write.parquet(landing)
+    )
+    # part-00000.. numbering follows the range order; stamp mtimes
+    # ascending so the file source's oldest-first listing agrees
+    parts = sorted(p for p in os.listdir(landing) if p.startswith("part-"))
+    base_t = _time.time() - 2 * len(parts) - 10
+    for i, p in enumerate(parts):
+        t = base_t + 2 * i
+        os.utime(os.path.join(landing, p), (t, t))
+    land_schema = spark.read.parquet(landing).schema
+    clicks = _stream_join_side(
+        spark, landing, land_schema, "click", "click", max_files_per_trigger=4
+    )
+    errors = _stream_join_side(
+        spark, landing, land_schema, "error", "error", max_files_per_trigger=4
+    )
+    q = (
+        _stream_join_joined(clicks, errors)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/out")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work}/out").select(
         F.col("click_id"),
         F.col("error_id").alias("error_id"),
         F.col("click_user").alias("user_id"),

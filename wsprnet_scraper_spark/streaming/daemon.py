@@ -68,6 +68,7 @@ def session_maintenance(spark) -> None:
     re-planning the next query of each shape, nothing else."""
     import gc
 
+    from ..operators.similarity import clear_codebooks
     from ..operators.stores import clear_store_cache
     from ..plans.analytics import clear_frame_store
     from ..plans.graph_q import clear_edge_cache
@@ -82,10 +83,72 @@ def session_maintenance(spark) -> None:
     clear_store_cache()
     # localCheckpoint-pinned relations are immune to clearCache();
     # dropping the store references is what lets the ContextCleaner
-    # reap their blocks (r11 review finding)
+    # reap their blocks (r11 review finding). Codebook handles are
+    # pinned the same way and most are store-parquet-backed, so the
+    # re-pay is a re-open here too (r13: they were the one pinned
+    # family maintenance missed).
     clear_frame_store()
+    clear_codebooks()
     spark.catalog.clearCache()
     gc.collect()
+
+
+# Failure signatures of LOST pinned state — not of a wrong plan.
+# "Checkpoint block": LocalCheckpointRDD.compute's error when a
+# block died with its executor (or was unpersisted) — localCheckpoint
+# deliberately cannot recompute (plans/analytics.py trade note).
+# "FetchFailed"/"BlockNotFound": shuffle/cached-block loss variants of
+# the same event. FileNotFound markers: a standing-store parquet dir
+# vanished under an open handle (scratch reclaimed by the OS, store
+# dir rewritten by another session).
+_LOST_STATE_MARKERS = (
+    "Checkpoint block",
+    "BlockNotFoundException",
+    "FetchFailed",
+    "FileNotFoundException",
+    "FileReadException",
+    "does not exist",
+)
+
+
+def is_lost_state_error(exc: BaseException) -> bool:
+    """True when `exc` (or its cause chain) reads like lost executor
+    state rather than a semantic failure."""
+    seen = 0
+    while exc is not None and seen < 8:
+        msg = str(exc)
+        if any(m in msg for m in _LOST_STATE_MARKERS):
+            return True
+        exc = exc.__cause__ or exc.__context__
+        seen += 1
+    return False
+
+
+def run_with_state_recovery(spark, action):
+    """Execute `action()` — a zero-arg thunk that BUILDS and RUNS a
+    query (e.g. `lambda: QUERIES[k](spark, sf).collect()`) — retrying
+    ONCE after dropping every pinned shared relation if the failure
+    looks like lost executor state (VERDICT r12 task #4, the shipped
+    form of the plans/analytics.py deployment hook: localCheckpoint
+    pins cannot recompute lost blocks, so on a cluster an executor
+    loss fails every consumer of a pinned relation until the pin is
+    dropped and rebuilt).
+
+    The thunk must CONSTRUCT the DataFrame inside itself: a pre-built
+    DataFrame closes over the dead pinned relation and would replay
+    the same lost blocks; rebuilding the plan after maintenance
+    re-derives the pin (store-parquet-backed state re-opens, frame
+    relations re-run their one shared pass). Deployment shape: wire
+    this around the driver's per-query execution, or call
+    `session_maintenance` from an executor-loss listener for the
+    push-based equivalent."""
+    try:
+        return action()
+    except Exception as e:
+        if not is_lost_state_error(e):
+            raise
+        session_maintenance(spark)
+        return action()
 
 
 def run_scrape_daemon(
