@@ -109,59 +109,51 @@ def bloom_decontaminate(
     never under-reported; false positives only ever over-flag, the
     safe direction for decontamination.
 
-    Probing: each (doc, shingle) explodes to its k bit positions,
-    joins the broadcast bitmap on word, and counts set bits; a
-    shingle is "in" iff all k bits hit. Per-doc rollup mirrors
-    quality.contamination so the two are comparable side by side.
+    Probing (r13 — probe-expansion caught the old shape's cost): the
+    finished bitmap is m_bits/32 longs (512 bytes at the default), so
+    it is COLLECTED once and inlined as a literal array column — the
+    k membership lookups per shingle become a pure projection
+    (element_at + mask per hash), with no probe explode, no join, and
+    no (doc, shingle)-keyed exchange of the k-times-exploded token
+    relation (the previous form's dominant cost: 16.5 s -> the
+    projection form at the 100x probe corpus). The driver-side
+    collect is filter-sized (<= m_bits/32 rows), never corpus-sized.
+    Membership is "every one of the k hash functions hit" — each hash
+    index contributes its own 0/1 term, so two hashes colliding on
+    one bit still count separately (the never-under-report
+    guarantee). Robustness to a caller passing non-distinct
+    (doc, shingle) rows is a dropDuplicates on exactly those columns
+    (duplicates would otherwise inflate the per-doc counts).
+    Per-doc rollup mirrors quality.contamination so the two are
+    comparable side by side.
     """
-    ev = F.broadcast(
-        bloom_build(
+    bm = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_build(
             eval_shingles.select("shingle").distinct(), "shingle", m_bits, k
+        ).collect()
+    }
+    bitmap = F.array(
+        *[F.lit(bm.get(w, 0)).cast("long") for w in range(m_bits // 32)]
+    )
+    digits = _bloom_digits(m_bits)
+    staged = corpus_shingles.select("doc", "shingle").dropDuplicates(
+        ["doc", "shingle"]
+    )
+    for j in range(k):
+        staged = staged.withColumn(
+            f"_p{j}", _hexpos(F.col("shingle"), str(j), digits) % F.lit(m_bits)
+        )
+    n_bits_hit = F.expr(
+        " + ".join(
+            f"CASE WHEN (element_at(_bm, CAST(_p{j} DIV 32 AS INT) + 1)"
+            f" & shiftleft(1L, CAST(_p{j} % 32 AS INT))) <> 0"
+            " THEN 1 ELSE 0 END"
+            for j in range(k)
         )
     )
-    # Each probe row carries its hash index j so membership is "every
-    # one of the k hash functions hit", counted as DISTINCT j — robust
-    # to a caller passing non-distinct (doc, shingle) rows (duplicates
-    # replay the same (j, hit) outcomes and collapse in the distinct)
-    # AND to two hash functions colliding on one bit position (each j
-    # still counts separately, where distinct-on-position would
-    # under-count and break the never-under-report guarantee).
-    probes = corpus_shingles.select(
-        "doc",
-        "shingle",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        (
-                            _hexpos(F.col("shingle"), str(j), _bloom_digits(m_bits))
-                            % F.lit(m_bits)
-                        ).alias("pos"),
-                    )
-                    for j in range(k)
-                ]
-            )
-        ).alias("h"),
-    ).select(
-        "doc",
-        "shingle",
-        F.col("h.j").alias("j"),
-        F.expr("h.pos DIV 32").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(h.pos % 32 AS INT))").alias("mask"),
-    )
-    hits = (
-        probes.join(ev, "word", "left")
-        .groupBy("doc", "shingle")
-        .agg(
-            F.count_distinct(
-                F.when(
-                    F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
-                    != 0,
-                    F.col("j"),
-                )
-            ).alias("n_bits_hit")
-        )
+    hits = staged.withColumn("_bm", bitmap).select(
+        "doc", n_bits_hit.alias("n_bits_hit")
     )
     return (
         hits.groupBy("doc")

@@ -2182,43 +2182,28 @@ def agg_weighted_median(spark, sf_dir):
     'median unit actually sold' statistic (an unweighted median
     overweights small orders). Definition: the smallest price whose
     cumulative quantity weight reaches half the total (2·cum ≥ tot in
-    integers — no division, no doubles in the threshold). The window
-    cumsum orders by (price, orderkey, linenumber); ties in price
-    land on the same MIN(price) regardless of intra-tie order, so the
-    unique tiebreak only pins determinism of the scan, not the
-    answer. Scale: one partitioned window over the fact table plus a
-    grouped min — no joins; the per-flag partition is the windows
-    family's standard shape (few flags → few fat partitions; the
-    blocked-halo pattern in operators/frames.py is the documented
-    dial if a deployment needs intra-key parallelism)."""
-    li = load(spark, sf_dir, "lineitem")
-    w = li.select(
-        F.col("l_returnflag").alias("flag"),
-        F.col("l_extendedprice").alias("price"),
-        F.col("l_quantity").cast("bigint").alias("wt"),
-        "l_orderkey",
-        "l_linenumber",
-    )
-    win = (
-        W.partitionBy("flag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    tot_win = W.partitionBy("flag")
-    cum = w.select(
-        "flag",
-        "price",
-        F.sum("wt").over(win).alias("cw"),
-        F.sum("wt").over(tot_win).alias("tot"),
-    )
-    return (
-        cum.where(2 * F.col("cw") >= F.col("tot"))
-        .groupBy(F.col("flag").alias("l_returnflag"))
-        .agg(
-            F.min("price").alias("weighted_median"),
-            F.min("tot").cast("bigint").alias("total_weight"),
-        )
-    )
+    integers — no division, no doubles in the threshold).
+
+    r13 (probe-caught, the agg_approx_sketches precedent): the
+    original single-window form — one cumsum over
+    Window.partitionBy(flag) ordered by (price, orderkey,
+    linenumber) — puts each flag's entire fact slice on ONE task,
+    and the first grown-lineitem probe measured exactly that wall:
+    97.4 s / slope 87 at 100x, vs 10.5 s for the blocked twin
+    computing the identical number. The judged entry now serves the
+    blocked plan (`_weighted_median_blocked`, shared with
+    agg_weighted_median_blocked): weight pre-aggregated by
+    (flag, price) — map-side-combinable and domain-bounded — then a
+    price-blocked prefix sum reconstructs the exact global cumulative
+    weight at blocks x flags parallelism. min(price) over the
+    crossing rows is invariant to intra-price order (the tiebreak in
+    the oracle only pins scan determinism), so the answer is
+    bit-identical and the oracle is unchanged. Base-scale cost is
+    ~1.6x the single window (1.1 -> 1.7 s at sf0.1) for a ~9x win at
+    100x that grows with scale — the opposite trade profile from the
+    win_rolling_median revert, taken the other way for the same
+    reason."""
+    return _weighted_median_blocked(load(spark, sf_dir, "lineitem"))
 
 
 @register("agg_weighted_median_blocked", _WMEDIAN_ORACLE)
@@ -2249,8 +2234,16 @@ def agg_weighted_median_blocked(spark, sf_dir):
 
     The crossing price and total weight are then identical to the
     single-window form, so the twin shares _WMEDIAN_ORACLE and the
-    gate proves the scale plan computes the same statistic."""
-    li = load(spark, sf_dir, "lineitem")
+    gate proves the scale plan computes the same statistic.
+
+    r13: this plan is now ALSO agg_weighted_median's serving path
+    (the probe measured the single-window form at slope 87 on grown
+    lineitem); the twin entry is retained as the explicitly-named
+    scale form so round-over-round artifacts stay comparable."""
+    return _weighted_median_blocked(load(spark, sf_dir, "lineitem"))
+
+
+def _weighted_median_blocked(li):
     pp = (
         li.groupBy(
             F.col("l_returnflag").alias("flag"),

@@ -222,9 +222,14 @@ def pipe_bloom_decontam(spark, sf_dir):
     filter is 512 bytes regardless). One-sided error: true overlaps
     always hit; false positives only over-flag (the safe direction).
     Same eval/corpus split as pipe_contamination so the two are
-    directly comparable."""
+    directly comparable. r13: shingles flow through MULTISET
+    (distinct=False) — the operator's own (doc, shingle)
+    dropDuplicates is the single dedup exchange, where the old
+    distinct-then-regroup shape paid the token-volume shuffle twice
+    (and a probe explode + bitmap join besides; see
+    sketch.bloom_decontaminate)."""
     d = load(spark, sf_dir, "documents")
-    sh = dedup.word_shingles(d, "doc_id", "text", 3)
+    sh = dedup.word_shingles(d, "doc_id", "text", 3, distinct=False)
     return sketch.bloom_decontaminate(
         sh.filter(F.col("doc") % 97 != 0),
         sh.filter(F.col("doc") % 97 == 0),
