@@ -208,3 +208,32 @@ def test_bfs_layers_stops_at_component_boundary(spark):
     src = sym.agg(F.min("src").alias("nid"))
     got = {r["nid"]: r["layer"] for r in bfs_layers(sym, src, 6).collect()}
     assert got == {1: 0, 2: 1}
+
+
+def test_triangle_count_crafted_graphs(spark):
+    """Exact census on hand-countable graphs — the focused guard for
+    the r13 edge-iterator rewrite (adjacency-array intersection in
+    place of the wedge-materializing node-iterator). Covers the
+    all-dropped-closing case (star: no dst has out-edges, the sum
+    must coalesce to 0, not NULL), shared-edge triangles, and K4."""
+    from wsprnet_scraper_spark.operators.graph import triangle_count
+
+    def census(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        r = triangle_count(df).collect()[0]
+        return (r.n_nodes, r.n_edges, r.n_triangles)
+
+    # K4: C(4,3) = 4 triangles, 6 edges
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert census(k4) == (4, 6, 4)
+    # two triangles sharing edge (2,3)
+    bowtie = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    assert census(bowtie) == (4, 5, 2)
+    # star around 1: wedges exist, zero triangles (all-dropped closing)
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    assert census(star) == (5, 4, 0)
+    # single edge and a path: zero triangles
+    assert census([(7, 9)]) == (2, 1, 0)
+    assert census([(1, 2), (2, 3), (3, 4)]) == (4, 3, 0)
+    # triangle + pendant vertex
+    assert census([(1, 2), (1, 3), (2, 3), (3, 9)]) == (4, 4, 1)

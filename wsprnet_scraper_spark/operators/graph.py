@@ -219,17 +219,26 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns one row: (n_nodes, n_edges, n_triangles).
 
-    Degree-ordered node-iterator (the MapReduce-era standard —
-    Suri & Vassilvitskii's "Counting Triangles and the Curse of the
-    Last Reducer", WWW'11): orient every edge from its
-    lower-(degree, id) endpoint to the higher one, build wedges only
-    from each node's ORIENTED out-edges, and close them with a
-    semi-join back against the oriented edges. Orientation bounds
-    every out-degree by O(sqrt(m)), so a celebrity node with degree d
-    generates O(m) wedges instead of O(d²) — the skew that kills the
-    naive plan at 100 TB. Three shuffles total (degree agg, wedge
-    self-join, closing join), each on edge-sized relations; the
-    count is a single map-side-combinable aggregate.
+    Degree-ordered EDGE-iterator (the compact-forward / adjacency-
+    intersection refinement of Suri & Vassilvitskii's node-iterator,
+    WWW'11): orient every edge from its lower-(degree, id) endpoint
+    to the higher one, build each node's ORIENTED out-neighbor array
+    once (out-degree is bounded by O(sqrt(m)) under this orientation,
+    so no array is ever celebrity-sized), and count, per oriented
+    edge (u, v), |N_out(u) ∩ N_out(v)| — every triangle x→y, x→z,
+    y→z is found exactly once, at its base edge (x, y). Versus the
+    wedge-materializing node-iterator (the pre-r13 form) the wedge
+    relation — sum C(deg_out, 2) ROWS, orders of magnitude more rows
+    than edges on co-purchase-shaped graphs — never exists: the same
+    information rides inside edge-count rows as arrays, and the
+    per-row closing semi-join probe becomes one vectorized
+    array_intersect per edge. Shuffle bytes across the one
+    array-carrying exchange are the same order as the wedge form's
+    wedge shuffle; row COUNT (and thus shuffle machinery, hash-probe
+    and codegen per-row overhead) drops from wedge-sized to
+    edge-sized. Three shuffles total (degree agg, adjacency agg,
+    the dst-keyed attach join), each edge-sized in rows; the count
+    is a single map-side-combinable aggregate.
 
     Every comparison is integer (degree, id) — no floats anywhere, so
     the count is trivially engine-exact.
@@ -257,29 +266,30 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_dst"),
     )
-    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
-    wedges = e1.join(
-        e2,
-        (F.col("e1.src") == F.col("e2.src"))
-        & (
-            (F.col("e1.deg_dst") < F.col("e2.deg_dst"))
-            | (
-                (F.col("e1.deg_dst") == F.col("e2.deg_dst"))
-                & (F.col("e1.dst") < F.col("e2.dst"))
-            )
-        ),
-    ).select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
-    # the closing edge (v, w) is oriented v -> w by construction:
-    # v precedes w in the same (deg, id) order the orientation used
-    closed = wedges.join(
-        oriented.select("src", "dst"),
-        (F.col("v") == F.col("src")) & (F.col("w") == F.col("dst")),
-        "left_semi",  # edge rows are unique; semi keeps wedge multiplicity
+    # out-neighbor array per node; identical groupBy subtrees below
+    # dedupe to one physical exchange (ReusedExchange)
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+    closed = (
+        oriented.join(adj, "src")
+        .select(F.col("dst").alias("v"), F.col("nb").alias("nb_u"))
+        .join(
+            adj.select(F.col("src").alias("v"), F.col("nb").alias("nb_v")),
+            "v",
+        )
+        .select(
+            F.size(F.array_intersect("nb_u", "nb_v")).alias("tri_e")
+        )
     )
     return (
-        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        # coalesce: an all-dropped closed relation (no dst has
+        # out-edges — star graphs, single edges) must count 0, not
+        # NULL, matching the old count(*) form and the oracle
+        closed.agg(
+            F.coalesce(F.sum("tri_e"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
         .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .crossJoin(
             F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
