@@ -174,3 +174,39 @@ def test_cc_incremental_property_vs_union_find(spark):
         assert got == expected
 
     check()
+
+
+def test_cc_local_and_distributed_agree(spark, monkeypatch):
+    """r13 small-graph dial: under SPARK_GRAFT_CC_LOCAL_MAX_EDGES the
+    labeling runs as a driver union-find; above it, the distributed
+    pointer-jumping supersteps. Both must produce the identical
+    (doc, cluster) relation — pinned on a graph with a long chain
+    (multi-round propagation), a dense clique, reversed-order ids,
+    and a singleton-pair component."""
+    edges = (
+        [(i, i + 1) for i in range(40, 52)]      # chain
+        + [(10, 11), (11, 12), (10, 12)]         # triangle
+        + [(90, 2), (2, 7)]                      # reversed-order ids
+        + [(1000, 999)]                          # pair
+    )
+    pairs = _pairs(spark, edges)
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "1000000")
+    local = {(r.doc, r.cluster) for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "0")
+    dist = {(r.doc, r.cluster) for r in dedup.connected_components(pairs).collect()}
+    assert local == dist
+    assert (2, 2) in local and (90, 2) in local and (7, 2) in local
+
+
+def test_cc_local_string_ids_match_spark_min(spark, monkeypatch):
+    """String ids: the local path's min must be byte-wise (UTF-8),
+    matching Spark's UTF8String comparison — including a non-ASCII
+    id that code-point and byte orders happen to agree on, plus a
+    case where ASCII sorts below a multi-byte char."""
+    edges = [("b", "a"), ("a", "éx"), ("zz", "z9")]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "1000000")
+    local = {(r.doc, r.cluster) for r in dedup.connected_components(pairs).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "0")
+    dist = {(r.doc, r.cluster) for r in dedup.connected_components(pairs).collect()}
+    assert local == dist

@@ -13,8 +13,11 @@ the 128-bit values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -368,6 +371,71 @@ def connected_components(
     # its distribution is visible when the rounds are planned.
     sym = sym.repartition(F.col("dst")).persist()
     n_edges = sym.count()
+    # Small-graph serving dial (r13): below a bounded edge count the
+    # distributed supersteps are pure fixed overhead — each round is
+    # 2 joins + a groupBy-min + an eager checkpoint + a convergence
+    # collect (~6-10 jobs per pass), which costs seconds of scheduler
+    # time to converge a graph that fits in single-digit MB. LSH/
+    # similarity candidate graphs are duplicate-structure-sized, not
+    # corpus-sized, so this is the COMMON serving case even at 100 TB
+    # corpus scale. Under the cap (default 1M symmetric edge rows =
+    # ~16 MB collected, far under any driver budget; env-dial
+    # SPARK_GRAFT_CC_LOCAL_MAX_EDGES) the labeling runs as one
+    # union-find over the collected edges with min-id representatives
+    # — the same fixed point the supersteps converge to, exactly
+    # (integer/byte-wise min, no floats). Above the cap nothing
+    # changes: the distributed pointer-jumping path below is still
+    # the 100 TB shape (test-pinned both ways in
+    # tests/test_components.py::test_cc_local_and_distributed_agree).
+    local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "1000000"))
+    id_type = sym.schema["dst"].dataType
+    if n_edges <= local_max and isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.StringType)
+    ):
+        try:
+            edge_rows = sym.collect()
+        finally:
+            sym.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_rows:
+            a, b = row[0], row[1]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        # Spark's MIN over StringType is byte-wise on UTF-8; encode so
+        # the local pick agrees for non-ASCII ids too (ints compare
+        # identically everywhere).
+        def _k(v):
+            return v.encode("utf-8") if isinstance(v, str) else v
+
+        best: dict = {}
+        for node in parent:
+            root = find(node)
+            cur = best.get(root)
+            if cur is None or _k(node) < _k(cur):
+                best[root] = node
+        out = [(n, best[find(n)]) for n in parent]
+        schema = T.StructType(
+            [
+                T.StructField("doc", id_type, True),
+                T.StructField("cluster", id_type, True),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
     parts = max(int(saved), min(4096, n_edges // 2_000_000 + 1))
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
