@@ -2642,21 +2642,47 @@ def evt_lift_pairs(spark, sf_dir):
     cardinality, not events) keyed by user; marginals and the 1-row
     user count broadcast back onto the type-pair aggregate."""
     ev = load_events(spark, sf_dir)
-    u = ev.select("user_id", "event_type").distinct()
-    n1 = u.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = ev.agg(F.count_distinct("user_id").cast("bigint").alias("nu"))
-    a = u.alias("a")
-    b = u.alias("b")
+    # r13 (guide §2.3/§2.4 — aggregate before you shuffle, share one
+    # exchange): the old form computed the DISTINCT (user, type)
+    # relation four times (marginals + both self-join sides) plus a
+    # fifth full scan for the user count — five corpus passes and a
+    # user-keyed self-join re-shuffle. One groupBy(user) collect_set
+    # replaces all of it: the single exchange is reused by every
+    # consumer (ReusedExchange), pairs explode per user from the
+    # sorted set (<= C(|types|,2) rows each, type-cardinality-bounded),
+    # marginals explode the same sets, and the user count is the
+    # group count. sort_array's string order is Spark's own binary
+    # UTF-8 comparison, so positional pairs reproduce a.type < b.type
+    # exactly; a NULL event_type (dropped by collect_set) is counted
+    # back into the marginals via the has_null flag — bit-exact with
+    # the distinct form on any corpus, NULLs included.
+    usets = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts"),
+        F.max(F.col("event_type").isNull()).alias("has_null"),
+    )
+    n1 = (
+        usets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .unionByName(
+            usets.filter(F.col("has_null"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .filter(F.col("n") > 0)
+            .select(F.lit(None).cast("string").alias("event_type"), "n")
+        )
+    )
+    tot = usets.filter(F.col("user_id").isNotNull()).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nu")
+    )
+    lhs = usets.select(F.col("ts"), F.posexplode("ts").alias("_i", "type_a"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") < F.col("b.event_type")),
+        lhs.select(
+            "type_a",
+            F.explode(
+                F.slice("ts", F.col("_i") + F.lit(2), F.size("ts"))
+            ).alias("type_b"),
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
     na = n1.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))

@@ -5741,20 +5741,47 @@ def text_collocation_lift(spark, sf_dir):
         .where(F.col("rn") <= 20)
         .select("term")
     )
-    dt = toks.join(F.broadcast(top), "term").select("doc", "term").distinct()
-    nd = toks.agg(F.count_distinct("doc").cast("bigint").alias("n"))
-    m = dt.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    a = dt.alias("a")
-    b = dt.alias("b")
+    # r13 (guide §2.3/§2.4): the old form computed the DISTINCT
+    # (doc, term) membership relation three times (df marginals + both
+    # self-join sides) and ran a doc-keyed self-join over it, plus a
+    # third corpus-wide explode for the doc count. One groupBy(doc)
+    # collect_set (<= 20 sorted terms per doc — the top-k cap bounds
+    # the set) replaces the membership relation and its self-join:
+    # pairs explode positionally from the sorted set (sort_array's
+    # string order IS Spark's binary UTF-8 `<`), the df marginals
+    # explode the same sets, and every consumer reuses the single
+    # exchange. Terms are split() elements, never NULL, so no NULL
+    # group exists to preserve. The doc count moves to the doc-sized
+    # table: every non-null text yields >= 1 token row in both
+    # engines (split("") = [""]) and NULL text yields none, so
+    # count(DISTINCT doc) over tokens equals the distinct doc_id
+    # count over text-bearing rows.
+    dsets = (
+        toks.join(F.broadcast(top), "term")
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_set("term")).alias("ts"))
+    )
+    nd = load(spark, sf_dir, "documents", parallel="never").agg(
+        F.count_distinct(
+            F.when(F.col("text").isNotNull(), F.col("doc_id"))
+        )
+        .cast("bigint")
+        .alias("n")
+    )
+    m = (
+        dsets.select(F.explode("ts").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    lhs = dsets.select(F.col("ts"), F.posexplode("ts").alias("_i", "term_a"))
     p = (
-        a.join(
-            b,
-            (F.col("a.doc") == F.col("b.doc"))
-            & (F.col("a.term") < F.col("b.term")),
+        lhs.select(
+            "term_a",
+            F.explode(
+                F.slice("ts", F.col("_i") + F.lit(2), F.size("ts"))
+            ).alias("term_b"),
         )
-        .groupBy(
-            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
-        )
+        .groupBy("term_a", "term_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
     )
     ma = m.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))

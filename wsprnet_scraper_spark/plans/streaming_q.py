@@ -39,6 +39,55 @@ _atexit.register(_wm_cleanup_at_exit)
 _money = "CAST(value AS DECIMAL(12,2))"
 
 
+class _sized_stream_parts:
+    """Size a stateful stream's shuffle (= state) partitions from the
+    INPUT VOLUME instead of the session core count, for the duration
+    of one streaming run (set before .start(), restored after
+    awaitTermination — the strm_dedup_watermark provider-conf
+    precedent).
+
+    Rationale (r13, measured): a stream-stream join owns 4 state
+    stores per partition; at the session default (shuffle.partitions
+    = cores, 32 locally) a 4-batch availableNow drain of a ~50 MB
+    landing dir commits 128 store instances per batch and the
+    per-commit cost contends super-linearly with concurrent state
+    tasks — the same drain measured 23.7 s at 32 partitions, 11.3 s
+    at 16, 6.7 s at 8, identical output. State partitions should
+    scale with STATE volume (guide §2.2: fewer, larger partitions —
+    size for tens-of-MB-plus per partition), not with local core
+    count: partitions = clamp(input_bytes / per-partition budget,
+    1, 4096). At the 100 M-event probe corpus this yields dozens of
+    partitions; on a real cluster the same rule sizes state tasks to
+    data. Budget dial: SPARK_GRAFT_STREAM_STATE_PART_BYTES (default
+    32 MiB). Derived from file sizes only — no extra Spark job."""
+
+    def __init__(self, spark, *paths):
+        import os
+
+        from ..sources.tables import _dataset_bytes
+
+        self.spark = spark
+        budget = int(
+            os.environ.get(
+                "SPARK_GRAFT_STREAM_STATE_PART_BYTES", str(32 * 1024 * 1024)
+            )
+        )
+        total = 0
+        for p in paths:
+            b = _dataset_bytes(p)
+            total += b if b else 0
+        self.parts = max(1, min(4096, -(-total // budget)))
+
+    def __enter__(self):
+        self._saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
+
 def _norm_ts(stream, raw_schema):
     """Normalize events.ts to TimestampType on a (streaming) frame.
 
@@ -299,16 +348,22 @@ def strm_dedup_watermark(spark, sf_dir):
         "RocksDBStateStoreProvider",
     )
     try:
-        q = (
-            dd.select("event_id")
-            .writeStream.format("parquet")
-            .option("path", f"{work}/out")
-            .option("checkpointLocation", f"{work}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # state partitions sized to the (doubled) input volume — each
+        # RocksDB instance costs native-db setup + per-commit work, so
+        # instance count should track state bytes, not local cores
+        with _sized_stream_parts(
+            spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
+        ):
+            q = (
+                dd.select("event_id")
+                .writeStream.format("parquet")
+                .option("path", f"{work}/out")
+                .option("checkpointLocation", f"{work}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset(prov_key)
@@ -462,14 +517,20 @@ def strm_stream_join(spark, sf_dir):
     errors = _stream_join_side(spark, path, raw_schema, "error", "error")
     joined = _stream_join_joined(clicks, errors)
     name = f"strm_stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to the two input streams' volume
+    # (_sized_stream_parts): the conf is read at query START and
+    # frozen into the checkpoint, so the scope covers start..await
+    with _sized_stream_parts(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
+    ):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(
         F.col("click_id"),
         F.col("error_id").alias("error_id"),
@@ -529,16 +590,21 @@ def strm_stream_join_multibatch(spark, sf_dir):
     errors = _stream_join_side(
         spark, landing, land_schema, "error", "error", max_files_per_trigger=4
     )
-    q = (
-        _stream_join_joined(clicks, errors)
-        .writeStream.format("parquet")
-        .option("path", f"{work}/out")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # state partitions sized to the landing volume (both sides read
+    # it), not the core count — see _sized_stream_parts; this is the
+    # entry the 32-partition contention hurt most (4-batch drain +
+    # no-data batch x 128 store instances)
+    with _sized_stream_parts(spark, landing, landing):
+        q = (
+            _stream_join_joined(clicks, errors)
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{work}/out").select(
         F.col("click_id"),
         F.col("error_id").alias("error_id"),
