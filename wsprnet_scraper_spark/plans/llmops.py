@@ -667,16 +667,25 @@ def strm_minhash_dedup(spark, sf_dir):
         finally:
             cur.unpersist()
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", 1)
-        .json(landing)
-        .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Shuffle partitions for the drain sized from landing + sink
+    # bytes (streaming_q._sized_stream_parts; the sink already holds
+    # the corpus signature seed, so the 100x corpus still sizes up):
+    # every micro-batch's joins and its per-batch parquet sink write
+    # inherit the count — at test SFs this stops 32-way writes of
+    # KB-sized batches (measured 7.0 -> 4.8 s for the entry).
+    from .streaming_q import _sized_stream_parts
+
+    with _sized_stream_parts(spark, landing, sink):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # explicit dir list, not a glob: a glob path makes the reader
     # probe it for streaming-sink metadata and log a spurious warning
     return spark.read.schema(
@@ -2933,16 +2942,21 @@ def strm_semantic_dedup(spark, sf_dir):
         finally:
             cur.unpersist()
 
-    q = (
-        spark.readStream.schema("vec_id long, embedding array<double>")
-        .option("maxFilesPerTrigger", 1)
-        .json(landing)
-        .writeStream.foreachBatch(dedup_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # sized drain partitions — the strm_minhash_dedup rationale (the
+    # sink holds the corpus vector seed, so volume scales with corpus)
+    from .streaming_q import _sized_stream_parts
+
+    with _sized_stream_parts(spark, landing, sink):
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # explicit dir list, not a glob: a glob path makes the reader
     # probe it for streaming-sink metadata and log a spurious warning
     return spark.read.parquet(
@@ -5877,23 +5891,52 @@ def dedup_minhash_estimate(spark, sf_dir):
         .select("rep", "doc_id")
     )
     rep_docs = reps.select(F.col("rep").alias("doc_id"), "text")
-    sh = dedup.word_shingles(rep_docs, "doc_id", "text", 3)
-    salts = spark.range(8).select(F.col("id").cast("int").alias("salt"))
-    hashed = (
-        sh.crossJoin(F.broadcast(salts))
-        .select(
-            "doc",
-            "salt",
-            F.md5(
-                F.concat(
-                    F.col("salt").cast("string"), F.lit("|"), F.col("shingle")
-                )
-            ).alias("h"),
-        )
-        .groupBy("doc", "salt")
-        .agg(F.min("h").alias("minh"))
+    # r13: ONE shingle pass feeds everything. The old form ran the
+    # shingle explode three times (an 8x salt-crossJoin explode for
+    # the per-salt scoring relation, minhash_signatures for the band
+    # sigs, and a distinct for the shingled-rep set) and paid a
+    # (doc, shingle) distinct shuffle none of the consumers need:
+    # every downstream is a MIN aggregate (multiplicity-invariant, the
+    # word_shingles distinct=False contract). One column-per-hash
+    # groupBy computes the 8 salted mins; the per-salt rows, the band
+    # signatures (minhash_signatures' exact expressions), and the
+    # shingled-rep set are all doc-sized projections of it.
+    sh = dedup.word_shingles(rep_docs, "doc_id", "text", 3, distinct=False)
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(i)), F.lit("|"), F.col("shingle")))
+            ).alias(f"_h{i}")
+            for i in range(8)
+        ]
     )
-    sigs = dedup.minhash_signatures(sh, num_hashes=8, rows_per_band=2)
+    hashed = mins.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("salt"),
+                        F.col(f"_h{i}").alias("minh"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("_s"),
+    ).select("doc", F.col("_s.salt").alias("salt"), F.col("_s.minh").alias("minh"))
+    band_structs = []
+    for band in range(4):
+        sig = F.concat_ws(
+            "|",
+            *[
+                F.concat_ws(":", F.lit(str(i)), F.col(f"_h{i}"))
+                for i in range(band * 2, band * 2 + 2)
+            ],
+        )
+        band_structs.append(F.struct(F.lit(band).alias("band"), sig.alias("sig")))
+    sigs = mins.select(
+        "doc", F.explode(F.array(*band_structs)).alias("_bs")
+    ).select("doc", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig"))
     cand = dedup.candidate_pairs(sigs)
     ha = hashed.select(
         F.col("doc").alias("doc_a"), "salt", F.col("minh").alias("minh_a")
@@ -5932,7 +5975,8 @@ def dedup_minhash_estimate(spark, sf_dir):
             "n_match",
         )
     )
-    shingled_reps = sh.select(F.col("doc").alias("rep")).distinct()
+    # docs with >= 1 shingle are exactly the groups of `mins`
+    shingled_reps = mins.select(F.col("doc").alias("rep"))
     ma = mem.join(shingled_reps, "rep", "left_semi")
     intra = (
         ma.select("rep", F.col("doc_id").alias("doc_a"))
