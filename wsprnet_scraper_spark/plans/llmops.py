@@ -1980,7 +1980,14 @@ def dedup_editdist(spark, sf_dir):
             "is_dup",
         )
     )
-    shingled_reps = sh.select(F.col("doc").alias("rep")).distinct()
+    # a rep has >= 1 shingle iff its text has >= 3 tokens — the
+    # word_shingles admission filter applied to the doc-sized rep
+    # relation directly, instead of re-running the whole shingle
+    # explode + distinct a second time (r13: ~0.9 s of this entry's
+    # sf0.1 time was that re-derivation)
+    shingled_reps = rep_docs.filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    ).select(F.col("doc_id").alias("rep"))
     ma = mem.join(shingled_reps, "rep", "left_semi")
     intra = (
         ma.select("rep", F.col("doc_id").alias("doc_a"))
