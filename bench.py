@@ -332,26 +332,44 @@ def main() -> None:
         artifact.write_text(json.dumps(out, indent=1) + "\n")
     except OSError:
         pass  # read-only checkout: stdout is still the contract
-    # LAST line = compact summary that survives the driver's ~2000-char
-    # tail capture (r4 verdict #3: BENCH_r02-r04 all parsed null
-    # because the 60-entry queries dict pushed the headline out of the
-    # tail). Same schema keys, top-5 slowest queries only; the full
-    # per-query map is the line above + the artifact file.
-    top5 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
-    )
-    print(json.dumps({
+    # LAST line = compact summary that survives the driver's tail
+    # capture (r4 verdict #3: BENCH_r02-r04 all parsed null because
+    # the 60-entry queries dict pushed the headline out of the tail).
+    # The capture is the last 2000 chars of stdout (len(tail) == 2000
+    # in every committed BENCH_r*.json), so the full 157-entry dict
+    # (~4.3 KB minified) CANNOT be the last line — it would front-
+    # truncate in the capture and parse as null. r14 (VERDICT r13 #2:
+    # a fixed top-5 made the driver's round-over-round diff degenerate
+    # to n_common=0 when top-5 membership churned): instead of top-5,
+    # fill the byte budget — slowest-first, 2-decimal seconds, as many
+    # entries as fit in ~1800 bytes (~55-65 entries; everything below
+    # the cut is sub-noise-band at this SF). The full per-query map is
+    # the line above + the artifact file.
+    compact: dict[str, float] = {}
+    summary = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "sf": sf,
         "runs": "median_of_3",
         "n_queries": len(timings),
-        "queries_truncated_to_top5": True,
-        "queries": top5,
+        "queries_truncated": False,
+        "queries": compact,
         "superlinear": scaling.get("superlinear", []) if scaling else [],
         "full_results": "tools/bench_results_latest.json",
-    }))
+    }
+    budget = 1800
+    used = len(json.dumps(summary, separators=(",", ":")))
+    for name_, sec in sorted(
+        timings.items(), key=lambda kv: kv[1], reverse=True
+    ):
+        cost = len(json.dumps({name_: round(sec, 2)}, separators=(",", ":")))
+        if used + cost > budget:
+            summary["queries_truncated"] = True
+            break
+        compact[name_] = round(sec, 2)
+        used += cost
+    print(json.dumps(summary, separators=(",", ":")))
 
 
 if __name__ == "__main__":

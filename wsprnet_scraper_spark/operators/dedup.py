@@ -394,8 +394,19 @@ def connected_components(
     ):
         try:
             edge_rows = sym.collect()
-        finally:
+        except Exception:
             sym.unpersist()
+            raise
+        # ADVICE r13: a NULL edge id would join the union-find and then
+        # crash the min-representative scan (None is unorderable against
+        # int/str). NULL join keys never match a round join in the
+        # distributed path, so a NULL edge carries no connectivity —
+        # drop such rows before the union-find. Latent today: every
+        # caller feeds candidate_pairs output, which has non-null ids.
+        edge_rows = [
+            r for r in edge_rows if r[0] is not None and r[1] is not None
+        ]
+        sym.unpersist()
         parent: dict = {}
 
         def find(x):

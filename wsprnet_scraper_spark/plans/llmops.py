@@ -5794,7 +5794,14 @@ def text_collocation_lift(spark, sf_dir):
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     )
-    lhs = dsets.select(F.col("ts"), F.posexplode("ts").alias("_i", "term_a"))
+    # ADVICE r13: the oracle's pair self-join is ON a.doc = b.doc — a
+    # NULL doc id never matches itself, so a NULL-doc group would
+    # contribute to the df marginals but NOT to the pair relation.
+    # Filter it from the pair explosion only (doc_id is non-null on
+    # this corpus; the guard is the cross-engine contract).
+    lhs = dsets.filter(F.col("doc").isNotNull()).select(
+        F.col("ts"), F.posexplode("ts").alias("_i", "term_a")
+    )
     p = (
         lhs.select(
             "term_a",

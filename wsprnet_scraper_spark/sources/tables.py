@@ -66,10 +66,17 @@ def _dataset_bytes(path: str) -> int | None:
     parquet is a DIRECTORY; os.path.getsize on it returns the inode
     size, ~4 KB, which silently disabled the under-parallel-scan heal
     for multi-file datasets and left e.g. a 10-file 140 MB table
-    running 10-wide on 32 cores). None = not statable (non-local)."""
+    running 10-wide on 32 cores). None = not statable — a non-local
+    URI (s3://, hdfs://) or a path that does not exist locally.
+    ADVICE r13: a remote URI used to fall through os.walk and return
+    0, which _sized_stream_parts clamped to 1 partition — exactly the
+    production case the sizing rule serves; "unknown" must be None,
+    never 0."""
     try:
         if os.path.isfile(path):
             return os.path.getsize(path)
+        if not os.path.isdir(path):
+            return None
         total = 0
         for root, _dirs, files in os.walk(path):
             for f in files:
