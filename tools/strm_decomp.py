@@ -67,9 +67,14 @@ def install_hooks():
             r = orig_await(*aa, **kk)
             PH["drain"] += time.perf_counter() - t1
             try:
-                PROGRESS.extend(json.loads(p) for p in q.recentProgress)
-            except Exception:
-                pass
+                for p in q.recentProgress:
+                    if isinstance(p, str):
+                        p = json.loads(p)
+                    elif not isinstance(p, dict):
+                        p = json.loads(p.json)
+                    PROGRESS.append(p)
+            except Exception as e:
+                PROGRESS.append({"progress_hook_error": str(e)})
             return r
 
         q.awaitTermination = timed_await

@@ -207,3 +207,17 @@ def materialized(spark, sf_dir: str, kind: str, build, tables=("documents",)):
         ent = (spark.read.parquet(path), path, persistent)
         bucket[key] = ent
     return ent[0]
+
+
+def materialized_entry(
+    spark, sf_dir: str, kind: str, build, tables=("documents",)
+):
+    """`materialized`, but returns (df, parquet_path). The path lets a
+    caller that keeps the standing relation OUT of its own sink (r14:
+    the stream twins used to copy the corpus seed into the sink every
+    invocation) still size partitions from the standing volume
+    (_sized_stream_parts reads file sizes, not DataFrames)."""
+    materialized(spark, sf_dir, kind, build, tables)
+    app = spark.sparkContext.applicationId
+    ent = _STORE_CACHE[app][(kind, sf_dir.rstrip("/"))]
+    return ent[0], ent[1]

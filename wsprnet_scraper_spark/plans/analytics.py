@@ -4456,17 +4456,37 @@ def strm_changepoint_monitor(spark, sf_dir):
         F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
     )
     is_batch = F.col("event_id") % 10 == 0
-    ref_rows = (
-        t.filter(~is_batch)
-        .groupBy("event_type")
+    # r14 (guide §1.2 — don't scan twice): ONE grouped pass calibrates
+    # the per-type reference AND yields the batch slice's us bounds,
+    # folding what used to be two full-events jobs (ref collect +
+    # land_ordered_ndjson's bounds agg) into one. ref_q's expression
+    # is byte-identical ((1e6·Σcents) div n over the standing rows);
+    # a type with no standing rows has _rn = 0, ref_q NULL, and is
+    # skipped — exactly the row the old filtered groupBy never had.
+    stat_rows = (
+        t.groupBy("event_type")
         .agg(
-            F.expr("(1000000 * sum(cents)) div count(*)")
-            .cast("bigint")
-            .alias("ref_q")
+            F.sum(F.when(~is_batch, F.col("cents"))).alias("_rs"),
+            F.count(F.when(~is_batch, F.lit(1))).alias("_rn"),
+            F.min(F.when(is_batch, F.col("us"))).alias("_blo"),
+            F.max(F.when(is_batch, F.col("us"))).alias("_bhi"),
+        )
+        .select(
+            "event_type",
+            F.expr("(1000000 * _rs) div _rn").cast("bigint").alias("ref_q"),
+            "_blo",
+            "_bhi",
         )
         .collect()
     )
-    ref = {r["event_type"]: int(r["ref_q"]) for r in ref_rows}
+    ref = {
+        r["event_type"]: int(r["ref_q"])
+        for r in stat_rows
+        if r["ref_q"] is not None
+    }
+    blos = [r["_blo"] for r in stat_rows if r["_blo"] is not None]
+    bhis = [r["_bhi"] for r in stat_rows if r["_bhi"] is not None]
+    bounds = (min(blos), max(bhis)) if blos else (None, None)
 
     # SPARK_GRAFT_STRM_FILES (default 2): how many landing files the
     # fixture splits the slice into = how many micro-batches run. The
@@ -4479,16 +4499,25 @@ def strm_changepoint_monitor(spark, sf_dir):
         "us",
         landing,
         n_files,
+        bounds=bounds,
     )
-
-    spark.createDataFrame(
-        [], "event_id bigint, event_type string, t_idx bigint, g bigint"
-    ).write.mode("overwrite").parquet(f"{results}/seed")
+    os.makedirs(results, exist_ok=True)
 
     state: dict = {}  # event_type -> (t_off, s_off)
     snaps: dict = {}  # batch id -> pre-batch copy of `state`
+    # Observation metric layout: the ref types are known up front, so
+    # each batch's per-type (count, sum) deltas ride the WRITE job as
+    # observed metrics (r14 — was a second collect scanning bdf again;
+    # guide §1.2). Types absent from ref never reach the output (the
+    # off join is inner on ref types), so their deltas are dead state
+    # the old collect tracked and nothing ever read.
+    ref_types = sorted(ref)
 
     def monitor_batch(bdf, bid):
+        import uuid as _uuid
+
+        from pyspark.sql import Observation
+
         # at-least-once retry: restore pre-batch state, re-overwrite
         landing_mod.snapshot_or_restore(state, snaps, bid)
         off = spark.createDataFrame(
@@ -4498,9 +4527,24 @@ def strm_changepoint_monitor(spark, sf_dir):
             ],
             "event_type string, t_off bigint, s_off bigint, ref_q bigint",
         )
+        obs = Observation(f"cp_{bid}_{_uuid.uuid4().hex[:8]}")
+        metrics = []
+        for i, et in enumerate(ref_types):
+            hit = F.col("event_type") == F.lit(et)
+            metrics.append(
+                F.sum(F.when(hit, F.lit(1)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"n{i}")
+            )
+            metrics.append(
+                F.sum(F.when(hit, F.col("cents")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias(f"s{i}")
+            )
+        observed = bdf.observe(obs, *metrics)
         wn = W.partitionBy("event_type").orderBy("us", "event_id")
         wl = wn.rowsBetween(W.unboundedPreceding, W.currentRow)
-        local = bdf.select(
+        local = observed.select(
             "event_type",
             "us",
             "event_id",
@@ -4518,16 +4562,11 @@ def strm_changepoint_monitor(spark, sf_dir):
             ).cast("bigint").alias("g"),
         )
         out.write.mode("overwrite").parquet(f"{results}/b{bid:05d}")
-        for r in (
-            bdf.groupBy("event_type")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("dn"),
-                F.sum("cents").cast("bigint").alias("ds"),
-            )
-            .collect()
-        ):
-            t0, s0 = state.get(r["event_type"], (0, 0))
-            state[r["event_type"]] = (t0 + int(r["dn"]), s0 + int(r["ds"]))
+        got = obs.get
+        for i, et in enumerate(ref_types):
+            dn, ds = got.get(f"n{i}"), got.get(f"s{i}")
+            t0, s0 = state.get(et, (0, 0))
+            state[et] = (t0 + int(dn or 0), s0 + int(ds or 0))
 
     q = (
         spark.readStream.schema(
@@ -4542,11 +4581,16 @@ def strm_changepoint_monitor(spark, sf_dir):
     )
     q.awaitTermination()
     # explicit dir list, not a glob: a glob path makes the reader
-    # probe it for streaming-sink metadata and log a spurious warning
-    return spark.read.schema(
-        "event_id bigint, event_type string, t_idx bigint, g bigint"
-    ).parquet(
-        *[f"{results}/{s}" for s in sorted(os.listdir(results))]
+    # probe it for streaming-sink metadata and log a spurious warning.
+    # r14: the typed empty results seed is gone (one parquet write per
+    # invocation); the explicit read schema covers empty batch dirs,
+    # and a fully empty results dir degrades to a typed empty frame.
+    out_schema = "event_id bigint, event_type string, t_idx bigint, g bigint"
+    batch_dirs = sorted(os.listdir(results))
+    if not batch_dirs:
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(
+        *[f"{results}/{s}" for s in batch_dirs]
     ).select("event_id", "event_type", "t_idx", "g")
 
 

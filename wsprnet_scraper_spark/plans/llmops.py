@@ -566,43 +566,40 @@ def strm_minhash_dedup(spark, sf_dir):
 
     # Corpus seed from the standing signature store (r10 verdict
     # task #1, shared kind with dedup_minhash_cluster_incremental):
-    # with the store warm this is a signature-row copy — doc x bands
+    # with the store warm this is a signature-row read — doc x bands
     # rows of fixed-width columns — instead of re-shingling and
     # re-hashing the standing corpus's full text (10.3 s of the
-    # entry's 18.7 s at the 100x probe was that rebuild).
+    # entry's 18.7 s at the 100x probe was that rebuild). r14: the
+    # standing side READS the store parquet directly instead of
+    # COPYING it into the sink every invocation (the copy was a
+    # corpus-sized write per run — pure fixture cost; at 100x it
+    # copies the whole signature store to serve two micro-batches).
+    # The sink now holds only the per-batch appends.
     def _build_csig():
         corp_sh = dedup.word_shingles(
             corpus, "doc_id", "text", 3, distinct=False
         )
         return dedup.minhash_signatures(corp_sh)
 
-    stores.materialized(
+    seed_df, seed_path = stores.materialized_entry(
         spark, sf_dir, f"{_MHSIG_KIND}_sig", _build_csig
-    ).withColumn(
-        "is_corpus", F.lit(True)
-    ).write.mode("overwrite").parquet(f"{sink}/seed")
-
-    # Empty typed seed (ADVICE r8): with an empty batch slice no
-    # micro-batch ever appends to `results`, and the final read would
-    # die on parquet schema inference instead of returning zero rows.
-    # The seed pins the schema so the empty case degrades gracefully.
-    spark.createDataFrame(
-        [],
-        "doc_id bigint, dup_of_corpus_id bigint, n_corpus_matches bigint,"
-        " dup_in_batch_id bigint, status string",
-    ).write.mode("overwrite").parquet(f"{results}/seed")
+    )
+    seed_df = seed_df.withColumn("is_corpus", F.lit(True))
+    os.makedirs(sink, exist_ok=True)
+    os.makedirs(results, exist_ok=True)
 
     def dedup_batch(bdf, bid):
         sh = dedup.word_shingles(bdf, "doc_id", "text", 3, distinct=False)
         cur = dedup.minhash_signatures(sh).cache()
         try:
-            standing = spark.read.parquet(
-                *[
-                    f"{sink}/{s}"
-                    for s in sorted(os.listdir(sink))
-                    if s != f"b{bid:05d}"
-                ]
-            )
+            prior = [
+                f"{sink}/{s}"
+                for s in sorted(os.listdir(sink))
+                if s != f"b{bid:05d}"
+            ]
+            standing = seed_df
+            if prior:
+                standing = standing.unionByName(spark.read.parquet(*prior))
             near = (
                 cur.alias("a")
                 .join(
@@ -667,15 +664,15 @@ def strm_minhash_dedup(spark, sf_dir):
         finally:
             cur.unpersist()
 
-    # Shuffle partitions for the drain sized from landing + sink
-    # bytes (streaming_q._sized_stream_parts; the sink already holds
-    # the corpus signature seed, so the 100x corpus still sizes up):
-    # every micro-batch's joins and its per-batch parquet sink write
-    # inherit the count — at test SFs this stops 32-way writes of
-    # KB-sized batches (measured 7.0 -> 4.8 s for the entry).
+    # Shuffle partitions for the drain sized from landing + standing
+    # store + sink bytes (streaming_q._sized_stream_parts; the store
+    # path carries the corpus-sized seed, so the 100x corpus still
+    # sizes up): every micro-batch's joins and its per-batch parquet
+    # sink write inherit the count — at test SFs this stops 32-way
+    # writes of KB-sized batches (measured 7.0 -> 4.8 s for the entry).
     from .streaming_q import _sized_stream_parts
 
-    with _sized_stream_parts(spark, landing, sink):
+    with _sized_stream_parts(spark, landing, seed_path, sink):
         q = (
             spark.readStream.schema("doc_id long, text string")
             .option("maxFilesPerTrigger", 1)
@@ -687,12 +684,20 @@ def strm_minhash_dedup(spark, sf_dir):
         )
         q.awaitTermination()
     # explicit dir list, not a glob: a glob path makes the reader
-    # probe it for streaming-sink metadata and log a spurious warning
-    return spark.read.schema(
+    # probe it for streaming-sink metadata and log a spurious warning.
+    # r14: the typed empty seed is gone (it cost one parquet write per
+    # invocation) — the read's EXPLICIT schema already covers empty or
+    # part-less batch dirs, and a fully empty results dir (no batch
+    # ever fired) degrades to a typed empty frame here.
+    out_schema = (
         "doc_id bigint, dup_of_corpus_id bigint, n_corpus_matches bigint,"
         " dup_in_batch_id bigint, status string"
-    ).parquet(
-        *[f"{results}/{s}" for s in sorted(os.listdir(results))]
+    )
+    batch_dirs = sorted(os.listdir(results))
+    if not batch_dirs:
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(
+        *[f"{results}/{s}" for s in batch_dirs]
     ).select(
         "doc_id", "dup_of_corpus_id", "n_corpus_matches",
         "dup_in_batch_id", "status",
@@ -2847,9 +2852,13 @@ def strm_semantic_dedup(spark, sf_dir):
 
     # Corpus seed (assignments + vectors) from the standing store
     # (r11, the _MHSIG_KIND pattern): with the store warm this is a
-    # parquet copy instead of re-running the corpus-wide fold
+    # parquet read instead of re-running the corpus-wide fold
     # assignment each run. The kind encodes the dispatch branch and
     # its k rule — the two branches produce different cell ids.
+    # r14: the standing side reads the store parquet DIRECTLY instead
+    # of copying it into the sink per invocation (the strm_minhash
+    # rationale — the copy was a corpus-sized write per run); the
+    # sink holds only the per-batch appends.
     def _build_seed():
         pre_corpus = corpus.select(
             "vec_id", _as_double(F.col("embedding")).alias("v")
@@ -2859,11 +2868,11 @@ def strm_semantic_dedup(spark, sf_dir):
     # seed_kind (computed beside the trainer calls above) encodes
     # EVERY parameter the seed depends on (stores.py contract):
     # dispatch branch, k, and the trainer's iteration count.
-    stores.materialized(
+    seed_df, seed_path = stores.materialized_entry(
         spark, sf_dir, seed_kind, _build_seed, tables=("embeddings",)
-    ).withColumn(
-        "is_corpus", F.lit(True)
-    ).write.mode("overwrite").parquet(f"{sink}/seed")
+    )
+    seed_df = seed_df.withColumn("is_corpus", F.lit(True))
+    os.makedirs(sink, exist_ok=True)
 
     def dedup_batch(bdf, bid):
         pre = bdf.select(
@@ -2871,13 +2880,14 @@ def strm_semantic_dedup(spark, sf_dir):
         ).withColumn("n2", _norm2(F.col("v")))
         cur = assign(pre).cache()
         try:
-            standing = spark.read.parquet(
-                *[
-                    f"{sink}/{s}"
-                    for s in sorted(os.listdir(sink))
-                    if s != f"b{bid:05d}"
-                ]
-            )
+            prior = [
+                f"{sink}/{s}"
+                for s in sorted(os.listdir(sink))
+                if s != f"b{bid:05d}"
+            ]
+            standing = seed_df
+            if prior:
+                standing = standing.unionByName(spark.read.parquet(*prior))
             near = (
                 cur.alias("a")
                 .join(standing.alias("s"), F.col("a.cell") == F.col("s.cell"))
@@ -2950,10 +2960,11 @@ def strm_semantic_dedup(spark, sf_dir):
             cur.unpersist()
 
     # sized drain partitions — the strm_minhash_dedup rationale (the
-    # sink holds the corpus vector seed, so volume scales with corpus)
+    # standing store path carries the corpus vector seed, so volume
+    # scales with corpus)
     from .streaming_q import _sized_stream_parts
 
-    with _sized_stream_parts(spark, landing, sink):
+    with _sized_stream_parts(spark, landing, seed_path, sink):
         q = (
             spark.readStream.schema("vec_id long, embedding array<double>")
             .option("maxFilesPerTrigger", 1)

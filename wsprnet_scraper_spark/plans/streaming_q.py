@@ -363,12 +363,23 @@ def strm_dedup_watermark(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="wspr_dedup_wm_")
     _WM_WORK = work
     prov_key = "spark.sql.streaming.stateStore.providerClass"
+    clog_key = (
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled"
+    )
     prev = spark.conf.get(prov_key, None)
+    prev_clog = spark.conf.get(clog_key, None)
     spark.conf.set(
         prov_key,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
+    # r14 (VERDICT r13 #4): per-commit the default uploads a full
+    # RocksDB snapshot to the checkpoint; changelog checkpointing
+    # commits only the batch's delta (snapshots happen async in the
+    # maintenance thread) — the production RocksDB deployment shape,
+    # and the per-batch commit cost stops scaling with TOTAL state.
+    spark.conf.set(clog_key, "true")
     try:
         # state partitions sized to the (doubled) input volume — each
         # RocksDB instance costs native-db setup + per-commit work, so
@@ -391,6 +402,10 @@ def strm_dedup_watermark(spark, sf_dir):
             spark.conf.unset(prov_key)
         else:
             spark.conf.set(prov_key, prev)
+        if prev_clog is None:
+            spark.conf.unset(clog_key)
+        else:
+            spark.conf.set(clog_key, prev_clog)
     # this run succeeded: generation N-1's parquet is now superseded.
     # Contract: the returned DataFrame reads THIS generation's files
     # and stays valid only until the builder runs again (single-

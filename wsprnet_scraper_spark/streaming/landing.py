@@ -64,6 +64,7 @@ def land_ordered_ndjson(
     landing_dir: str,
     n_files: int,
     mtime_base: int = MTIME_BASE,
+    bounds: tuple | None = None,
 ) -> int:
     """Land df under landing_dir as up-to-n_files NDJSON files,
     file i holding a contiguous lower range of integral `order_col`
@@ -73,18 +74,26 @@ def land_ordered_ndjson(
     one empty file so downstream availableNow streams still run one
     (empty) micro-batch — the empty-slice degradation path the r8
     advice tests pin.
+
+    `bounds` (r14): the caller may pass the (min, max) of `order_col`
+    if it already computed them — a fixture that calibrates standing
+    state in the same aggregation can fold the bounds scan into that
+    job and skip this one (guide §1.2: don't compute things twice).
+    (None, None) means a known-empty slice.
     """
     os.makedirs(landing_dir, exist_ok=True)
-    bounds = df.agg(
-        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
-    ).first()
-    if bounds["lo"] is None:  # empty slice
+    if bounds is None:
+        row = df.agg(
+            F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+        ).first()
+        bounds = (row["lo"], row["hi"])
+    if bounds[0] is None:  # empty slice
         path = f"{landing_dir}/batch-000.json"
         open(path, "w").close()
         os.utime(path, (mtime_base, mtime_base))
         return 1
 
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    lo, hi = int(bounds[0]), int(bounds[1])
     n = max(1, int(n_files))
     span = (hi - lo) // n + 1  # ceil-ish: fid = (x-lo) div span < n
     staging = f"{landing_dir.rstrip('/')}_stage"
