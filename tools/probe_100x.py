@@ -257,7 +257,18 @@ def main() -> None:
     ap.add_argument("--mid", default="/tmp/wspr_sf1_probe_r5")
     ap.add_argument("--out", default="/tmp/wspr_sf10_probe")
     ap.add_argument("--json-out", default="tools/probe_results_r13_100x.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated base names or full keys: measure only "
+        "these (r14 — re-measure the touched keys on shipped HEAD "
+        "without re-running the whole sweep)",
+    )
     args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    def want(*keys) -> bool:
+        return only is None or any(k in only for k in keys)
 
     import tools.scaling_probe as sp
     from wsprnet_scraper_spark.plans import QUERIES
@@ -368,7 +379,7 @@ def main() -> None:
     run("dedup_exact", str(out))
 
     for name in QUERIES_100X:
-        if name not in QUERIES or name in results:
+        if name not in QUERIES or name in results or not want(name):
             continue
         run(name, args.base)  # warm the plan shape
         base_t = min(run(name, args.base), run(name, args.base))
@@ -391,7 +402,9 @@ def main() -> None:
     # watermarked sides drained through a noop streaming sink with NO
     # join (the fixture/setup share); full = the judged entry; the
     # difference is the stream-stream join + state machinery itself.
-    if "strm_stream_join@split" not in results:
+    if "strm_stream_join@split" not in results and want(
+        "strm_stream_join", "strm_stream_join@split"
+    ):
         from wsprnet_scraper_spark.plans.streaming_q import (
             _stream_join_side,
         )
@@ -440,7 +453,7 @@ def main() -> None:
     # ride it under the main loop's min-of-2 protocol.
     for name in LINEITEM_100X:
         key = f"{name}@grownli"
-        if name not in QUERIES or key in results:
+        if name not in QUERIES or key in results or not want(name, key):
             continue
         run(name, args.base)  # warm the plan shape
         base_t = min(run(name, args.base), run(name, args.base))
@@ -477,7 +490,7 @@ def main() -> None:
 
     for name in SIGSTORE_SPLIT:
         key = f"{name}@storesplit"
-        if name not in QUERIES or key in results:
+        if name not in QUERIES or key in results or not want(name, key):
             continue
         run(name, args.base)  # plan-shape warm-up, untimed
         store_dir = os.environ["SPARK_GRAFT_SIG_STORE"]
@@ -508,7 +521,9 @@ def main() -> None:
     # win_ewma/bollinger/rsi serve from ONE localCheckpoint-pinned
     # block+halo pass; per-entry numbers above are amortized (the pin
     # survives clearCache now). Record the one-time pass explicitly.
-    if "frame_relation_build" not in results:
+    if "frame_relation_build" not in results and want(
+        "frame_relation_build"
+    ):
         def frame_build(at: str) -> float:
             pl_analytics._FRAME_STORE.clear()
             spark.catalog.clearCache()
@@ -555,17 +570,23 @@ def main() -> None:
     gpend = [
         n
         for n in GRAPH_QUERIES_100X
-        if n in QUERIES and f"{n}@grownodes" not in results
+        if n in QUERIES
+        and f"{n}@grownodes" not in results
+        and want(n, f"{n}@grownodes")
     ]
-    if (
-        gpend
-        or "graph_edge_build@grownodes" not in results
-        or "graph_ppr@storesplit" not in results
-    ):
+    want_edge_build = (
+        "graph_edge_build@grownodes" not in results
+        and want("graph_edge_build@grownodes")
+    )
+    want_ppr_split = (
+        "graph_ppr@storesplit" not in results
+        and want("graph_ppr", "graph_ppr@storesplit")
+    )
+    if gpend or want_edge_build or want_ppr_split:
         spark.stop()
         os.environ["SPARK_GRAFT_EDGE_STORE"] = str(out) + "_edgestore"
         spark = get_session("probe-100x-graph")
-        if "graph_edge_build@grownodes" not in results:
+        if want_edge_build:
             base_build = prebuild_edges(args.base)
             big_build = prebuild_edges(str(gout))
             n_amort = max(1, len(GRAPH_QUERIES_100X))
@@ -634,7 +655,7 @@ def main() -> None:
         # graph.
         import shutil as _sh
 
-        if "graph_ppr@storesplit" not in results:
+        if want_ppr_split:
             estore = os.environ["SPARK_GRAFT_EDGE_STORE"]
             _sh.rmtree(estore, ignore_errors=True)
             graph_q.clear_edge_cache()
