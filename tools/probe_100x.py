@@ -158,6 +158,10 @@ QUERIES_100X = [
     # measures the fixture write). lineitem readers ride the graph
     # corpus below (@grownli).
     "strm_stream_join",
+    # r14: the multi-batch twin joins the probe — its watermark
+    # eviction + per-batch state commits are exactly what the
+    # size-dispatched RocksDB provider changes at volume
+    "strm_stream_join_multibatch",
     "strm_dedup_watermark",
     "pipe_dedup_e2e",
     "dedup_editdist",

@@ -56,10 +56,19 @@ class _sized_stream_parts:
     scale with STATE volume (guide §2.2: fewer, larger partitions —
     size for tens-of-MB-plus per partition), not with local core
     count: partitions = clamp(input_bytes / per-partition budget,
-    1, 4096). At the 100 M-event probe corpus this yields dozens of
-    partitions; on a real cluster the same rule sizes state tasks to
+    1, 4096). On a real cluster the same rule sizes state tasks to
     data. Budget dial: SPARK_GRAFT_STREAM_STATE_PART_BYTES (default
-    32 MiB). Derived from file sizes only — no extra Spark job.
+    8 MiB). Derived from file sizes only — no extra Spark job.
+
+    Budget calibration (r14, probe-measured): the r13 default of
+    32 MiB starved the 100x stream-stream join — 365 MB of input gave
+    12 state partitions on 32 cores and the join/state share ran
+    227 s vs 95 s under the cores-sized default, scaling exactly with
+    1/partitions (the symmetric-join probe work is CPU-bound at
+    volume, so partitions ARE parallelism there). 8 MiB keeps the
+    sf0.1 behavior identical (MB-scale inputs still get 1 partition —
+    the r13 contention win) and restores >= 40 partitions at the
+    100 M-event corpus. Still bytes-derived; core count never enters.
 
     Unknown volume (ADVICE r13): _dataset_bytes returns None for any
     path it cannot stat locally (s3://, hdfs://, missing) — in that
@@ -82,7 +91,7 @@ class _sized_stream_parts:
         self.spark = spark
         budget = int(
             os.environ.get(
-                "SPARK_GRAFT_STREAM_STATE_PART_BYTES", str(32 * 1024 * 1024)
+                "SPARK_GRAFT_STREAM_STATE_PART_BYTES", str(8 * 1024 * 1024)
             )
         )
         total, unknown = 0, False
@@ -107,6 +116,56 @@ class _sized_stream_parts:
     def __exit__(self, *exc):
         if self._saved is not None:
             self.spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
+
+class _rocksdb_state:
+    """RocksDB state-store provider + changelog checkpointing for one
+    streaming run (conf read at query START; set before .start(),
+    restored after awaitTermination).
+
+    Why (r12 for strm_dedup_watermark; r14 extended to the
+    stream-stream joins): the HDFS-backed default holds every state
+    row in JVM HEAP — at the 100x probe corpus the symmetric-join
+    state (~4M rows across 4 stores/partition) OOM'd the 8g driver
+    JVM outright, exactly the failure mode the r12 watermark probe
+    hit. RocksDB keeps state in native memory + local disk (the
+    configuration a 100 TB streaming deployment actually runs), and
+    changelog checkpointing commits per-batch DELTAS instead of full
+    snapshots (commit 123 -> ~38 ms measured on the watermark entry;
+    snapshots move to the async maintenance thread).
+
+    NOT extended to the stream-stream joins (r14, measured at the
+    100x probe corpus): the symmetric join's per-row state write/probe
+    pattern runs ~3x slower on RocksDB (306 s vs 110 s heap-backed at
+    46 state partitions) and +2.5 s per entry even at sf0.1 — the
+    dedup map's lookup pattern is where RocksDB wins; the joins keep
+    the heap provider with byte-sized partitions."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self._keys = {
+            "spark.sql.streaming.stateStore.providerClass":
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled": "true",
+        }
+
+    def __enter__(self):
+        self._saved = {
+            k: self.spark.conf.get(k, None) for k in self._keys
+        }
+        for k, v in self._keys.items():
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, prev in self._saved.items():
+            if prev is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, prev)
         return False
 
 
@@ -362,50 +421,24 @@ def strm_dedup_watermark(spark, sf_dir):
     prev_work = _WM_WORK
     work = tempfile.mkdtemp(prefix="wspr_dedup_wm_")
     _WM_WORK = work
-    prov_key = "spark.sql.streaming.stateStore.providerClass"
-    clog_key = (
-        "spark.sql.streaming.stateStore.rocksdb."
-        "changelogCheckpointing.enabled"
-    )
-    prev = spark.conf.get(prov_key, None)
-    prev_clog = spark.conf.get(clog_key, None)
-    spark.conf.set(
-        prov_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    # r14 (VERDICT r13 #4): per-commit the default uploads a full
-    # RocksDB snapshot to the checkpoint; changelog checkpointing
-    # commits only the batch's delta (snapshots happen async in the
-    # maintenance thread) — the production RocksDB deployment shape,
-    # and the per-batch commit cost stops scaling with TOTAL state.
-    spark.conf.set(clog_key, "true")
-    try:
-        # state partitions sized to the (doubled) input volume — each
-        # RocksDB instance costs native-db setup + per-commit work, so
-        # instance count should track state bytes, not local cores
-        with _sized_stream_parts(
-            spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
-        ):
-            q = (
-                dd.select("event_id")
-                .writeStream.format("parquet")
-                .option("path", f"{work}/out")
-                .option("checkpointLocation", f"{work}/ckpt")
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(prov_key)
-        else:
-            spark.conf.set(prov_key, prev)
-        if prev_clog is None:
-            spark.conf.unset(clog_key)
-        else:
-            spark.conf.set(clog_key, prev_clog)
+    # RocksDB provider + changelog checkpointing (r14: extracted to
+    # _rocksdb_state, shared with the stream-stream joins); state
+    # partitions sized to the (doubled) input volume — each RocksDB
+    # instance costs native-db setup + per-commit work, so instance
+    # count should track state bytes, not local cores
+    with _rocksdb_state(spark), _sized_stream_parts(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
+    ):
+        q = (
+            dd.select("event_id")
+            .writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # this run succeeded: generation N-1's parquet is now superseded.
     # Contract: the returned DataFrame reads THIS generation's files
     # and stays valid only until the builder runs again (single-
@@ -556,7 +589,9 @@ def strm_stream_join(spark, sf_dir):
     name = f"strm_stream_join_{uuid.uuid4().hex[:8]}"
     # state partitions sized to the two input streams' volume
     # (_sized_stream_parts): the conf is read at query START and
-    # frozen into the checkpoint, so the scope covers start..await
+    # frozen into the checkpoint, so the scope covers start..await.
+    # Provider stays heap-backed (r14, measured: RocksDB ran this
+    # join 3x slower at the 100x corpus — see _rocksdb_state).
     with _sized_stream_parts(
         spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
     ):
